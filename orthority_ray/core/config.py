@@ -1,0 +1,24 @@
+"""Engine-wide execution knobs.
+
+Actor pools use AUTOSCALING ``(1, n)`` concurrency everywhere: a fixed pool
+of n actors deadlocks when several pools in one pipeline together exceed the
+cluster's CPUs (each fixed pool insists on all n actors before making
+progress).  With (1, n) the streaming executor starts each pool at 1 and
+grows it only while CPUs are free, so stages share the node and backpressure
+— not resource reservation — balances the pipeline (ray_guide.md "size
+concurrency x num_cpus so no stage starves the others").
+"""
+
+from __future__ import annotations
+
+import ray
+
+
+def pool(n: int | None = None) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds: (1, min(n, cluster_cpus))."""
+    try:
+        total = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        total = 4
+    n = n or total
+    return (1, max(1, min(n, total)))

@@ -1,0 +1,135 @@
+"""The ``pages`` source — Common-Crawl-style web-page table (BASELINE.json
+``input_hint``): ``(url: string, warc_ts: timestamp[us], html: binary,
+text: string, lang: string)`` plus an engine-internal ``doc_id: int64``.
+
+Pages are synthesized DETERMINISTICALLY from the driver's parquet tables (no
+external data, no RNG):
+
+- one page per ``lineitem`` row, ``doc_id = l_orderkey * 8 + l_linenumber``
+  (l_linenumber in 1..7 so ids never collide across orders; duplicate
+  (orderkey, linenumber) pairs in the synthetic data yield duplicate pages —
+  realistic for a web crawl and exactly what the dedup stages exist for);
+- payload ``text``/``lang`` looked up from the 500-row ``documents`` table by
+  ``doc_id % 500`` (small side -> broadcast via ``ray.put``, never shuffled);
+- ``html`` is the exact reversible envelope
+  ``b"<html><body>" + text + b"</body></html>"`` so extraction can be
+  byte-identical per url (the per-row invariant);
+- ``warc_ts`` = 2025-01-01T00:00:00 + doc_id seconds (no wall clock).
+
+The identical derivation is expressed in DuckDB SQL by
+:data:`orthority_ray.sources.sql.PAGES_CTE` for the correctness oracle.
+
+Scale note: the only input actually read is two int columns of lineitem
+(pruned at the read); everything else is generated per batch, so this source
+streams at ~memory bandwidth and scales to arbitrary row counts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..core.config import pool
+
+HTML_PREFIX = b"<html><body>"
+HTML_SUFFIX = b"</body></html>"
+# 2025-01-01T00:00:00 UTC in microseconds since epoch
+WARC_EPOCH_US = 1_735_689_600_000_000
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("doc_id", pa.int64()),
+    ]
+)
+
+
+def load_documents(sf_dir: str) -> pa.Table:
+    """The 500-row documents side table (driver-side read, broadcast later)."""
+    return pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+
+class PageSynth:
+    """Actor-pool batch fn: lineitem key columns -> full page rows.
+
+    The documents lookup table is fetched from the object store ONCE per actor
+    in ``__init__`` (broadcast join; SURVEY.md §2.5 J1/J2 analog of the
+    reference's camera-bank lookup, `orthority/factory.py:205-234`).
+    """
+
+    def __init__(self, documents_ref: ray.ObjectRef):
+        docs: pa.Table = ray.get(documents_ref)
+        order = pc.sort_indices(docs["doc_id"])
+        docs = docs.take(order)  # position == doc_id (0..499)
+        self.text = docs["text"].combine_chunks()
+        self.lang = docs["lang"].combine_chunks()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_id = ok * 8 + ln
+        idx = pa.array(doc_id % 500)
+        text = pc.take(self.text, idx)
+        lang = pc.take(self.lang, idx)
+        site = pc.utf8_lpad(pc.cast(pa.array(doc_id % 1000), pa.string()), 4, "0")
+        did = pc.utf8_lpad(pc.cast(pa.array(doc_id), pa.string()), 10, "0")
+        url = pc.binary_join_element_wise(
+            pa.scalar("https://site"), site, pa.scalar(".example/"), did, pa.scalar("")
+        )
+        warc_ts = pa.array(WARC_EPOCH_US + doc_id * 1_000_000).cast(pa.timestamp("us"))
+        html = pc.binary_join_element_wise(
+            pa.scalar(HTML_PREFIX, pa.binary()),
+            text.cast(pa.binary()),
+            pa.scalar(HTML_SUFFIX, pa.binary()),
+            pa.scalar(b"", pa.binary()),
+        )
+        return pa.table(
+            {
+                "url": url,
+                "warc_ts": warc_ts,
+                "html": html,
+                "text": text,
+                "lang": lang,
+                "doc_id": pa.array(doc_id),
+            }
+        )
+
+
+def read_pages(sf_dir: str, *, concurrency: int | None = None) -> ray.data.Dataset:
+    """pages Dataset for a testdata directory.  Reads ONLY the two lineitem
+    key columns (column pruning at the read), then synthesizes page rows in a
+    small actor pool holding the broadcast documents table."""
+    documents_ref = ray.put(load_documents(sf_dir))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    )
+    return ds.map_batches(
+        PageSynth,
+        batch_format="pyarrow",
+        batch_size=16384,
+        concurrency=pool(concurrency),
+        fn_constructor_args=(documents_ref,),
+    )
+
+
+def read_page_keys(sf_dir: str) -> ray.data.Dataset:
+    """Just ``doc_id`` (for geo-only pipelines that don't touch the payload —
+    keeps the hot path to a single pruned int column)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    )
+
+    def keys(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ok * 8 + ln)})
+
+    return ds.map_batches(keys, batch_format="pyarrow", batch_size=65536)

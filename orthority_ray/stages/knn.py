@@ -1,0 +1,230 @@
+"""kNN of a query set against the full page point cloud.
+
+Engine analog of the reference's nearest-surface search (ray ∩ DEM first
+intersection, `orthority/camera.py:138-164`; SURVEY.md §2.5 J6 + the
+north_rule's "cell-ring kNN").  Two exact implementations with identical
+output:
+
+- :func:`knn_broadcast` — the scale path: the (small) query set is broadcast
+  via ``ray.put``; every page batch computes a vectorized distance matrix and
+  emits a per-batch partial top-k per query (k rows/query/batch); a final
+  ``groupby(query_id).map_groups`` merges partials.  No all-to-all over the
+  pages; shuffled bytes are O(#queries * k * #batches).
+- :func:`knn_cellring` — same partial/merge skeleton, but inside each batch
+  candidates are pruned by expanding Chebyshev cell rings around the query
+  cell until the ring lower bound exceeds the current k-th best distance
+  (H3 grid_disk analog, exactness preserved per batch).
+
+Metric: flat euclidean in degrees, ``(lon-qlon)^2 + (lat-qlat)^2`` with the
+exact association order the DuckDB oracle uses; ties broken by doc_id.
+Queries: DISTINCT doc_ids with ``doc_id % QUERY_MOD == 0`` (deterministic,
+derived from the data itself).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..core import cells as C
+from ..core.config import pool
+from ..core import hashing as H
+
+QUERY_MOD = 997
+K = 10
+DIST_SCALE = 1_000_000_000  # dist_key = floor(dist * 1e9), exact on both sides
+
+_EMPTY_PARTIAL = pa.table(
+    {
+        "query_id": pa.array([], pa.int64()),
+        "neighbor_id": pa.array([], pa.int64()),
+        "dist": pa.array([], pa.float64()),
+    }
+)
+
+
+def make_queries(geo_ds: ray.data.Dataset) -> np.ndarray:
+    """(Q, 3) [qid, lon, lat] — distinct query docs, ascending qid.
+
+    Selected with a vectorized filter + distinct over a tiny result; the
+    take is bounded by #queries (page_count / QUERY_MOD), safe to
+    materialize.
+    """
+    def sel(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        m = d % QUERY_MOD == 0
+        return pa.table({"qid": pa.array(np.unique(d[m]))})
+
+    parts = geo_ds.map_batches(sel, batch_format="pyarrow").take_all()
+    qids = np.unique(np.array([r["qid"] for r in parts], dtype=np.int64))
+    lon_m, lat_m = H.geocode_milli(qids)
+    qlon, qlat = H.milli_to_deg(lon_m, lat_m)
+    return np.stack([qids.astype(np.float64), qlon, qlat], axis=1)
+
+
+class _PartialTopK:
+    """Per-batch partial top-k against the broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int = K):
+        q = ray.get(queries_ref)
+        self.qid = q[:, 0].astype(np.int64)
+        self.qlon = q[:, 1]
+        self.qlat = q[:, 2]
+        self.k = k
+
+    def _emit(self, doc_id, dist_cols, q_index) -> pa.Table:
+        """dist_cols: (B, Qsub) distances; emit top-k rows per query column.
+
+        Exact-tie handling: duplicate pages and jitter collisions produce
+        exact distance ties, and a batch-local top-k that broke ties
+        arbitrarily would make the merged result depend on batch boundaries
+        (= parallelism level).  So the batch-local order is the same total
+        order the oracle uses: (dist, doc_id).
+        """
+        B, Q = dist_cols.shape
+        k = min(self.k, B)
+        if Q == 0 or B == 0:
+            return _EMPTY_PARTIAL
+        part = np.argpartition(dist_cols, k - 1, axis=0)[:k]  # (k, Q) by dist only
+        out_id, out_q, out_d = [], [], []
+        for c in range(Q):
+            col = dist_cols[:, c]
+            kth = col[part[:, c]].max()
+            cand = np.nonzero(col <= kth)[0]  # includes ALL boundary ties
+            order = np.lexsort((doc_id[cand], col[cand]))
+            sel = cand[order[:k]]
+            out_id.append(doc_id[sel])
+            out_d.append(col[sel])
+            out_q.append(np.full(sel.shape[0], self.qid[q_index[c]], dtype=np.int64))
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_id)),
+                "dist": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        # exact oracle expression order: (lon-qlon)*(lon-qlon)+(lat-qlat)*(lat-qlat)
+        dl = lon[:, None] - self.qlon[None, :]
+        dt = lat[:, None] - self.qlat[None, :]
+        dist = dl * dl + dt * dt
+        return self._emit(doc_id, dist, np.arange(self.qid.shape[0]))
+
+
+class _PartialTopKCellRing(_PartialTopK):
+    """Partial top-k with cell-ring pruning inside the batch.
+
+    For each query, expand rings r = 0, 1, ... around the query's kNN cell;
+    at each ring, test only the batch points whose knn_cell falls in the
+    ring; stop when >= k candidates found AND ring_min_dist(r+1) ** 2 exceeds
+    the current k-th best — so the batch-local result equals the unpruned
+    one and the merge stays exact.
+    """
+
+    def __init__(self, queries_ref, k: int = K, cs: int = C.KNN_CELL_SIZE):
+        super().__init__(queries_ref, k)
+        self.cs = cs
+        qlon_m = ((self.qlon + 180.0) * 1000.0).astype(np.int64)
+        qlat_m = ((self.qlat + 85.0) * 1000.0).astype(np.int64)
+        self.qcell = C.encode(qlon_m, qlat_m, cs)
+        self.max_ring = max(C.ncols(cs), C.nrows(cs))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.qid.shape[0] == 0 or batch.num_rows == 0:
+            return _EMPTY_PARTIAL
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        kcell = batch["knn_cell"].to_numpy(zero_copy_only=False)
+        order = np.argsort(kcell, kind="stable")
+        kcell_s = kcell[order]
+        out_q, out_n, out_d = [], [], []
+        for qi in range(self.qid.shape[0]):
+            best_d = np.empty(0)
+            best_i = np.empty(0, dtype=np.int64)
+            r = 0
+            while r <= self.max_ring:
+                ring_cells = C.ring(int(self.qcell[qi]), r, self.cs)
+                lo = np.searchsorted(kcell_s, ring_cells, side="left")
+                hi = np.searchsorted(kcell_s, ring_cells, side="right")
+                picks = [order[a:b] for a, b in zip(lo, hi) if b > a]
+                if picks:
+                    sel = np.concatenate(picks)
+                    dl = lon[sel] - self.qlon[qi]
+                    dt = lat[sel] - self.qlat[qi]
+                    d = dl * dl + dt * dt
+                    best_d = np.concatenate([best_d, d])
+                    best_i = np.concatenate([best_i, sel])
+                    if best_d.shape[0] > self.k:
+                        # shrink but PRESERVE boundary ties (tie-exactness; see _emit)
+                        part = np.argpartition(best_d, self.k - 1)[: self.k]
+                        kth = best_d[part].max()
+                        keep = best_d <= kth
+                        best_d, best_i = best_d[keep], best_i[keep]
+                bound = C.ring_min_dist_deg(r + 1, self.cs)
+                if best_d.shape[0] >= self.k and bound * bound > best_d.max():
+                    break
+                r += 1
+            out_q.append(np.full(best_i.shape[0], self.qid[qi]))
+            out_n.append(doc_id[best_i])
+            out_d.append(best_d)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q).astype(np.int64)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "dist": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+
+def _merge_topk(g: pd.DataFrame, k: int = K) -> pd.DataFrame:
+    g = g.sort_values(["dist", "neighbor_id"], kind="mergesort").head(k)
+    g = g.reset_index(drop=True)
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    g["dist_key"] = np.floor(g["dist"].to_numpy() * DIST_SCALE).astype(np.int64)
+    return g[["query_id", "neighbor_id", "rank", "dist_key"]]
+
+
+def _run(geo_ds: ray.data.Dataset, cls, k: int, concurrency: int | None) -> ray.data.Dataset:
+    queries_ref = ray.put(make_queries(geo_ds))
+    partials = geo_ds.map_batches(
+        cls,
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=pool(concurrency),
+        fn_constructor_args=(queries_ref, k),
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: _merge_topk(g, k), batch_format="pandas"
+    )
+
+
+def knn_broadcast(geo_ds: ray.data.Dataset, k: int = K, *, concurrency: int | None = None) -> ray.data.Dataset:
+    return _run(geo_ds, _PartialTopK, k, concurrency)
+
+
+def knn_cellring(geo_ds: ray.data.Dataset, k: int = K, *, concurrency: int | None = None) -> ray.data.Dataset:
+    return _run(geo_ds, _PartialTopKCellRing, k, concurrency)
+
+
+SQL_KNN = f"""
+SELECT query_id, neighbor_id, rank, dist_key FROM (
+  SELECT q.qid AS query_id, g.doc_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY (g.lon - q.lon) * (g.lon - q.lon) + (g.lat - q.lat) * (g.lat - q.lat) ASC,
+                    g.doc_id ASC) AS rank,
+         CAST(floor(((g.lon - q.lon) * (g.lon - q.lon) + (g.lat - q.lat) * (g.lat - q.lat))
+                    * {DIST_SCALE}) AS BIGINT) AS dist_key
+  FROM geod g
+  CROSS JOIN (SELECT DISTINCT doc_id AS qid, lon, lat FROM geod
+              WHERE doc_id % {QUERY_MOD} = 0) q
+) WHERE rank <= {K}
+""".strip()

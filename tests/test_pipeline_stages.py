@@ -1,0 +1,146 @@
+"""End-to-end stage tests on /root/testdata/sf0.001 with DuckDB cross-checks."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from orthority_ray.sources import sql as Q
+from orthority_ray.sources.pages import read_pages, read_page_keys
+from orthority_ray.stages.extract import extract, verify_extraction
+from orthority_ray.stages.geocode import geocode
+from orthority_ray.stages.knn import K, SQL_KNN, knn_broadcast, knn_cellring
+from orthority_ray.stages.pip import pip_join
+from orthority_ray.stages.tiles import N_ASSIGN_TILES, SQL_ASSIGN, assign_tiles
+
+
+def _con(sf_dir):
+    con = duckdb.connect()
+    for t in ("lineitem", "documents"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def test_pages_schema_and_count(sf_unit):
+    ds = read_pages(sf_unit)
+    tbl = pd.concat([b.to_pandas() for b in ds.iter_batches(batch_format="pyarrow")])
+    assert len(tbl) == 6000
+    assert list(tbl.columns) == ["url", "warc_ts", "html", "text", "lang", "doc_id"]
+    con = _con(sf_unit)
+    oracle = con.sql(Q.with_pages(
+        "SELECT url, CAST(warc_ts AS VARCHAR) w, text, lang, doc_id FROM pages ORDER BY doc_id, url"
+    )).df()
+    ours = tbl.sort_values(["doc_id", "url"]).reset_index(drop=True)
+    assert (oracle["url"].values == ours["url"].values).all()
+    assert (oracle["text"].values == ours["text"].values).all()
+    assert (oracle["lang"].values == ours["lang"].values).all()
+    assert (oracle["doc_id"].values == ours["doc_id"].values).all()
+    assert (
+        oracle["w"].values == ours["warc_ts"].dt.strftime("%Y-%m-%d %H:%M:%S").values
+    ).all()
+
+
+def test_extraction_byte_identical(sf_unit):
+    bad = verify_extraction(read_pages(sf_unit))
+    assert bad.count() == 0
+
+
+def test_html_envelope_exact(sf_unit):
+    ds = extract(read_pages(sf_unit).limit(100))
+    rows = ds.take(5)
+    for r in rows:
+        assert r["html"] == b"<html><body>" + r["text"].encode() + b"</body></html>"
+        assert r["extracted_text"] == r["text"]
+
+
+def test_geocode_matches_oracle(sf_unit):
+    geo = geocode(read_page_keys(sf_unit))
+    ours = geo.to_pandas().sort_values(["doc_id", "cell"]).reset_index(drop=True)
+    con = _con(sf_unit)
+    oracle = con.sql(
+        Q.with_geo("SELECT doc_id, lon_milli, lat_milli, lon, lat, cell, knn_cell FROM geod ORDER BY doc_id, cell")
+    ).df()
+    for c in ("doc_id", "lon_milli", "lat_milli", "cell", "knn_cell"):
+        assert (oracle[c].values == ours[c].values).all(), c
+    assert (oracle["lon"].values.view(np.int64) == ours["lon"].values.view(np.int64)).all()
+    assert (oracle["lat"].values.view(np.int64) == ours["lat"].values.view(np.int64)).all()
+
+
+def test_pip_join_matches_oracle(sf_unit):
+    from orthority_ray.core.geometry import make_tile_rings, sql_pip_predicate
+
+    rings = make_tile_rings()
+    out = pip_join(geocode(read_page_keys(sf_unit)), rings).to_pandas()
+    ours = out.sort_values(["doc_id", "tile_id"]).reset_index(drop=True)
+    con = _con(sf_unit)
+    preds = " UNION ALL ".join(
+        f"SELECT doc_id, CAST({t} AS BIGINT) AS tile_id, cell FROM geod WHERE {sql_pip_predicate(rings[t])}"
+        for t in range(rings.shape[0])
+    )
+    oracle = con.sql(Q.with_geo(f"SELECT * FROM ({preds}) ORDER BY doc_id, tile_id")).df()
+    assert len(oracle) == len(ours) and len(ours) > 0
+    for c in ("doc_id", "tile_id", "cell"):
+        assert (oracle[c].values == ours[c].values).all(), c
+
+
+def test_tile_assignment_matches_oracle_and_is_stable(sf_unit):
+    geo = geocode(read_page_keys(sf_unit))
+    ours = assign_tiles(geo).sort_values("cell").reset_index(drop=True)
+    con = _con(sf_unit)
+    oracle = (
+        con.sql(Q.with_geo(SQL_ASSIGN.format(n_tiles=N_ASSIGN_TILES)))
+        .df()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    assert (oracle["cell"].values == ours["cell"].values).all()
+    assert (oracle["n_docs"].values == ours["n_docs"].values).all()
+    assert (oracle["tile_id"].values == ours["tile_id"].values).all()
+    # deterministic across a different block structure
+    geo2 = geocode(read_page_keys(sf_unit).repartition(13))
+    again = assign_tiles(geo2).sort_values("cell").reset_index(drop=True)
+    assert (again["tile_id"].values == ours["tile_id"].values).all()
+
+
+def test_knn_matches_oracle(sf_unit):
+    geo = geocode(read_page_keys(sf_unit))
+    ours = (
+        knn_broadcast(geo)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    con = _con(sf_unit)
+    oracle = (
+        con.sql(Q.with_geo(SQL_KNN))
+        .df()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(oracle) == len(ours) > 0
+    assert (oracle["query_id"].values == ours["query_id"].values).all()
+    assert (oracle["dist_key"].values == ours["dist_key"].values).all()
+    # neighbor ids may legitimately permute within exact ties; compare as
+    # (query, dist_key, neighbor multiset)
+    key = ["query_id", "dist_key", "neighbor_id"]
+    assert (
+        oracle[key].sort_values(key).values == ours[key].sort_values(key).values
+    ).all()
+
+
+def test_knn_cellring_equals_broadcast(sf_unit):
+    geo = geocode(read_page_keys(sf_unit))
+    a = (
+        knn_broadcast(geo)
+        .to_pandas()
+        .sort_values(["query_id", "dist_key", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+    b = (
+        knn_cellring(geo)
+        .to_pandas()
+        .sort_values(["query_id", "dist_key", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+    assert (a[["query_id", "dist_key", "neighbor_id"]].values
+            == b[["query_id", "dist_key", "neighbor_id"]].values).all()
