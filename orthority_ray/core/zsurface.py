@@ -1,0 +1,193 @@
+"""Z-surface (DEM analog): synthetic sinusoid grid, bilinear sampling,
+vertical-datum handling, and vectorized ray-march intersection.
+
+Engine re-derivation of the reference's DEM machinery with no rasterio/GDAL:
+
+- grid: sinusoid with offset 825 m / gain 25 m / 30 m resolution, the same
+  constants as the reference fixtures (`tests/conftest.py:45-49, 67-77`);
+- sampling: bilinear with NaN outside / at nodata, re-deriving the
+  cv2.remap-on-z semantics of `orthority/camera.py:154-156`;
+- vertical datums: deterministic geoid stand-ins bounded by the EGM range
+  [-106.71, 82.28] m (`orthority/ortho.py:78-83`), plus an MSL-feet unit
+  datum; ``z_scale`` between datums is probed at z=0/1 exactly like
+  `_reproject_dem` does through the CRS (`orthority/ortho.py:257-265`);
+- ray-march: all rays of a batch marched in lockstep down a shared z-ladder
+  from max_z to min_z; first surface crossing wins, with linear refinement —
+  re-vectorizing the reference's per-call loop (`camera.py:103-165`, M14)
+  without changing first-crossing semantics (SURVEY.md §7.5 hard part 2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+Z_OFFSET = 825.0  # m — reference fixture `_dem_offset`
+Z_GAIN = 25.0  # m — `_dem_gain`
+Z_RES = 30.0  # m — `_dem_resolution`
+EGM_MIN, EGM_MAX = -106.71, 82.28  # m — `orthority/ortho.py:80`
+FT_PER_M = 3.28084
+
+
+def sinusoid_grid(shape: tuple[int, int] = (160, 220)) -> np.ndarray:
+    """Deterministic smooth test surface in [0, 1] -> scaled to metres."""
+    h, w = shape
+    i, j = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    s = 0.5 + 0.25 * np.sin(2 * np.pi * 1.5 * j / w) + 0.25 * np.cos(2 * np.pi * 1.5 * i / h)
+    return (Z_OFFSET + Z_GAIN * (2.0 * s - 1.0)).astype(np.float32)
+
+
+def geoid_offset(x: np.ndarray, y: np.ndarray, flavor: str = "egm96") -> np.ndarray:
+    """Deterministic geoid-undulation stand-in, bounded by the EGM range.
+    egm2008 differs from egm96 by a small smooth delta (<1 m)."""
+    gx = np.sin(np.asarray(x, dtype=np.float64) / 50_000.0)
+    gy = np.cos(np.asarray(y, dtype=np.float64) / 50_000.0)
+    base = 0.5 * (EGM_MAX + EGM_MIN) + 0.5 * (EGM_MAX - EGM_MIN) * 0.9 * (0.5 * gx + 0.5 * gy)
+    if flavor == "egm2008":
+        base = base + 0.4 * np.sin(np.asarray(x, dtype=np.float64) / 9_000.0)
+    return base
+
+
+def datum_shift(x, y, z, src: str, dst: str):
+    """Convert heights between vertical datums.
+
+    Datums: 'ellipsoid' (WGS84-like heights), 'egm96', 'egm2008' (geoid
+    stand-ins), 'msl_ft' (egm96 surface in feet).  Orthometric = ellipsoidal
+    - geoid_offset.
+    """
+    z = np.asarray(z, dtype=np.float64)
+
+    def to_ellipsoid(zv, datum):
+        if datum == "ellipsoid":
+            return zv
+        if datum in ("egm96", "egm2008"):
+            return zv + geoid_offset(x, y, datum)
+        if datum == "msl_ft":
+            return zv / FT_PER_M + geoid_offset(x, y, "egm96")
+        raise ValueError(f"unknown vertical datum {datum!r}")
+
+    def from_ellipsoid(zv, datum):
+        if datum == "ellipsoid":
+            return zv
+        if datum in ("egm96", "egm2008"):
+            return zv - geoid_offset(x, y, datum)
+        if datum == "msl_ft":
+            return (zv - geoid_offset(x, y, "egm96")) * FT_PER_M
+        raise ValueError(f"unknown vertical datum {datum!r}")
+
+    return from_ellipsoid(to_ellipsoid(z, src), dst)
+
+
+def z_unit_scale(src: str, dst: str) -> float:
+    """Linear unit scale between two datums, probed at z=0 and z=1 at a fixed
+    location — the engine analog of the reference's CRS probe
+    (`orthority/ortho.py:143-151`)."""
+    x0 = np.array([0.0])
+    z0 = datum_shift(x0, x0, np.array([0.0]), src, dst)[0]
+    z1 = datum_shift(x0, x0, np.array([1.0]), src, dst)[0]
+    return float(z1 - z0)
+
+
+@dataclass
+class ZSurface:
+    """A z grid + affine transform (pixel-center convention) + datum label."""
+
+    z: np.ndarray  # (H, W) float32, NaN = nodata
+    x0: float  # world x of the grid origin (UL corner)
+    y0: float  # world y of the grid origin (UL corner)
+    res: float = Z_RES
+    datum: str = "ellipsoid"
+
+    @classmethod
+    def synthetic(cls, shape=(160, 220), x0: float = 16_500.0, y0: float = 33_500.0,
+                  res: float = Z_RES, datum: str = "ellipsoid", partial: bool = False):
+        z = sinusoid_grid(shape)
+        if partial:  # invalid above the anti-diagonal (ref `conftest.py:635-655` analog)
+            h, w = shape
+            ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            z = np.where(jj / w + ii / h < 1.0, z, np.nan).astype(np.float32)
+        return cls(z=z, x0=x0, y0=y0, res=res, datum=datum)
+
+    def with_datum(self, datum: str) -> "ZSurface":
+        """Re-express the surface's heights in another vertical datum."""
+        h, w = self.z.shape
+        ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        x = self.x0 + (jj + 0.5) * self.res
+        y = self.y0 - (ii + 0.5) * self.res
+        z = datum_shift(x, y, self.z.astype(np.float64), self.datum, datum)
+        return ZSurface(z=z.astype(np.float32), x0=self.x0, y0=self.y0, res=self.res, datum=datum)
+
+    # --- sampling ----------------------------------------------------------
+
+    def sample(self, x, y) -> np.ndarray:
+        """Bilinear sample at world (x, y); NaN outside the grid or touching
+        nodata (matches cv2.remap border semantics used on the reference's
+        z-surface, `camera.py:154-156`)."""
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        cj = (x - self.x0) / self.res - 0.5  # fractional col (pixel centers)
+        ci = (self.y0 - y) / self.res - 0.5
+        h, w = self.z.shape
+        j0 = np.floor(cj).astype(np.int64)
+        i0 = np.floor(ci).astype(np.int64)
+        fj = cj - j0
+        fi = ci - i0
+        valid = (j0 >= 0) & (j0 < w - 1) & (i0 >= 0) & (i0 < h - 1)
+        j0c = np.clip(j0, 0, w - 2)
+        i0c = np.clip(i0, 0, h - 2)
+        z = self.z.astype(np.float64)
+        z00 = z[i0c, j0c]
+        z01 = z[i0c, j0c + 1]
+        z10 = z[i0c + 1, j0c]
+        z11 = z[i0c + 1, j0c + 1]
+        out = (
+            z00 * (1 - fi) * (1 - fj)
+            + z01 * (1 - fi) * fj
+            + z10 * fi * (1 - fj)
+            + z11 * fi * fj
+        )
+        return np.where(valid, out, np.nan)
+
+    def min_max(self) -> tuple[float, float]:
+        return float(np.nanmin(self.z)), float(np.nanmax(self.z))
+
+    # --- ray-march intersection (M14) --------------------------------------
+
+    def raymarch(self, camera, j, i, n_steps: int = 64):
+        """First intersection of the pixel rays with the surface.
+
+        All rays marched in LOCKSTEP down a shared z-ladder from the surface
+        max to min; the first bracket [z_hi, z_lo] where the ray passes below
+        the surface is refined linearly.  Rays that never cross resolve to
+        the min-z point (the reference's fallback, `camera.py:157-163`).
+        """
+        zmin, zmax = self.min_max()
+        ladder = np.linspace(zmax, zmin, n_steps)
+        j = np.asarray(j, dtype=np.float64)
+        i = np.asarray(i, dtype=np.float64)
+        n = j.shape[0]
+        hit_z = np.full(n, np.nan)
+        prev_diff = None
+        prev_z = None
+        done = np.zeros(n, dtype=bool)
+        for zk in ladder:
+            x, y, _ = camera.pixel_to_world_z(j, i, zk)
+            zs = self.sample(x, y)
+            diff = zk - zs  # >0: ray point above surface
+            if prev_diff is not None:
+                crossing = (~done) & (prev_diff > 0) & (diff <= 0)
+                if crossing.any():
+                    # linear interp of the bracket
+                    frac = np.where(
+                        prev_diff - diff != 0, prev_diff / (prev_diff - diff), 0.0
+                    )
+                    hit_z[crossing] = prev_z + (zk - prev_z) * frac[crossing]
+                    done |= crossing
+            prev_diff = diff if prev_diff is None else np.where(done, prev_diff, diff)
+            prev_z = zk
+            if done.all():
+                break
+        hit_z = np.where(done, hit_z, zmin)  # min-z fallback
+        x, y, zz = camera.pixel_to_world_z(j, i, hit_z)
+        return x, y, zz

@@ -1,0 +1,176 @@
+"""Camera-model geocode stages (the Orthority projection core on Ray Data).
+
+Two stages:
+
+- :func:`camera_geocode` — stateless ``map_batches``: doc hash -> pixel
+  (j, i) -> per-doc camera (selected from the broadcast bank by
+  ``h1 % n_cams``, the reference's filename->camera lookup,
+  `orthority/factory.py:205-234`) -> ``pixel_to_world_z`` at the flat
+  reference height (825 m).  The pinhole subset is replicated exactly by
+  :func:`sql_pinhole_geocode` for the DuckDB oracle (literal K/R/T).
+- :class:`DemGeocoder` — STATEFUL actor pool: the synthetic z-surface grid
+  is built once per actor in ``__init__`` (St1, `orthority/ortho.py:104` —
+  DEM held for the object lifetime) and every batch's rays are marched to
+  their first surface intersection (M14).
+
+World coordinates are in the local metric frame of the camera fixtures; the
+``world_to_lonlat`` affine places them on the globe for cell indexing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..core import hashing as H
+from ..core.cameras import FrameCamera
+from ..core.config import pool
+from ..core.zsurface import Z_OFFSET, ZSurface
+from ..sources import param_io as P
+
+FLAT_Z = Z_OFFSET  # 825 m reference plane for the stateless path
+
+# local world (m) -> lon/lat placement: a pure scale+offset (the engine's
+# deterministic stand-in for a CRS transform; conformal near the site).
+LON0, LAT0 = 20.0, 30.0
+M_PER_DEG = 111_320.0
+
+
+def world_to_lonlat(x, y):
+    lon = LON0 + (x - P.XYZ[0]) / M_PER_DEG
+    lat = LAT0 + (y - P.XYZ[1]) / M_PER_DEG
+    return lon, lat
+
+
+def doc_pixels(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """doc hash -> (j, i, cam_index): sub-pixel image samples in [0, W) x
+    [0, H) and the camera-bank index."""
+    h1, h2 = H.doc_hashes(doc_id)
+    j = (h1 % (P.IM_SIZE[0] * 1000)).astype(np.float64) / 1000.0
+    i = (h2 % (P.IM_SIZE[1] * 1000)).astype(np.float64) / 1000.0
+    cam_idx = h1 % len(P.CAM_IDS)
+    return j, i, cam_idx
+
+
+def camera_geocode_batch(batch: pa.Table, bank: dict | None = None) -> pa.Table:
+    bank = bank or P.build_camera_bank()
+    doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+    j, i, cam_idx = doc_pixels(doc_id)
+    x = np.empty_like(j)
+    y = np.empty_like(j)
+    z = np.empty_like(j)
+    for ci, cam_id in enumerate(P.CAM_IDS):
+        m = cam_idx == ci
+        if m.any():
+            cam: FrameCamera = bank[cam_id]
+            x[m], y[m], z[m] = cam.pixel_to_world_z(j[m], i[m], FLAT_Z)
+    lon, lat = world_to_lonlat(x, y)
+    return (
+        batch.append_column("cam_idx", pa.array(cam_idx.astype(np.int64)))
+        .append_column("px_j", pa.array(j))
+        .append_column("px_i", pa.array(i))
+        .append_column("wx", pa.array(x))
+        .append_column("wy", pa.array(y))
+        .append_column("wz", pa.array(z))
+        .append_column("cam_lon", pa.array(lon))
+        .append_column("cam_lat", pa.array(lat))
+    )
+
+
+def camera_geocode(ds: ray.data.Dataset) -> ray.data.Dataset:
+    bank = P.build_camera_bank()
+    return ds.map_batches(
+        lambda b: camera_geocode_batch(b, bank), batch_format="pyarrow", batch_size=32768
+    )
+
+
+class DemGeocoder:
+    """Actor-pool stage holding the z-surface grid (St1) + camera bank (St3);
+    marches each doc's pixel ray to the surface (M14)."""
+
+    def __init__(self, datum: str = "ellipsoid", partial: bool = False, n_steps: int = 64):
+        self.zsurf = ZSurface.synthetic(datum="ellipsoid", partial=partial)
+        if datum != "ellipsoid":
+            self.zsurf = self.zsurf.with_datum(datum)
+        self.bank = P.build_camera_bank()
+        self.n_steps = n_steps
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        j, i, cam_idx = doc_pixels(doc_id)
+        x = np.empty_like(j)
+        y = np.empty_like(j)
+        z = np.empty_like(j)
+        for ci, cam_id in enumerate(P.CAM_IDS):
+            m = cam_idx == ci
+            if m.any():
+                x[m], y[m], z[m] = self.zsurf.raymarch(self.bank[cam_id], j[m], i[m], self.n_steps)
+        lon, lat = world_to_lonlat(x, y)
+        return (
+            batch.append_column("wx", pa.array(x))
+            .append_column("wy", pa.array(y))
+            .append_column("wz", pa.array(z))
+            .append_column("cam_lon", pa.array(lon))
+            .append_column("cam_lat", pa.array(lat))
+        )
+
+
+def dem_geocode(ds: ray.data.Dataset, datum: str = "ellipsoid",
+                *, concurrency: int | None = None) -> ray.data.Dataset:
+    return ds.map_batches(
+        DemGeocoder,
+        batch_format="pyarrow",
+        batch_size=16384,
+        concurrency=pool(concurrency),
+        fn_constructor_kwargs=dict(datum=datum),
+    )
+
+
+# --- oracle SQL for the pinhole subset --------------------------------------
+
+
+def sql_pinhole_geocode() -> str:
+    """DuckDB SQL computing (doc_id, x_mm, y_mm) for the pinhole-camera docs,
+    with K/R/T folded into literal coefficients — the same op-order as
+    ``FrameCamera.pixel_to_world_z`` so floor-scaled ints match exactly."""
+    bank = P.build_camera_bank()
+    cam: FrameCamera = bank["pinhole"]
+    K, R, T = cam.K, cam.R, cam.T
+    n_cams = len(P.CAM_IDS)
+    jw, ih = P.IM_SIZE[0] * 1000, P.IM_SIZE[1] * 1000
+    j = f"(CAST({H.SQL_H1} % {jw} AS DOUBLE) / 1000.0)"
+    i = f"(CAST({H.SQL_H2} % {ih} AS DOUBLE) / 1000.0)"
+    xn = f"(({j} - {K[0, 2]!r}) / {K[0, 0]!r})"
+    yn = f"(({i} - {K[1, 2]!r}) / {K[1, 1]!r})"
+    rx = f"({R[0, 0]!r} * {xn} + {R[0, 1]!r} * {yn} + {R[0, 2]!r})"
+    ry = f"({R[1, 0]!r} * {xn} + {R[1, 1]!r} * {yn} + {R[1, 2]!r})"
+    rz = f"({R[2, 0]!r} * {xn} + {R[2, 1]!r} * {yn} + {R[2, 2]!r})"
+    lam = f"(({FLAT_Z!r} - {T[2]!r}) / {rz})"
+    x = f"({T[0]!r} + {lam} * {rx})"
+    y = f"({T[1]!r} + {lam} * {ry})"
+    return (
+        f"SELECT doc_id, CAST(floor({x} * 1000.0) AS BIGINT) AS x_mm, "
+        f"CAST(floor({y} * 1000.0) AS BIGINT) AS y_mm "
+        f"FROM pages WHERE {H.SQL_H1} % {n_cams} = 0"
+    )
+
+
+def pinhole_geocode_table(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Ray side of :func:`sql_pinhole_geocode` (same floor-scaled output)."""
+    geo = camera_geocode(ds)
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        m = batch["cam_idx"].to_numpy(zero_copy_only=False) == 0
+        x = batch["wx"].to_numpy(zero_copy_only=False)[m]
+        y = batch["wy"].to_numpy(zero_copy_only=False)[m]
+        return pa.table(
+            {
+                "doc_id": pa.array(batch["doc_id"].to_numpy(zero_copy_only=False)[m]),
+                "x_mm": pa.array(np.floor(x * 1000.0).astype(np.int64)),
+                "y_mm": pa.array(np.floor(y * 1000.0).astype(np.int64)),
+            }
+        )
+
+    return geo.map_batches(fmt, batch_format="pyarrow")
