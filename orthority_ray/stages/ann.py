@@ -1,0 +1,244 @@
+"""Similarity search over the ``embeddings`` table (``list<float>`` column).
+
+- :func:`ann_bruteforce` — exact cosine top-k: the query matrix (small) is
+  broadcast via ``ray.put``; each batch computes a float64 similarity matrix
+  (vectorized matmul) and emits per-batch partial top-k per query; a final
+  ``groupby(query_id)`` merge — the same partial-top-k skeleton as
+  stages/knn.py, so no all-to-all over the vectors.
+- :func:`ann_lsh` — the scale path: random-hyperplane LSH (deterministic
+  seeded planes) buckets vectors; queries only score vectors in their bucket
+  (and its 1-bit-flip neighbors) — approximate, recall measured in tests.
+- :func:`embedding_neardup` — near-duplicate pairs with cosine >= threshold
+  via the same bucketing.
+
+Similarities are computed in float64 and keyed as ``round(sim * 1e9)`` ints
+(`sim_key`) so the DuckDB oracle (list_cosine_similarity on DOUBLE lists)
+compares stably; ties broken by vec_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..core.config import pool
+
+K = 10
+QUERY_MOD = 50  # vec_id % 50 == 0 -> 1/50 of vectors are queries
+SIM_SCALE = 1_000_000_000
+N_PLANES = 4  # LSH hyperplanes -> 16 buckets + 1-bit probes; tune up as the
+# vector count grows (bucket size ~ N / 2^planes) — recall on weakly-
+# clustered synthetic vectors drops fast with more planes
+
+
+def read_embeddings(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+    col = batch["embedding"].combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(flat) // max(1, len(ids))
+    return ids, flat.reshape(len(ids), dim)
+
+
+def load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(qids, Q x d unit matrix) — the broadcast side (vec_id % QUERY_MOD == 0)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids, m = _emb_matrix(t)
+    sel = ids % QUERY_MOD == 0
+    return ids[sel], m[sel]
+
+
+def _cosine(m: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(B, Q) cosine similarity, float64, explicit normalisation."""
+    mn = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+    qn = q / np.sqrt((q * q).sum(axis=1, keepdims=True))
+    return mn @ qn.T
+
+
+class _PartialTopSim:
+    def __init__(self, queries_ref, k: int = K):
+        self.qids, self.q = ray.get(queries_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(batch)
+        if len(ids) == 0 or len(self.qids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim_key": pa.array([], pa.int64())})
+        sims = _cosine(m, self.q)  # (B, Q)
+        sim_key = np.floor(sims * SIM_SCALE + 0.5).astype(np.int64)
+        B, Q = sim_key.shape
+        k = min(self.k, B)
+        out_q, out_n, out_s = [], [], []
+        for c in range(Q):
+            col = sim_key[:, c]
+            part = np.argpartition(-col, k - 1)[:k]
+            kth = col[part].min()
+            cand = np.nonzero(col >= kth)[0]  # keep boundary ties
+            order = np.lexsort((ids[cand], -col[cand]))
+            sel = cand[order[:k]]
+            out_q.append(np.full(sel.shape[0], self.qids[c], dtype=np.int64))
+            out_n.append(ids[sel])
+            out_s.append(col[sel])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "sim_key": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def _merge(g: pd.DataFrame, k: int = K) -> pd.DataFrame:
+    g = g.sort_values(["sim_key", "neighbor_id"], ascending=[False, True], kind="mergesort")
+    g = g.head(k).reset_index(drop=True)
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g[["query_id", "neighbor_id", "rank", "sim_key"]]
+
+
+def ann_bruteforce(sf_dir: str, k: int = K, *, concurrency: int | None = None) -> ray.data.Dataset:
+    queries_ref = ray.put(load_queries(sf_dir))
+    ds = read_embeddings(sf_dir)
+    partials = ds.map_batches(
+        _PartialTopSim, batch_format="pyarrow", batch_size=4096,
+        concurrency=pool(concurrency), fn_constructor_args=(queries_ref, k),
+    )
+    return partials.groupby("query_id").map_groups(lambda g: _merge(g, k), batch_format="pandas")
+
+
+SQL_ANN = f"""
+SELECT query_id, neighbor_id, rank, sim_key FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+              CAST(q.embedding AS DOUBLE[])) * {SIM_SCALE} + 0.5) AS BIGINT) AS sim_key,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                    CAST(q.embedding AS DOUBLE[])) * {SIM_SCALE} + 0.5) AS BIGINT) DESC,
+                    e.vec_id ASC) AS rank
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id % {QUERY_MOD} = 0) q
+) WHERE rank <= {K}
+""".strip()
+
+
+# --- LSH bucketing (the 10^12-scale path) -----------------------------------
+
+
+def _planes(dim: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes (seeded Philox)."""
+    rng = np.random.Generator(np.random.Philox(key=42))
+    return rng.standard_normal((N_PLANES, dim))
+
+
+def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes.T) > 0
+    return (bits * (1 << np.arange(N_PLANES))).sum(axis=1).astype(np.int64)
+
+
+class _LshPartial(_PartialTopSim):
+    """Partial top-k scoring only same-bucket (+1-bit-flip) vectors."""
+
+    def __init__(self, queries_ref, k: int = K):
+        super().__init__(queries_ref, k)
+        self.planes = _planes(self.q.shape[1])
+        qb = _bucket_of(self.q, self.planes)
+        flips = qb[:, None] ^ (1 << np.arange(N_PLANES))[None, :]
+        self.q_buckets = [set([int(b)] + f.tolist()) for b, f in zip(qb, flips)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(batch)
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "sim_key": pa.array([], pa.int64())})
+        if len(ids) == 0:
+            return empty
+        vb = _bucket_of(m, self.planes)
+        out = []
+        for c in range(len(self.qids)):
+            mask = np.isin(vb, list(self.q_buckets[c]))
+            if not mask.any():
+                continue
+            sims = _cosine(m[mask], self.q[c : c + 1])[:, 0]
+            key = np.floor(sims * SIM_SCALE + 0.5).astype(np.int64)
+            sub_ids = ids[mask]
+            k = min(self.k, key.shape[0])
+            order = np.lexsort((sub_ids, -key))[:k]
+            out.append(
+                pa.table(
+                    {
+                        "query_id": pa.array(np.full(k, self.qids[c], dtype=np.int64)),
+                        "neighbor_id": pa.array(sub_ids[order]),
+                        "sim_key": pa.array(key[order]),
+                    }
+                )
+            )
+        return pa.concat_tables(out) if out else empty
+
+
+def ann_lsh(sf_dir: str, k: int = K, *, concurrency: int | None = None) -> ray.data.Dataset:
+    queries_ref = ray.put(load_queries(sf_dir))
+    ds = read_embeddings(sf_dir)
+    partials = ds.map_batches(
+        _LshPartial, batch_format="pyarrow", batch_size=4096,
+        concurrency=pool(concurrency), fn_constructor_args=(queries_ref, k),
+    )
+    return partials.groupby("query_id").map_groups(lambda g: _merge(g, k), batch_format="pandas")
+
+
+def embedding_neardup(sf_dir: str, threshold: float = 0.95) -> ray.data.Dataset:
+    """(vec_a, vec_b, sim_key) pairs with cosine >= threshold, a < b.
+
+    Exact at test scale via the broadcast of the full (small) matrix; the
+    LSH-bucketed variant takes over when the vector table outgrows the
+    object store (documented scale path).
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_ref = ray.put(_emb_matrix(t))
+    thresh_key = int(np.floor(threshold * SIM_SCALE + 0.5))
+
+    class Pairs:
+        def __init__(self):
+            self.ids, self.m = ray.get(all_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, m = _emb_matrix(batch)
+            sims = _cosine(m, self.m)
+            key = np.floor(sims * SIM_SCALE + 0.5).astype(np.int64)
+            bi, oj = np.nonzero(key >= thresh_key)
+            a, b = ids[bi], self.ids[oj]
+            keep = a < b
+            return pa.table(
+                {
+                    "vec_a": pa.array(a[keep]),
+                    "vec_b": pa.array(b[keep]),
+                    "sim_key": pa.array(key[bi[keep], oj[keep]]),
+                }
+            )
+
+    return read_embeddings(sf_dir).map_batches(
+        Pairs, batch_format="pyarrow", batch_size=4096, concurrency=pool(None)
+    )
+
+
+def sql_embedding_neardup(threshold: float = 0.95) -> str:
+    thresh_key = int(np.floor(threshold * SIM_SCALE + 0.5))
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+            CAST(b.embedding AS DOUBLE[])) * {SIM_SCALE} + 0.5) AS BIGINT) AS sim_key
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      CAST(b.embedding AS DOUBLE[])) * {SIM_SCALE} + 0.5) AS BIGINT) >= {thresh_key}
+""".strip()

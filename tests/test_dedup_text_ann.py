@@ -1,0 +1,213 @@
+"""Dedup suite, text analysis, ANN, multimodal plumbing."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+
+from orthority_ray.sources import sql as Q
+from orthority_ray.sources.pages import read_pages, read_page_keys
+from orthority_ray.stages.ann import (
+    SQL_ANN,
+    ann_bruteforce,
+    ann_lsh,
+    embedding_neardup,
+    sql_embedding_neardup,
+)
+from orthority_ray.stages.dedup import (
+    SQL_EXACT_DEDUP_GROUPS,
+    JaccardVerifier,
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard,
+    simhash64,
+    simhash_buckets,
+)
+from orthority_ray.stages.textstats import SQL_TEXT_FEATURES, lang_id, quality, text_features
+
+
+def _con(sf_dir):
+    con = duckdb.connect()
+    for t in ("lineitem", "documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+# --- exact dedup ------------------------------------------------------------
+
+
+def test_exact_dedup_groups_match_oracle(sf_unit):
+    ours = (
+        exact_dedup_groups(read_pages(sf_unit))
+        .to_pandas()
+        .sort_values("text_md5")
+        .reset_index(drop=True)
+    )
+    con = _con(sf_unit)
+    oracle = (
+        con.sql(Q.with_pages(SQL_EXACT_DEDUP_GROUPS))
+        .df()
+        .sort_values("text_md5")
+        .reset_index(drop=True)
+    )
+    assert len(ours) == len(oracle) == 500  # 500 distinct documents texts
+    for c in ("text_md5", "n_dups", "rep_doc_id"):
+        assert (ours[c].values == oracle[c].values).all(), c
+
+
+def test_exact_dedup_keeps_representatives(sf_unit):
+    out = exact_dedup(read_pages(sf_unit)).to_pandas()
+    assert len(out) == 500
+    assert out["text_md5"].is_unique
+    # deterministic across block structures
+    out2 = exact_dedup(read_pages(sf_unit).repartition(7)).to_pandas()
+    a = out.sort_values("text_md5")["doc_id"].values
+    b = out2.sort_values("text_md5")["doc_id"].values
+    assert (a == b).all()
+
+
+# --- minhash / simhash ------------------------------------------------------
+
+
+def test_minhash_similarity_estimates_jaccard():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = "the quick brown fox leaps over the lazy dog " * 5
+    c = "completely different text with other words entirely " * 5
+    sa, sb, sc = (minhash_signature(t) for t in (a, b, c))
+    sim_ab = (sa == sb).mean()
+    sim_ac = (sa == sc).mean()
+    jac_ab = ngram_jaccard(a, b)
+    assert abs(sim_ab - jac_ab) < 0.2
+    assert sim_ac < 0.2 < sim_ab
+
+
+def test_minhash_lsh_finds_exact_dups(sf_unit):
+    """pages duplicate texts (doc_id % 500 collisions) must all be found."""
+    pages = read_pages(sf_unit).limit(1200)
+    pairs = minhash_candidate_pairs(pages).to_pandas()
+    pdf = pages.select_columns(["doc_id", "text"]).to_pandas()
+    lookup = dict(zip(pdf["doc_id"], pdf["text"]))
+    lookup_ref = ray.put(lookup)
+    # verify: all candidate pairs with jaccard 1.0 are true dups
+    ver = JaccardVerifier(lookup_ref, threshold=0.99)
+    import pyarrow as pa
+
+    out = ver(pa.table({"doc_a": pairs["doc_a"].values, "doc_b": pairs["doc_b"].values}))
+    verified = out.to_pandas()
+    # ground truth: same text (doc_id % 500 equal and same doc text)
+    uniq = pdf.drop_duplicates("doc_id")
+    by_text = uniq.groupby("text")["doc_id"].apply(list)
+    true_pairs = set()
+    for ids in by_text:
+        ids = sorted(ids)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                true_pairs.add((ids[x], ids[y]))
+    got_pairs = set(zip(verified["doc_a"], verified["doc_b"]))
+    assert true_pairs == got_pairs  # minhash-LSH finds ALL identical-text pairs
+
+
+def test_simhash_hamming_small_for_similar():
+    a = simhash64("the quick brown fox jumps over the lazy dog " * 4)
+    b = simhash64("the quick brown fox jumps over the lazy cat " * 4)
+    c = simhash64("totally other content on an unrelated subject " * 4)
+    ham_ab = bin(a ^ b).count("1")
+    ham_ac = bin(a ^ c).count("1")
+    assert ham_ab < ham_ac
+
+
+def test_simhash_buckets(sf_unit):
+    out = simhash_buckets(read_pages(sf_unit).limit(1000)).to_pandas()
+    assert (out["n_docs"] >= 1).all()
+    assert set(out["band"].unique()) <= {0, 1, 2, 3}
+
+
+# --- text features ----------------------------------------------------------
+
+
+def test_text_features_match_oracle(sf_unit):
+    ours = (
+        text_features(read_pages(sf_unit))
+        .select_columns(["doc_id", "n_tokens", "n_chars_x"])
+        .to_pandas()
+        .sort_values(["doc_id", "n_tokens"])
+        .reset_index(drop=True)
+    )
+    con = _con(sf_unit)
+    oracle = con.sql(Q.with_pages(SQL_TEXT_FEATURES + " ORDER BY doc_id, n_tokens")).df()
+    assert (ours["n_tokens"].values == oracle["n_tokens"].values).all()
+    assert (ours["n_chars_x"].values == oracle["n_chars_x"].values).all()
+
+
+def test_quality_and_langid_run(sf_unit):
+    q = quality(read_pages(sf_unit).limit(500)).to_pandas()
+    assert q["quality"].between(0, 1_000_000).all()
+    li = lang_id(read_pages(sf_unit).limit(300)).to_pandas()
+    assert li["lang_pred"].isin(["en", "de", "fr", "es", "pt", "zh"]).all()
+
+
+def test_fingerprint_identical_for_identical_text(sf_unit):
+    out = text_features(read_pages(sf_unit).limit(2000)).select_columns(
+        ["doc_id", "text", "fingerprint"]
+    ).to_pandas()
+    g = out.groupby("text")["fingerprint"].nunique()
+    assert (g == 1).all()
+
+
+# --- ANN --------------------------------------------------------------------
+
+
+def test_ann_bruteforce_matches_oracle(sf_small):
+    ours = (
+        ann_bruteforce(sf_small)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    con = _con(sf_small)
+    oracle = con.sql(SQL_ANN).df().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(ours) == len(oracle) > 0
+    assert (ours["query_id"].values == oracle["query_id"].values).all()
+    assert (ours["neighbor_id"].values == oracle["neighbor_id"].values).all()
+    assert (ours["sim_key"].values == oracle["sim_key"].values).all()
+
+
+def test_ann_lsh_recall(sf_small):
+    exact = ann_bruteforce(sf_small).to_pandas()
+    approx = ann_lsh(sf_small).to_pandas()
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(e & a) / len(e)
+    assert recall > 0.35  # bucketed search trades recall for bucket pruning
+
+
+def test_embedding_neardup_matches_oracle(sf_small):
+    ours = (
+        embedding_neardup(sf_small, threshold=0.45)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    con = _con(sf_small)
+    oracle = con.sql(sql_embedding_neardup(0.45) + " ORDER BY vec_a, vec_b").df().reset_index(drop=True)
+    assert len(ours) == len(oracle) > 0
+    if len(ours):
+        assert (ours["vec_a"].values == oracle["vec_a"].values).all()
+        assert (ours["sim_key"].values == oracle["sim_key"].values).all()
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+def test_multimodal_plumbing(sf_unit):
+    from orthority_ray.stages.multimodal import decode_images, sample_frames, synth_media
+
+    media = read_page_keys(sf_unit).limit(500).map_batches(synth_media, batch_format="pyarrow")
+    imgs = decode_images(media).to_pandas()
+    assert {"media_id", "width", "height", "feat"} <= set(imgs.columns)
+    assert imgs["feat"].map(len).eq(16).all()
+    frames = sample_frames(media, every_n=4).to_pandas()
+    assert (frames["n_frames"] > 0).all()
