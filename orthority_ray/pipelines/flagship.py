@@ -1,0 +1,145 @@
+"""The flagship pipeline (north_star end-to-end):
+
+  read pages (pruned) -> extract (byte-identical check) -> geocode ->
+  cell-index -> PIP join vs tile polygons -> groupby-cell tile assignment ->
+  partitioned parquet output with per-partition lineage manifests + resume.
+
+Execution shape (SURVEY.md §7):
+- everything up to the write is streaming ``map_batches`` over Arrow;
+- the tile-assignment side table is computed by the partial-counts +
+  groupby-sum combiner and broadcast back (dimension-sized);
+- the ONLY payload shuffle is the final ``groupby(part)`` that co-locates
+  each output partition; ``part = hash(doc_id) % n_parts`` (multiplicative
+  hash — doc_id % n would alias the l_linenumber structure) so a resume run
+  drops finished partitions with a cheap filter at the source;
+- each partition writes its own directory + manifest atomically
+  (state/lineage.py) -> failed runs resume by anti-join, retried tasks
+  overwrite instead of append (idempotent).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..sources.pages import read_pages, read_page_keys
+from ..stages.extract import extract_batch
+from ..stages.geocode import geocode, geocode_batch
+from ..stages.pip import pip_join
+from ..stages.tiles import assign_tiles
+from ..state import lineage
+
+N_PARTS = 16
+
+
+def part_of(doc_id: np.ndarray, n_parts: int) -> np.ndarray:
+    """Partition key: multiplicative hash of doc_id (doc_id % n would alias
+    the l_linenumber structure and leave partitions empty)."""
+    return ((doc_id.astype(np.int64) * 2654435761) % 4294967296) % n_parts
+
+
+def input_fingerprint(sf_dir: str) -> str:
+    p = Path(sf_dir) / "lineitem.parquet"
+    return f"{sf_dir}:{p.stat().st_size}"
+
+
+def run_flagship(sf_dir: str, out_dir: str, n_parts: int = N_PARTS,
+                 resume: bool = True) -> pd.DataFrame:
+    """Run (or resume) the flagship pipeline; returns the manifest table."""
+    fp = input_fingerprint(sf_dir)
+    planned = list(range(n_parts))
+    missing = lineage.plan_missing(out_dir, planned, fp) if resume else planned
+    out_path = Path(out_dir)
+    out_path.mkdir(parents=True, exist_ok=True)
+
+    # tile routing table: deterministic on the FULL input (independent of
+    # which partitions remain), cheap int-only scan + combiner aggregate.
+    tiles_pdf = assign_tiles(geocode(read_page_keys(sf_dir)))
+    tiles_pdf.to_parquet(out_path / "_tiles.parquet", index=False)
+    cell_to_tile = dict(zip(tiles_pdf["cell"].astype(np.int64), tiles_pdf["tile_id"].astype(np.int64)))
+    cell_ref = ray.put(cell_to_tile)
+
+    if not missing:
+        return lineage.load_manifest_table(out_dir)
+    missing_set = set(missing)
+
+    ds = read_pages(sf_dir)
+
+    def transform(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        part = part_of(doc_id, n_parts)
+        keep = np.isin(part, list(missing_set))
+        batch = batch.filter(pa.array(keep))
+        if batch.num_rows == 0:
+            return batch.append_column("part", pa.array([], pa.int64()))
+        batch = extract_batch(batch)
+        batch = geocode_batch(batch)
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("part", pa.array(part_of(doc_id, n_parts)))
+
+    staged = ds.map_batches(transform, batch_format="pyarrow", batch_size=16384)
+
+    class Finish:
+        """Per-batch: verify extraction + attach tile_id from the broadcast
+        routing table (fetched once per actor)."""
+
+        def __init__(self):
+            self.cell_to_tile = ray.get(cell_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch.append_column("tile_id", pa.array([], pa.int64()))
+            et = batch["extracted_text"].to_pylist()
+            tt = batch["text"].to_pylist()
+            bad = [u for e, t, u in zip(et, tt, batch["url"].to_pylist()) if e != t]
+            if bad:
+                raise ValueError(f"extraction not byte-identical for urls: {bad[:3]}")
+            cells = batch["cell"].to_numpy(zero_copy_only=False)
+            tile = np.array([self.cell_to_tile[int(c)] for c in cells], dtype=np.int64)
+            return batch.append_column("tile_id", pa.array(tile))
+
+    from ..core.config import pool
+
+    finished = staged.map_batches(
+        Finish, batch_format="pyarrow", batch_size=16384, concurrency=pool(None)
+    )
+
+    out_cols = ["url", "warc_ts", "text", "lang", "doc_id", "lon", "lat", "cell", "tile_id", "part"]
+    finished = finished.select_columns(out_cols)
+
+    def write_part(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["part"].iloc[0])
+        g = g.sort_values(["doc_id", "url"], kind="mergesort").reset_index(drop=True)
+        tbl = pa.Table.from_pandas(g, preserve_index=False)
+        man = lineage.write_partition(
+            out_dir, part, tbl, checksum_cols=["doc_id", "cell", "tile_id"], input_fingerprint=fp
+        )
+        return pd.DataFrame([man])
+
+    manifests = finished.groupby("part").map_groups(write_part, batch_format="pandas")
+    manifests.materialize()  # drive the pipeline to completion
+
+    # planned partitions that received no rows still need a (rows=0)
+    # manifest, or resume would re-plan them forever
+    still_missing = lineage.plan_missing(out_dir, planned, fp)
+    empty_schema = pa.schema(
+        [("doc_id", pa.int64()), ("cell", pa.int64()), ("tile_id", pa.int64())]
+    )
+    for p in still_missing:
+        lineage.write_partition(
+            out_dir, p, empty_schema.empty_table(),
+            checksum_cols=["doc_id", "cell", "tile_id"], input_fingerprint=fp,
+        )
+    return lineage.load_manifest_table(out_dir)
+
+
+def flagship_result(sf_dir: str) -> ray.data.Dataset:
+    """The flagship transform WITHOUT the write (for `entry()` smoke checks):
+    extracted + geocoded + PIP-joined pages."""
+    geo = geocode(read_page_keys(sf_dir))
+    return pip_join(geo)
