@@ -1,16 +1,13 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the orthority_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` maps operator names (SURVEY.md §2 inventory + the training-data
+operators) to callables ``sf_dir -> Dataset | DataFrame | Table``;
+``oracle_sql()`` provides DuckDB-exact SQL for every SQL-expressible one.
+Column names and value encodings (integer keys / floor-scaled cents) are
+shared between both sides — see orthority_ray/sources/sql.py.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE importing this module; nothing here
+calls ray.init/ray.shutdown.
 """
 
 from __future__ import annotations
@@ -18,27 +15,222 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from orthority_ray.core.geometry import make_tile_rings, sql_pip_predicate
+from orthority_ray.pipelines import relational as R
+from orthority_ray.pipelines.flagship import flagship_result
+from orthority_ray.sources import sql as S
+from orthority_ray.sources.pages import read_pages, read_page_keys
+from orthority_ray.stages import ann as ANN
+from orthority_ray.stages import dedup as D
+from orthority_ray.stages import knn as KNN
+from orthority_ray.stages import textstats as T
+from orthority_ray.stages.camera_geocode import (
+    dem_geocode,
+    pinhole_geocode_table,
+    sql_pinhole_geocode,
+)
+from orthority_ray.stages.geocode import geocode
+from orthority_ray.stages.pip import pip_join
+from orthority_ray.stages.sharpen import pan_sharpen
+from orthority_ray.stages.stats import grouped_covariance
+from orthority_ray.stages.tiles import N_ASSIGN_TILES, SQL_ASSIGN, assign_tiles, cell_counts
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline (pages -> extract -> geocode -> PIP join) on sf0.001."""
+    return flagship_result("/root/testdata/sf0.001")
+
+
+def _geo(sf_dir: str):
+    return geocode(read_page_keys(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+
+
+def q_cell_counts(sf_dir: str):
+    return cell_counts(_geo(sf_dir))
+
+
+def q_tile_assign(sf_dir: str):
+    return assign_tiles(_geo(sf_dir))
+
+
+def q_pip_join(sf_dir: str):
+    return pip_join(_geo(sf_dir))
+
+
+def q_knn(sf_dir: str):
+    return KNN.knn_broadcast(_geo(sf_dir))
+
+
+def q_knn_cellring(sf_dir: str):
+    return KNN.knn_cellring(_geo(sf_dir))
+
+
+def q_geocode_pinhole(sf_dir: str):
+    return pinhole_geocode_table(read_page_keys(sf_dir))
+
+
+def q_exact_dedup(sf_dir: str):
+    return D.exact_dedup_groups(read_pages(sf_dir))
+
+
+def q_text_features(sf_dir: str):
+    return (
+        T.text_features(read_pages(sf_dir))
+        .select_columns(["doc_id", "n_tokens", "n_chars_x"])
+    )
+
+
+def q_quality(sf_dir: str):
+    return T.quality(read_pages(sf_dir)).select_columns(["doc_id", "quality"])
+
+
+def q_extract_verify(sf_dir: str):
+    """(n_pages, n_bad): the byte-identical-extraction invariant as a query."""
+    import pandas as pd
+
+    from orthority_ray.stages.extract import verify_extraction
+
+    n_bad = verify_extraction(read_pages(sf_dir)).count()
+    n_pages = read_page_keys(sf_dir).count()
+    return pd.DataFrame({"n_pages": [n_pages], "n_bad": [n_bad]})
+
+
+def q_ann(sf_dir: str):
+    return ANN.ann_bruteforce(sf_dir)
+
+
+def q_embedding_neardup(sf_dir: str):
+    return ANN.embedding_neardup(sf_dir, threshold=0.45)
+
+
+def q_cell_stats(sf_dir: str):
+    """Per-cell count + coordinate sums.  Sums are over the INTEGER milli
+    coordinates, so they are order-insensitive and bit-exact on both sides
+    (floor-scaled float means/variances sit within float error of grid
+    boundaries because lat/lon are exact milli multiples — observed flaky;
+    the float moments kernel is exposed in the rows-only ``cell_covariance``
+    query and verified with tolerances in tests/test_stats_sharpen.py)."""
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        _geo(sf_dir)
+        .select_columns(["cell", "lon_milli", "lat_milli"])
+        .groupby("cell")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("lon_milli", alias_name="sum_lon_milli"),
+            Sum("lat_milli", alias_name="sum_lat_milli"),
+        )
+    )
+
+
+def q_cell_covariance(sf_dir: str):
+    return grouped_covariance(_geo(sf_dir), "cell", ["lon", "lat"])
+
+
+# --- non-SQL-expressible (rows-only checks) ---------------------------------
+
+
+def q_dem_geocode(sf_dir: str):
+    return dem_geocode(read_page_keys(sf_dir)).select_columns(
+        ["doc_id", "wx", "wy", "wz"]
+    )
+
+
+def q_minhash_pairs(sf_dir: str):
+    return D.minhash_candidate_pairs(read_pages(sf_dir))
+
+
+def q_simhash_buckets(sf_dir: str):
+    return D.simhash_buckets(read_pages(sf_dir))
+
+
+def q_lang_id(sf_dir: str):
+    return T.lang_id(read_pages(sf_dir)).select_columns(["doc_id", "lang", "lang_pred"])
+
+
+def q_ann_lsh(sf_dir: str):
+    return ANN.ann_lsh(sf_dir)
+
+
+def q_pan_sharpen(sf_dir: str):
+    return pan_sharpen(_geo(sf_dir)).select_columns(
+        ["doc_id", "sharp_ms0", "sharp_ms1", "sharp_ms2"]
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cell_counts": q_cell_counts,
+        "tile_assign": q_tile_assign,
+        "pip_join": q_pip_join,
+        "knn": q_knn,
+        "knn_cellring": q_knn_cellring,
+        "geocode_pinhole": q_geocode_pinhole,
+        "exact_dedup": q_exact_dedup,
+        "text_features": q_text_features,
+        "quality": q_quality,
+        "extract_verify": q_extract_verify,
+        "ann": q_ann,
+        "embedding_neardup": q_embedding_neardup,
+        "cell_stats": q_cell_stats,
+        "pricing_summary": R.q_pricing_summary,
+        "customers_per_region": R.q_customers_per_region,
+        "top_orders": R.q_top_orders,
+        "events_hourly": R.q_events_hourly,
+        "event_sessions": R.q_event_sessions,
+        "parts_by_brand": R.q_parts_by_brand,
+        # non-SQL-expressible (driver records rows-only checks):
+        "cell_covariance": q_cell_covariance,
+        "dem_geocode": q_dem_geocode,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_buckets": q_simhash_buckets,
+        "lang_id": q_lang_id,
+        "ann_lsh": q_ann_lsh,
+        "pan_sharpen": q_pan_sharpen,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    rings = make_tile_rings()
+    pip_union = " UNION ALL ".join(
+        f"SELECT doc_id, CAST({t} AS BIGINT) AS tile_id, cell FROM geod "
+        f"WHERE {sql_pip_predicate(rings[t])}"
+        for t in range(rings.shape[0])
+    )
+    return {
+        "cell_counts": S.with_geo(
+            "SELECT cell, COUNT(*) AS n_docs FROM geod GROUP BY cell"
+        ),
+        "tile_assign": S.with_geo(SQL_ASSIGN.format(n_tiles=N_ASSIGN_TILES)),
+        "pip_join": S.with_geo(f"SELECT * FROM ({pip_union})"),
+        "knn": S.with_geo(KNN.SQL_KNN),
+        "knn_cellring": S.with_geo(KNN.SQL_KNN),
+        "geocode_pinhole": S.with_pages(sql_pinhole_geocode()),
+        "exact_dedup": S.with_pages(D.SQL_EXACT_DEDUP_GROUPS),
+        "text_features": S.with_pages(T.SQL_TEXT_FEATURES),
+        "quality": S.with_pages(T.SQL_QUALITY),
+        "extract_verify": S.with_pages(
+            "SELECT COUNT(*) AS n_pages, CAST(0 AS BIGINT) AS n_bad FROM pages"
+        ),
+        "ann": ANN.SQL_ANN,
+        "embedding_neardup": ANN.sql_embedding_neardup(0.45),
+        "cell_stats": S.with_geo(
+            """SELECT cell, COUNT(*) AS n,
+                 SUM(lon_milli) AS sum_lon_milli,
+                 SUM(lat_milli) AS sum_lat_milli
+               FROM geod GROUP BY cell"""
+        ),
+        "pricing_summary": R.SQL_PRICING,
+        "customers_per_region": R.SQL_CUSTOMERS_PER_REGION,
+        "top_orders": R.SQL_TOP_ORDERS,
+        "events_hourly": R.SQL_EVENTS_HOURLY,
+        "event_sessions": R.SQL_EVENT_SESSIONS,
+        "parts_by_brand": R.SQL_PARTS_BY_BRAND,
+    }

@@ -1,0 +1,279 @@
+"""Relational pipelines over the TPC-H-ish tables + events stream table.
+
+Breadth operators (groupby aggregate, broadcast hash join, top-k sort,
+windowed/sessionized event processing) with DuckDB-exact oracles.  The trick
+for float-proof value hashes: every monetary value is rounded to integer
+cents PER ROW with the identical expression (``floor(x * 100 + 0.5)``) on
+both sides, then summed as int64 — integer sums are order-insensitive, so
+Ray's block-parallel aggregation matches DuckDB bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def cents(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+# --- Q1-style pricing summary ----------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty": pa.array(np.floor(qty).astype(np.int64)),
+                "base_cents": pa.array(cents(price)),
+                "disc_cents": pa.array(cents(price * (1.0 - disc))),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Count(alias_name="n_rows"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty,
+       SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_base_cents,
+       SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS sum_disc_cents,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""".strip()
+
+
+# --- broadcast hash join: customers per region ------------------------------
+
+
+def q_customers_per_region(sf_dir: str) -> ray.data.Dataset:
+    """customer ⋈ nation ⋈ region via two broadcast lookups (small dims)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    lookup_ref = ray.put((n2r, r2name))
+
+    class JoinFn:
+        def __init__(self):
+            self.n2r, self.r2name = ray.get(lookup_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            nk = b["c_nationkey"].to_numpy(zero_copy_only=False)
+            names = [self.r2name[self.n2r[int(k)]] for k in nk]
+            return pa.table({"r_name": pa.array(names, pa.string())})
+
+    from ..core.config import pool
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    return (
+        cust.map_batches(JoinFn, batch_format="pyarrow", batch_size=65536,
+                         concurrency=pool(None))
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
+SQL_CUSTOMERS_PER_REGION = """
+SELECT r.r_name AS r_name, COUNT(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""".strip()
+
+
+# --- top-k revenue orders (join + agg + global sort + limit) ----------------
+
+TOPK_ORDERS = 20
+
+
+def q_top_orders(sf_dir: str) -> ray.data.Dataset:
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"l_orderkey": b["l_orderkey"], "rev_cents": pa.array(cents(price * (1.0 - disc)))}
+        )
+
+    agg = (
+        li.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_cents", alias_name="rev_cents"))
+    )
+    top = agg.sort(["rev_cents", "l_orderkey"], descending=[True, False]).limit(TOPK_ORDERS)
+
+    def rank(b: pa.Table) -> pa.Table:
+        return b.append_column("rank", pa.array(np.arange(1, b.num_rows + 1, dtype=np.int64)))
+
+    # the limit result is one small block -> safe to rank in one batch
+    return top.repartition(1).map_batches(rank, batch_format="pyarrow", batch_size=TOPK_ORDERS)
+
+
+SQL_TOP_ORDERS = f"""
+SELECT l_orderkey, rev_cents,
+       row_number() OVER (ORDER BY rev_cents DESC, l_orderkey ASC) AS rank
+FROM (
+  SELECT l_orderkey,
+         SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS rev_cents
+  FROM lineitem GROUP BY l_orderkey
+) ORDER BY rev_cents DESC, l_orderkey ASC LIMIT {TOPK_ORDERS}
+""".strip()
+
+
+# --- events: tumbling window aggregate --------------------------------------
+
+WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def q_events_hourly(sf_dir: str) -> ray.data.Dataset:
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "window": pa.array(ts // WINDOW_US),
+                "event_type": b["event_type"],
+                "val_cents": pa.array(cents(val)),
+            }
+        )
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby(["window", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("val_cents", alias_name="sum_val_cents"))
+    )
+
+
+SQL_EVENTS_HOURLY = f"""
+SELECT epoch_us(ts) // {WINDOW_US} AS window, event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sum_val_cents
+FROM events GROUP BY 1, 2
+""".strip()
+
+
+# --- events: per-user sessionization (gap > 30 min) -------------------------
+
+GAP_US = 1_800_000_000
+
+
+def q_event_sessions(sf_dir: str) -> ray.data.Dataset:
+    """Per-user session count + longest session length: hash-partition by
+    user, sort within group by ts, session break on gap > 30 min (the
+    streaming-shaped groupby-window pattern from ray_guide.md)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].astype("int64").to_numpy())
+        gaps = np.diff(ts)
+        breaks = (gaps > GAP_US).sum()
+        n_sessions = int(breaks) + 1
+        # longest session in events
+        bounds = np.concatenate([[0], np.nonzero(gaps > GAP_US)[0] + 1, [ts.shape[0]]])
+        longest = int(np.diff(bounds).max())
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions],
+             "max_session_events": [longest], "n_events": [ts.shape[0]]}
+        )
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_EVENT_SESSIONS = f"""
+SELECT user_id,
+       CAST(1 + SUM(CASE WHEN gap_us > {GAP_US} THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       CAST(MAX(sess_len) AS BIGINT) AS max_session_events,
+       COUNT(*) AS n_events
+FROM (
+  SELECT user_id, sess_id, COUNT(*) OVER (PARTITION BY user_id, sess_id) AS sess_len, gap_us
+  FROM (
+    SELECT user_id, gap_us,
+           SUM(CASE WHEN gap_us > {GAP_US} THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM (
+      SELECT user_id, ts, event_id,
+             COALESCE(epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) AS gap_us
+      FROM events
+    )
+  )
+)
+GROUP BY user_id
+""".strip()
+
+
+# --- supplier/part join with semi-join filter -------------------------------
+
+
+def q_parts_by_brand(sf_dir: str) -> ray.data.Dataset:
+    """part grouped by brand with lineitem usage counts — a large-side join
+    expressed as broadcast lookup (part table is the small side here)."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    p2b = dict(zip(part["p_partkey"].to_pylist(), part["p_brand"].to_pylist()))
+    ref = ray.put(p2b)
+
+    class Lookup:
+        def __init__(self):
+            self.p2b = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+            qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+            brands = [self.p2b.get(int(k), "NONE") for k in pk]
+            return pa.table(
+                {"p_brand": pa.array(brands, pa.string()),
+                 "qty": pa.array(np.floor(qty).astype(np.int64))}
+            )
+
+    from ..core.config import pool
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    return (
+        li.map_batches(Lookup, batch_format="pyarrow", batch_size=65536, concurrency=pool(None))
+        .groupby("p_brand")
+        .aggregate(Count(alias_name="n_lineitems"), Sum("qty", alias_name="sum_qty"))
+    )
+
+
+SQL_PARTS_BY_BRAND = """
+SELECT COALESCE(p.p_brand, 'NONE') AS p_brand, COUNT(*) AS n_lineitems,
+       SUM(CAST(floor(l.l_quantity) AS BIGINT)) AS sum_qty
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY COALESCE(p.p_brand, 'NONE')
+""".strip()
