@@ -131,13 +131,28 @@ def q_top_orders(sf_dir: str) -> ray.data.Dataset:
         .groupby("l_orderkey")
         .aggregate(Sum("rev_cents", alias_name="rev_cents"))
     )
-    top = agg.sort(["rev_cents", "l_orderkey"], descending=[True, False]).limit(TOPK_ORDERS)
 
-    def rank(b: pa.Table) -> pa.Table:
+    # top-k WITHOUT a global sort: per-block partial top-k, then one tiny
+    # final merge block (global sort of all orders would shuffle everything
+    # for 20 output rows)
+    def local_top(b: pa.Table) -> pa.Table:
+        rev = b["rev_cents"].to_numpy(zero_copy_only=False)
+        key = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, -rev))[:TOPK_ORDERS]
+        return b.take(order)
+
+    def final_top(b: pa.Table) -> pa.Table:
+        rev = b["rev_cents"].to_numpy(zero_copy_only=False)
+        key = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, -rev))[:TOPK_ORDERS]
+        b = b.take(order)
         return b.append_column("rank", pa.array(np.arange(1, b.num_rows + 1, dtype=np.int64)))
 
-    # the limit result is one small block -> safe to rank in one batch
-    return top.repartition(1).map_batches(rank, batch_format="pyarrow", batch_size=TOPK_ORDERS)
+    return (
+        agg.map_batches(local_top, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_top, batch_format="pyarrow", batch_size=None)
+    )
 
 
 SQL_TOP_ORDERS = f"""

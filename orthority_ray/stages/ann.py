@@ -110,7 +110,7 @@ def ann_bruteforce(sf_dir: str, k: int = K, *, concurrency: int | None = None) -
     ds = read_embeddings(sf_dir)
     partials = ds.map_batches(
         _PartialTopSim, batch_format="pyarrow", batch_size=4096,
-        concurrency=pool(concurrency), fn_constructor_args=(queries_ref, k),
+        concurrency=pool(concurrency or 4), fn_constructor_args=(queries_ref, k),
     )
     return partials.groupby("query_id").map_groups(lambda g: _merge(g, k), batch_format="pandas")
 
@@ -190,7 +190,7 @@ def ann_lsh(sf_dir: str, k: int = K, *, concurrency: int | None = None) -> ray.d
     ds = read_embeddings(sf_dir)
     partials = ds.map_batches(
         _LshPartial, batch_format="pyarrow", batch_size=4096,
-        concurrency=pool(concurrency), fn_constructor_args=(queries_ref, k),
+        concurrency=pool(concurrency or 4), fn_constructor_args=(queries_ref, k),
     )
     return partials.groupby("query_id").map_groups(lambda g: _merge(g, k), batch_format="pandas")
 
@@ -228,7 +228,7 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95) -> ray.data.Dataset:
             )
 
     return read_embeddings(sf_dir).map_batches(
-        Pairs, batch_format="pyarrow", batch_size=4096, concurrency=pool(None)
+        Pairs, batch_format="pyarrow", batch_size=4096, concurrency=pool(2)
     )
 
 

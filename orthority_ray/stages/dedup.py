@@ -117,15 +117,25 @@ def minhash_signature(text: str, n: int = 3) -> np.ndarray:
 
 
 class MinHasher:
-    """Actor-pool stage: text -> (doc_id, band, band_hash) rows (exploded)."""
+    """Actor-pool stage: text -> (doc_id, band, band_hash) rows (exploded).
+    Signatures are memoised per distinct text per actor (dup-heavy crawls)."""
 
     def __init__(self, n: int = 3):
         self.n = n
+        self.cache: dict[str, np.ndarray] = {}
+
+    def _sig(self, t: str) -> np.ndarray:
+        sig = self.cache.get(t)
+        if sig is None:
+            sig = minhash_signature(t, self.n)
+            if len(self.cache) < 100_000:
+                self.cache[t] = sig
+        return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
         texts = batch["text"].to_pylist()
-        sigs = np.stack([minhash_signature(t, self.n) for t in texts])  # (B, 64)
+        sigs = np.stack([self._sig(t) for t in texts])  # (B, 64)
         bands = sigs.reshape(len(texts), N_BANDS, ROWS_PER_BAND)
         # fold each band to one uint64 via a polynomial mix
         with np.errstate(over="ignore"):
@@ -148,12 +158,20 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def minhash_candidate_pairs(ds: ray.data.Dataset, *, concurrency: int | None = None) -> ray.data.Dataset:
+def minhash_candidate_pairs(ds: ray.data.Dataset, *, concurrency: int | None = None,
+                            pre_dedup: bool = True) -> ray.data.Dataset:
     """LSH bucket groupby -> candidate (a, b) pairs, a < b, deduped.
 
-    Per-bucket pair expansion happens inside ``map_groups``; buckets are
-    bounded by band collisions.  Output: (doc_a, doc_b) distinct pairs.
+    ``pre_dedup=True`` (default, and REQUIRED at crawl scale): run exact
+    dedup first and MinHash only the distinct-text representatives.  A
+    web crawl's duplicate groups are huge; without this, every LSH bucket
+    holds the whole duplicate group and the pair expansion is quadratic in
+    group size (observed: 600k pages / 500 distinct texts -> billions of
+    pairs).  Pairs are between representative doc_ids; exact-dup membership
+    expands them via the exact_dedup_groups table.
     """
+    if pre_dedup:
+        ds = exact_dedup(ds)
     bands = ds.map_batches(
         MinHasher, batch_format="pyarrow", batch_size=4096, concurrency=pool(concurrency)
     )
@@ -220,8 +238,26 @@ def simhash64(text: str) -> int:
     return int(np.sum(np.where(maj, 1, 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)))
 
 
-def add_simhash(batch: pa.Table) -> pa.Table:
-    sh = np.array([simhash64(t) for t in batch["text"].to_pylist()], dtype=np.uint64)
+class SimHasher:
+    """Actor-pool simhash stage with a per-actor memo cache."""
+
+    def __init__(self):
+        self.cache: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        def sh_of(t: str) -> int:
+            v = self.cache.get(t)
+            if v is None:
+                v = simhash64(t)
+                if len(self.cache) < 100_000:
+                    self.cache[t] = v
+            return v
+
+        sh = np.array([sh_of(t) for t in batch["text"].to_pylist()], dtype=np.uint64)
+        return _simhash_columns(batch, sh)
+
+
+def _simhash_columns(batch: pa.Table, sh: np.ndarray) -> pa.Table:
     t = batch.append_column("simhash", pa.array(sh.astype(np.int64)))
     # 4 x 16-bit bands: any pair with Hamming distance <= 3 shares >= 1 band
     for b in range(4):
@@ -231,9 +267,15 @@ def add_simhash(batch: pa.Table) -> pa.Table:
     return t
 
 
+def add_simhash(batch: pa.Table) -> pa.Table:
+    sh = np.array([simhash64(t) for t in batch["text"].to_pylist()], dtype=np.uint64)
+    return _simhash_columns(batch, sh)
+
+
 def simhash_buckets(ds: ray.data.Dataset) -> ray.data.Dataset:
     """(band, value, n_docs) bucket sizes — the SimHash LSH histogram."""
-    hashed = ds.map_batches(add_simhash, batch_format="pyarrow", batch_size=4096)
+    hashed = ds.map_batches(SimHasher, batch_format="pyarrow", batch_size=4096,
+                            concurrency=pool(None))
 
     def explode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

@@ -40,6 +40,26 @@ class TextFeatures:
         self.tok = re.compile(r"\S+")
         self.alpha = re.compile(r"[A-Za-z]")
         self.stops = frozenset(STOPWORDS)
+        # per-actor memo cache: web crawls are duplicate-heavy, so identical
+        # texts recur constantly; compute once per distinct text per actor
+        self.cache: dict[str, tuple] = {}
+
+    def _features(self, t: str) -> tuple:
+        hit = self.cache.get(t)
+        if hit is not None:
+            return hit
+        toks = self.tok.findall(t)
+        ns = sum(1 for w in toks if w in self.stops)
+        h = 0
+        for w in toks:
+            hw = 0
+            for b in w.encode("utf-8"):
+                hw = (hw * 131 + b) & 0xFFFFFFFFFFFFFFFF
+            h = (h * 1099511628211 + hw) & 0x7FFFFFFFFFFFFFFF
+        out = (len(toks), len(t), (ns * 1_000_000) // max(1, len(toks)), h)
+        if len(self.cache) < 200_000:
+            self.cache[t] = out
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -49,19 +69,7 @@ class TextFeatures:
         stop_pm = np.empty(n, dtype=np.int64)
         fingerprint = np.empty(n, dtype=np.int64)
         for i, t in enumerate(texts):
-            toks = self.tok.findall(t)
-            n_tokens[i] = len(toks)
-            n_chars[i] = len(t)
-            ns = sum(1 for w in toks if w in self.stops)
-            stop_pm[i] = (ns * 1_000_000) // max(1, len(toks))
-            # rolling polynomial fingerprint over tokens (Rabin-style)
-            h = 0
-            for w in toks:
-                hw = 0
-                for b in w.encode("utf-8"):
-                    hw = (hw * 131 + b) & 0xFFFFFFFFFFFFFFFF
-                h = (h * 1099511628211 + hw) & 0x7FFFFFFFFFFFFFFF
-            fingerprint[i] = h
+            n_tokens[i], n_chars[i], stop_pm[i], fingerprint[i] = self._features(t)
         return (
             batch.append_column("n_tokens", pa.array(n_tokens))
             .append_column("n_chars_x", pa.array(n_chars))
@@ -95,20 +103,30 @@ class QualityScorer:
     def __init__(self):
         self.tok = re.compile(r"\S+")
         self.stops = frozenset(STOPWORDS)
+        self.cache: dict[str, int] = {}  # memo per distinct text (see TextFeatures)
+
+    def _score(self, t: str) -> int:
+        hit = self.cache.get(t)
+        if hit is not None:
+            return hit
+        toks = self.tok.findall(t)
+        nt = len(toks)
+        len_ok = 1 if 20 <= nt <= 200 else 0
+        nchars = sum(len(w) for w in toks)
+        mwl10 = (nchars * 10) // max(1, nt)  # mean word length x10
+        wl_ok = 1 if 25 <= mwl10 <= 90 else 0
+        ns = sum(1 for w in toks if w in self.stops)
+        stop_ok = 1 if ns * 10 >= nt else 0  # >= 10% stopwords
+        out = (len_ok * 500_000) + (wl_ok * 300_000) + (stop_ok * 200_000)
+        if len(self.cache) < 200_000:
+            self.cache[t] = out
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        score = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = self.tok.findall(t)
-            nt = len(toks)
-            len_ok = 1 if 20 <= nt <= 200 else 0
-            nchars = sum(len(w) for w in toks)
-            mwl10 = (nchars * 10) // max(1, nt)  # mean word length x10
-            wl_ok = 1 if 25 <= mwl10 <= 90 else 0
-            ns = sum(1 for w in toks if w in self.stops)
-            stop_ok = 1 if ns * 10 >= nt else 0  # >= 10% stopwords
-            score[i] = (len_ok * 500_000) + (wl_ok * 300_000) + (stop_ok * 200_000)
+        score = np.fromiter(
+            (self._score(t) for t in batch["text"].to_pylist()), dtype=np.int64,
+            count=batch.num_rows,
+        )
         return batch.append_column("quality", pa.array(score))
 
 
@@ -139,9 +157,10 @@ class LangId:
         self.profiles = {
             lang: {(hash((lang, i)) & 0xFFFF) for i in range(64)} for lang in LANGS
         }
+        self.cache: dict[str, str] = {}  # memo per distinct text
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        def vote(t: str) -> str:
+        def vote_uncached(t: str) -> str:
             grams = {((ord(a) * 131 + ord(b)) * 131 + ord(c)) & 0xFFFF
                      for a, b, c in zip(t, t[1:], t[2:])}
             best, best_n = LANGS[0], -1
@@ -150,6 +169,14 @@ class LangId:
                 if nx > best_n:
                     best, best_n = lang, nx
             return best
+
+        def vote(t: str) -> str:
+            hit = self.cache.get(t)
+            if hit is None:
+                hit = vote_uncached(t)
+                if len(self.cache) < 200_000:
+                    self.cache[t] = hit
+            return hit
 
         batch["lang_pred"] = [vote(t) for t in batch["text"]]
         return batch

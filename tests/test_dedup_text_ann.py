@@ -85,9 +85,10 @@ def test_minhash_similarity_estimates_jaccard():
 
 
 def test_minhash_lsh_finds_exact_dups(sf_unit):
-    """pages duplicate texts (doc_id % 500 collisions) must all be found."""
+    """pages duplicate texts (doc_id % 500 collisions) must all be found
+    (pre_dedup off: this test checks raw LSH recall on duplicate groups)."""
     pages = read_pages(sf_unit).limit(1200)
-    pairs = minhash_candidate_pairs(pages).to_pandas()
+    pairs = minhash_candidate_pairs(pages, pre_dedup=False).to_pandas()
     pdf = pages.select_columns(["doc_id", "text"]).to_pandas()
     lookup = dict(zip(pdf["doc_id"], pdf["text"]))
     lookup_ref = ray.put(lookup)
