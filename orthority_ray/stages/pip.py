@@ -52,14 +52,24 @@ class PipJoin:
 
 def pip_join(geo_ds: ray.data.Dataset, rings: np.ndarray | None = None,
              *, concurrency: int | None = None) -> ray.data.Dataset:
-    """geo_ds must carry lon/lat/doc_id/cell columns (see stages/geocode)."""
+    """geo_ds must carry lon/lat/doc_id/cell columns (see stages/geocode).
+
+    Runs as STATELESS tasks with the (tiny) ring table cached per worker —
+    an actor pool's process spawns would dominate the stage (see
+    sources/pages.cached_get); the actor-pool pattern is reserved for the
+    genuinely heavy state (DemGeocoder's grid, text models)."""
+    from ..sources.pages import _BROADCAST_CACHE
+
     if rings is None:
         rings = make_tile_rings()
     rings_ref = ray.put(rings)
-    return geo_ds.map_batches(
-        PipJoin,
-        batch_format="pyarrow",
-        batch_size=32768,
-        concurrency=pool(concurrency),
-        fn_constructor_args=(rings_ref,),
-    )
+
+    def join(batch: pa.Table) -> pa.Table:
+        key = "pipjoin:" + rings_ref.hex()
+        fn = _BROADCAST_CACHE.get(key)
+        if fn is None:
+            fn = PipJoin(rings_ref)
+            _BROADCAST_CACHE[key] = fn
+        return fn(batch)
+
+    return geo_ds.map_batches(join, batch_format="pyarrow", batch_size=32768)
