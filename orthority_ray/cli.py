@@ -1,0 +1,135 @@
+"""Command-line interface — the engine's analog of the reference's ``oty``
+CLI (`orthority/cli.py:294-372`: sub-commands sharing one backend).
+
+    python -m orthority_ray flagship --sf-dir DIR --out DIR [--no-resume]
+    python -m orthority_ray query NAME --sf-dir DIR [--limit N]
+    python -m orthority_ray tiles --sf-dir DIR
+    python -m orthority_ray refine --method shift|shift_drift
+    python -m orthority_ray list
+
+Owns its Ray session (guarded init; the library never calls ray.init)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session():
+    import ray
+    from ray.data import DataContext
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_flagship(args) -> int:
+    _ray_session()
+    from .pipelines.flagship import run_flagship
+
+    man = run_flagship(args.sf_dir, args.out, n_parts=args.parts, resume=not args.no_resume)
+    print(man.to_string(index=False))
+    return 0
+
+
+def cmd_query(args) -> int:
+    _ray_session()
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    sys.path.insert(0, args.repo_root)
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+        return 2
+    res = qs[args.name](args.sf_dir)
+    if isinstance(res, ray.data.Dataset):
+        res = res.limit(args.limit).to_pandas() if args.limit else res.to_pandas()
+    elif isinstance(res, pa.Table):
+        res = res.to_pandas()
+    if args.limit:
+        res = res.head(args.limit)
+    print(res.to_string(index=False))
+    return 0
+
+
+def cmd_tiles(args) -> int:
+    _ray_session()
+    from .sources.pages import read_page_keys
+    from .stages.geocode import geocode
+    from .stages.tiles import assign_tiles
+
+    print(assign_tiles(geocode(read_page_keys(args.sf_dir))).to_string(index=False))
+    return 0
+
+
+def cmd_refine(args) -> int:
+    _ray_session()
+    import ray.data
+
+    from .sources import param_io as P
+    from .stages.refine import make_gcp_table, refine_rpc_grouped
+
+    gcps = make_gcp_table(P.RPC)
+    out = refine_rpc_grouped(ray.data.from_pandas(gcps), P.RPC, args.method).to_pandas()
+    print(out.to_string(index=False))
+    return 0
+
+
+def cmd_list(args) -> int:
+    sys.path.insert(0, args.repo_root)
+    import __ray_entry__ as E
+
+    oracle = set(E.oracle_sql())
+    for name in sorted(E.queries()):
+        kind = "oracle-checked" if name in oracle else "rows-only"
+        print(f"{name:24s} {kind}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="orthority_ray")
+    p.add_argument("--repo-root", default="/root/repo")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    f = sub.add_parser("flagship", help="run/resume the flagship pipeline")
+    f.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    f.add_argument("--out", required=True)
+    f.add_argument("--parts", type=int, default=16)
+    f.add_argument("--no-resume", action="store_true")
+    f.set_defaults(fn=cmd_flagship)
+
+    q = sub.add_parser("query", help="run a named query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--limit", type=int, default=20)
+    q.set_defaults(fn=cmd_query)
+
+    t = sub.add_parser("tiles", help="print the cell -> tile routing table")
+    t.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    t.set_defaults(fn=cmd_tiles)
+
+    r = sub.add_parser("refine", help="grouped RPC refinement demo")
+    r.add_argument("--method", default="shift", choices=["shift", "shift_drift"])
+    r.set_defaults(fn=cmd_refine)
+
+    l = sub.add_parser("list", help="list queries")
+    l.set_defaults(fn=cmd_list)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
