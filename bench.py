@@ -69,37 +69,18 @@ def run_headline() -> dict:
     from orthority_ray.stages.pip import pip_join
     from orthority_ray.stages.tiles import assign_tiles
 
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    from orthority_ray.pipelines.fused import fused_headline
 
-    def keys():
-        if REPLICATE > 1:
-            return read_page_keys_replicated(SF_DIR, REPLICATE)
-        return read_page_keys(SF_DIR)
-
-    n_docs = keys().count()
-
-    def slim(batch: pa.Table) -> pa.Table:
-        # verify the byte-identical invariant INSIDE the fused stage, then
-        # drop the payload columns — downstream stages (PIP, tile assign)
-        # are pure integer/float math, so the pipeline stops hauling ~2KB
-        # of page bytes per doc through every block (memory-bandwidth win)
-        batch = extract_batch(batch)
-        n_bad = batch.num_rows - pc.sum(
-            pc.equal(batch["extracted_text"], batch["text"])
-        ).as_py()
-        if n_bad:
-            raise ValueError(f"{n_bad} rows failed byte-identical extraction")
-        return geocode_batch(batch.select(["doc_id"]))
+    if REPLICATE > 1:
+        n_docs = read_page_keys_replicated(SF_DIR, REPLICATE).count()
+    else:
+        n_docs = read_page_keys(SF_DIR).count()
 
     def run_once() -> tuple[float, int, int]:
         t0 = time.perf_counter()
-        # fused pass: synthesize pages, byte-exact extract + verify, slim to
-        # ints, geocode, PIP join
-        pages = pages_from_keys(keys(), SF_DIR)
-        staged = pages.map_batches(slim, batch_format="pyarrow", batch_size=16384)
-        join_rows = _consume(pip_join(staged))
-        tiles = assign_tiles(geocode(keys()))
+        # single-pass fused flagship: synth -> byte-exact extract+verify ->
+        # geocode -> PIP join -> per-cell combiner -> groupby(cell) -> tiles
+        tiles, join_rows = fused_headline(SF_DIR, REPLICATE)
         return time.perf_counter() - t0, join_rows, len(tiles)
 
     # one untimed pass warms the Ray worker pool (cold spawn of num_cpus
