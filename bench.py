@@ -169,7 +169,11 @@ def scaling() -> None:
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    pair = os.environ.get("GRAFT_SCALE_PAIR", "8,32")
+    # default pair 2 -> 8 (N and 4N): on this host 8 CPUs already saturate
+    # the effective parallel capacity (external tenant load; see BASELINE.md
+    # "Scaling analysis"), so 8 -> 32 measures saturation, not the engine.
+    # Override with GRAFT_SCALE_PAIR=8,32.
+    pair = os.environ.get("GRAFT_SCALE_PAIR", "2,8")
     lo, hi = (int(x) for x in pair.split(","))
     # interleaved best-of-N per level: the sandbox host carries variable
     # external load (single measurements swing 3x); see BASELINE.md for the
