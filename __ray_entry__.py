@@ -29,6 +29,7 @@ from orthority_ray.stages.camera_geocode import (
     pinhole_geocode_table,
     sql_pinhole_geocode,
 )
+from orthority_ray.stages.remap import sql_remap_checker as _sql_remap_checker
 from orthority_ray.stages.geocode import geocode
 from orthority_ray.stages.pip import pip_join
 from orthority_ray.stages.sharpen import pan_sharpen
@@ -134,6 +135,72 @@ def q_cell_covariance(sf_dir: str):
 # --- non-SQL-expressible (rows-only checks) ---------------------------------
 
 
+def q_remap_checker(sf_dir: str):
+    from orthority_ray.stages.remap import remap_checker_table
+
+    return remap_checker_table(read_page_keys(sf_dir))
+
+
+def q_auto_utm(sf_dir: str):
+    """A4 analog: mean position -> UTM zone, via exact integer milli sums
+    (the distributed ds.mean-then-broadcast aggregate, integer-safe)."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    agg = (
+        _geo(sf_dir)
+        .select_columns(["lon_milli", "lat_milli"])
+        .groupby(None)
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("lon_milli", alias_name="s_lon"),
+            Sum("lat_milli", alias_name="s_lat"),
+        )
+        .to_pandas()
+    )
+    n = int(agg["n"].iloc[0])
+    mean_lon_milli = int(agg["s_lon"].iloc[0]) // n
+    mean_lat_milli = int(agg["s_lat"].iloc[0]) // n
+    zone = (mean_lon_milli // 6000) % 60 + 1
+    epsg = (32600 if mean_lat_milli >= 85_000 else 32700) + zone
+    return pd.DataFrame({"n": [n], "mean_lon_milli": [mean_lon_milli],
+                         "mean_lat_milli": [mean_lat_milli], "epsg": [epsg]})
+
+
+def q_gcp_refine(sf_dir: str):
+    import ray.data as rd
+
+    from orthority_ray.sources.param_io import RPC
+    from orthority_ray.stages.refine import make_gcp_table, refine_rpc_grouped
+
+    return refine_rpc_grouped(rd.from_pandas(make_gcp_table(RPC)), RPC, "shift")
+
+
+def q_calibrate(sf_dir: str):
+    import pandas as pd
+    import ray.data as rd
+
+    from orthority_ray.stages.fit import calibrate_grouped
+    from orthority_ray.sources import param_io as PIO
+    from orthority_ray.core.cameras import create_camera
+    import numpy as np
+
+    cam = create_camera(
+        "pinhole", im_size=PIO.IM_SIZE, focal_len=PIO.FOCAL, sensor_size=PIO.SENSOR,
+        cx=PIO.CXY[0], cy=PIO.CXY[1], xyz=PIO.XYZ, opk=PIO.OPK,
+    )
+    rng = np.random.default_rng(42)
+    frames = []
+    for img, seed in (("im_a", 1), ("im_b", 2)):
+        r = np.random.default_rng(seed)
+        j = r.uniform(5, 195, 60)
+        i = r.uniform(5, 145, 60)
+        z = r.uniform(700, 950, 60)
+        x, y, zz = cam.pixel_to_world_z(j, i, z)
+        frames.append(pd.DataFrame({"image": img, "j": j, "i": i, "x": x, "y": y, "z": zz}))
+    return calibrate_grouped(rd.from_pandas(pd.concat(frames)))
+
+
 def q_dem_geocode(sf_dir: str):
     return dem_geocode(read_page_keys(sf_dir)).select_columns(
         ["doc_id", "wx", "wy", "wz"]
@@ -186,7 +253,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": R.q_events_hourly,
         "event_sessions": R.q_event_sessions,
         "parts_by_brand": R.q_parts_by_brand,
+        "remap_checker": q_remap_checker,
+        "auto_utm": q_auto_utm,
         # non-SQL-expressible (driver records rows-only checks):
+        "gcp_refine": q_gcp_refine,
+        "calibrate": q_calibrate,
         "cell_covariance": q_cell_covariance,
         "dem_geocode": q_dem_geocode,
         "minhash_pairs": q_minhash_pairs,
@@ -233,4 +304,12 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": R.SQL_EVENTS_HOURLY,
         "event_sessions": R.SQL_EVENT_SESSIONS,
         "parts_by_brand": R.SQL_PARTS_BY_BRAND,
+        "remap_checker": S.with_pages(_sql_remap_checker()),
+        "auto_utm": S.with_geo(
+            """SELECT n, s_lon // n AS mean_lon_milli, s_lat // n AS mean_lat_milli,
+                 CAST(CASE WHEN s_lat // n >= 85000 THEN 32600 ELSE 32700 END
+                   + ((s_lon // n) // 6000) % 60 + 1 AS BIGINT) AS epsg
+               FROM (SELECT COUNT(*) AS n, SUM(lon_milli) AS s_lon, SUM(lat_milli) AS s_lat
+                     FROM geod)"""
+        ),
     }

@@ -99,3 +99,10 @@ SQL_LAT_MILLI = (
 )
 SQL_LON = "(CAST(lon_milli AS DOUBLE) / 1000.0 - 180.0)"
 SQL_LAT = "(CAST(lat_milli AS DOUBLE) / 1000.0 - 85.0)"
+
+
+def sql_flit(v: float) -> str:
+    """Exact float literal for DuckDB: repr() round-trips the double, and the
+    CAST stops DuckDB from typing short literals as DECIMAL (whose chained
+    multiplications overflow)."""
+    return f"CAST({v!r} AS DOUBLE)"

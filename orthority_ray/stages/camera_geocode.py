@@ -25,6 +25,7 @@ import ray
 import ray.data
 
 from ..core import hashing as H
+from ..core.hashing import sql_flit as FL
 from ..core.cameras import FrameCamera
 from ..core.config import pool
 from ..core.zsurface import Z_OFFSET, ZSurface
@@ -142,14 +143,14 @@ def sql_pinhole_geocode() -> str:
     jw, ih = P.IM_SIZE[0] * 1000, P.IM_SIZE[1] * 1000
     j = f"(CAST({H.SQL_H1} % {jw} AS DOUBLE) / 1000.0)"
     i = f"(CAST({H.SQL_H2} % {ih} AS DOUBLE) / 1000.0)"
-    xn = f"(({j} - {K[0, 2]!r}) / {K[0, 0]!r})"
-    yn = f"(({i} - {K[1, 2]!r}) / {K[1, 1]!r})"
-    rx = f"({R[0, 0]!r} * {xn} + {R[0, 1]!r} * {yn} + {R[0, 2]!r})"
-    ry = f"({R[1, 0]!r} * {xn} + {R[1, 1]!r} * {yn} + {R[1, 2]!r})"
-    rz = f"({R[2, 0]!r} * {xn} + {R[2, 1]!r} * {yn} + {R[2, 2]!r})"
-    lam = f"(({FLAT_Z!r} - {T[2]!r}) / {rz})"
-    x = f"({T[0]!r} + {lam} * {rx})"
-    y = f"({T[1]!r} + {lam} * {ry})"
+    xn = f"(({j} - {FL(K[0, 2])}) / {FL(K[0, 0])})"
+    yn = f"(({i} - {FL(K[1, 2])}) / {FL(K[1, 1])})"
+    rx = f"({FL(R[0, 0])} * {xn} + {FL(R[0, 1])} * {yn} + {FL(R[0, 2])})"
+    ry = f"({FL(R[1, 0])} * {xn} + {FL(R[1, 1])} * {yn} + {FL(R[1, 2])})"
+    rz = f"({FL(R[2, 0])} * {xn} + {FL(R[2, 1])} * {yn} + {FL(R[2, 2])})"
+    lam = f"(({FL(FLAT_Z)} - {FL(T[2])}) / {rz})"
+    x = f"({FL(T[0])} + {lam} * {rx})"
+    y = f"({FL(T[1])} + {lam} * {ry})"
     return (
         f"SELECT doc_id, CAST(floor({x} * 1000.0) AS BIGINT) AS x_mm, "
         f"CAST(floor({y} * 1000.0) AS BIGINT) AS y_mm "

@@ -1,0 +1,193 @@
+"""Remap: world coordinates -> source-image pixels -> sampled values.
+
+Engine re-expression of the reference's remap core (`orthority/camera.py:
+319-399` Camera.remap = world_to_pixel projection + per-band cv2.remap
+interpolation with nodata masking; SURVEY.md §2.2 M11-M13, §2.4 St2):
+
+- the "source image" is a deterministic checkerboard grid (reference fixture
+  semantics, `tests/conftest.py:58-64`) held ONCE per actor;
+- every doc's world point is projected through its camera (M1) and the
+  image is sampled at the resulting (j, i) — nearest or bilinear;
+- out-of-frame samples are nodata (null mask), and a 1-step mask dilation
+  marks samples adjacent to nodata (the remap-blur guard, M12,
+  `camera.py:1059-1116` semantics);
+- undistortion lookup grids are built lazily and cached per actor (St2,
+  `camera.py:1232-1255` analog).
+
+The nearest-neighbor pinhole path is DuckDB-replicable:
+``checker = (floor(j/8) + floor(i/8)) % 2`` over the literal-matrix pinhole
+projection — see :func:`sql_remap_checker`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..core import hashing as H
+from ..core.hashing import sql_flit as FL
+from ..core.config import pool
+from ..sources import param_io as P
+from .camera_geocode import FLAT_Z, doc_pixels, sql_pinhole_geocode
+
+CHECKER_PERIOD = 8
+
+
+def checkerboard(shape: tuple[int, int] = (P.IM_SIZE[1], P.IM_SIZE[0])) -> np.ndarray:
+    """uint8 checkerboard image, period 8 px (reference fixture semantics)."""
+    h, w = shape
+    ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    return ((ii // CHECKER_PERIOD + jj // CHECKER_PERIOD) % 2).astype(np.uint8)
+
+
+class Remapper:
+    """Actor: holds the source image + camera bank + lazy undistort grids."""
+
+    def __init__(self, interp: str = "nearest"):
+        self.image = checkerboard().astype(np.float64)
+        self.bank = P.build_camera_bank()
+        self.interp = interp
+        self._undistort_grids: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+    def undistort_grid(self, cam_id: str) -> tuple[np.ndarray, np.ndarray]:
+        """Lazily-built full-image distortion lookup maps (St2): for every
+        undistorted pixel, the distorted source position to sample."""
+        grids = self._undistort_grids.get(cam_id)
+        if grids is None:
+            cam = self.bank[cam_id]
+            w, h = P.IM_SIZE
+            jj, ii = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
+            jd, id_ = cam.distort_pixel(jj.ravel(), ii.ravel())
+            grids = (jd.reshape(h, w).astype(np.float32), id_.reshape(h, w).astype(np.float32))
+            self._undistort_grids[cam_id] = grids
+        return grids
+
+    def _sample(self, j: np.ndarray, i: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(values, valid) at fractional pixel coords; nodata outside."""
+        h, w = self.image.shape
+        if self.interp == "nearest":
+            jn = np.floor(j).astype(np.int64)
+            iN = np.floor(i).astype(np.int64)
+            valid = (jn >= 0) & (jn < w) & (iN >= 0) & (iN < h)
+            out = np.where(valid, self.image[np.clip(iN, 0, h - 1), np.clip(jn, 0, w - 1)], np.nan)
+            return out, valid
+        j0 = np.floor(j).astype(np.int64)
+        i0 = np.floor(i).astype(np.int64)
+        fj, fi = j - j0, i - i0
+        valid = (j0 >= 0) & (j0 < w - 1) & (i0 >= 0) & (i0 < h - 1)
+        j0c = np.clip(j0, 0, w - 2)
+        i0c = np.clip(i0, 0, h - 2)
+        img = self.image
+        out = (
+            img[i0c, j0c] * (1 - fi) * (1 - fj)
+            + img[i0c, j0c + 1] * (1 - fi) * fj
+            + img[i0c + 1, j0c] * fi * (1 - fj)
+            + img[i0c + 1, j0c + 1] * fi * fj
+        )
+        return np.where(valid, out, np.nan), valid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        _, _, cam_idx = doc_pixels(doc_id)
+        wx = batch["wx"].to_numpy(zero_copy_only=False)
+        wy = batch["wy"].to_numpy(zero_copy_only=False)
+        wz = batch["wz"].to_numpy(zero_copy_only=False)
+        j = np.empty_like(wx)
+        i = np.empty_like(wx)
+        for ci, cam_id in enumerate(P.CAM_IDS):
+            m = cam_idx == ci
+            if m.any():
+                j[m], i[m] = self.bank[cam_id].world_to_pixel(wx[m], wy[m], wz[m])
+        vals, valid = self._sample(j, i)
+        # 1-step mask "dilation": a sample whose 4-neighborhood in pixel
+        # space leaves the frame is flagged (remap-blur guard, M12)
+        h, w = self.image.shape
+        edge = (j < 1) | (j > w - 2) | (i < 1) | (i > h - 2)
+        return (
+            batch.append_column("src_j", pa.array(j))
+            .append_column("src_i", pa.array(i))
+            .append_column("value", pa.array(vals))
+            .append_column("valid", pa.array(valid))
+            .append_column("edge_dilated", pa.array(edge & valid))
+        )
+
+
+def remap(geo_ds: ray.data.Dataset, interp: str = "nearest",
+          *, concurrency: int | None = None) -> ray.data.Dataset:
+    """geo_ds must carry (doc_id, wx, wy, wz) — see stages/camera_geocode."""
+    return geo_ds.map_batches(
+        Remapper, batch_format="pyarrow", batch_size=32768,
+        concurrency=pool(concurrency), fn_constructor_kwargs=dict(interp=interp),
+    )
+
+
+def remap_checker_table(ds_keys: ray.data.Dataset) -> ray.data.Dataset:
+    """Oracle-checkable remap: pinhole docs, flat-z geocode, nearest-neighbor
+    checker value.  -> (doc_id, jn, in_, checker) int columns."""
+    from .camera_geocode import camera_geocode
+
+    geo = camera_geocode(ds_keys)
+    rem = remap(geo, interp="nearest")
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        m = (batch["cam_idx"].to_numpy(zero_copy_only=False) == 0) & batch[
+            "valid"
+        ].to_numpy(zero_copy_only=False)
+        j = batch["src_j"].to_numpy(zero_copy_only=False)[m]
+        i = batch["src_i"].to_numpy(zero_copy_only=False)[m]
+        v = batch["value"].to_numpy(zero_copy_only=False)[m]
+        return pa.table(
+            {
+                "doc_id": pa.array(batch["doc_id"].to_numpy(zero_copy_only=False)[m]),
+                "jn": pa.array(np.floor(j).astype(np.int64)),
+                "in_": pa.array(np.floor(i).astype(np.int64)),
+                "checker": pa.array(v.astype(np.int64)),
+            }
+        )
+
+    return rem.map_batches(fmt, batch_format="pyarrow")
+
+
+def sql_remap_checker() -> str:
+    """DuckDB replication of :func:`remap_checker_table` for pinhole docs.
+
+    The pinhole forward projection of the flat-z geocode is the IDENTITY on
+    the doc's own (j, i) sample up to float round-trip (pixel -> world ->
+    pixel), so jn/in_ are the floors of the round-tripped values; with the
+    literal-matrix expressions the round trip is bit-exact on both sides.
+    """
+    bank = P.build_camera_bank()
+    cam = bank["pinhole"]
+    K, R, T = cam.K, cam.R, cam.T
+    Rt = R.T
+    n_cams = len(P.CAM_IDS)
+    jw, ih = P.IM_SIZE[0] * 1000, P.IM_SIZE[1] * 1000
+    j = f"(CAST({H.SQL_H1} % {jw} AS DOUBLE) / 1000.0)"
+    i = f"(CAST({H.SQL_H2} % {ih} AS DOUBLE) / 1000.0)"
+    xn = f"(({j} - {FL(K[0, 2])}) / {FL(K[0, 0])})"
+    yn = f"(({i} - {FL(K[1, 2])}) / {FL(K[1, 1])})"
+    rx = f"({FL(R[0, 0])} * {xn} + {FL(R[0, 1])} * {yn} + {FL(R[0, 2])})"
+    ry = f"({FL(R[1, 0])} * {xn} + {FL(R[1, 1])} * {yn} + {FL(R[1, 2])})"
+    rz = f"({FL(R[2, 0])} * {xn} + {FL(R[2, 1])} * {yn} + {FL(R[2, 2])})"
+    lam = f"(({FL(FLAT_Z)} - {FL(T[2])}) / {rz})"
+    x = f"({FL(T[0])} + {lam} * {rx})"
+    y = f"({FL(T[1])} + {lam} * {ry})"
+    z = FL(FLAT_Z)
+    dx, dy, dz = f"({x} - {FL(T[0])})", f"({y} - {FL(T[1])})", f"({z} - {FL(T[2])})"
+    xc = f"({FL(Rt[0, 0])} * {dx} + {FL(Rt[0, 1])} * {dy} + {FL(Rt[0, 2])} * {dz})"
+    yc = f"({FL(Rt[1, 0])} * {dx} + {FL(Rt[1, 1])} * {dy} + {FL(Rt[1, 2])} * {dz})"
+    zc = f"({FL(Rt[2, 0])} * {dx} + {FL(Rt[2, 1])} * {dy} + {FL(Rt[2, 2])} * {dz})"
+    jj = f"({FL(K[0, 0])} * ({xc} / {zc}) + {FL(K[0, 2])})"
+    ii = f"({FL(K[1, 1])} * ({yc} / {zc}) + {FL(K[1, 2])})"
+    w, h = P.IM_SIZE
+    return f"""
+SELECT doc_id, jn, in_, CAST((jn // {CHECKER_PERIOD} + in_ // {CHECKER_PERIOD}) % 2 AS BIGINT) AS checker
+FROM (
+  SELECT doc_id,
+         CAST(floor({jj}) AS BIGINT) AS jn,
+         CAST(floor({ii}) AS BIGINT) AS in_
+  FROM pages WHERE {H.SQL_H1} % {n_cams} = 0
+)
+WHERE jn >= 0 AND jn < {w} AND in_ >= 0 AND in_ < {h}
+""".strip()

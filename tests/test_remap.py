@@ -1,0 +1,74 @@
+"""Remap stage: projection + sampling accuracy, mask semantics, undistort
+grids, and SQL oracle parity (mirrors `tests/test_camera.py:1024-1255`
+remap accuracy strategy)."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from orthority_ray.sources import sql as Q
+from orthority_ray.sources.pages import read_page_keys
+from orthority_ray.stages.camera_geocode import camera_geocode
+from orthority_ray.stages.remap import Remapper, checkerboard, remap, remap_checker_table, sql_remap_checker
+
+
+def test_checkerboard_pattern():
+    img = checkerboard((16, 16))
+    assert img[0, 0] == 0 and img[0, 8] == 1 and img[8, 8] == 0
+
+
+def test_remap_roundtrip_recovers_own_pixel(sf_unit):
+    """flat-z geocode -> remap projects each doc back to its OWN (j, i):
+    the sampled checker equals the checker at the doc's source pixel."""
+    from orthority_ray.stages.camera_geocode import doc_pixels
+
+    geo = camera_geocode(read_page_keys(sf_unit).limit(3000))
+    out = remap(geo, interp="nearest").to_pandas()
+    doc_id = out["doc_id"].to_numpy()
+    j, i, _ = doc_pixels(doc_id)
+    ok = out["valid"].to_numpy()
+    assert ok.mean() > 0.95
+    assert np.abs(out["src_j"].to_numpy()[ok] - j[ok]).max() < 1e-6
+    img = checkerboard()
+    expect = img[np.floor(i[ok]).astype(int), np.floor(j[ok]).astype(int)]
+    assert (out["value"].to_numpy()[ok] == expect).all()
+
+
+def test_remap_bilinear_smooth(sf_unit):
+    geo = camera_geocode(read_page_keys(sf_unit).limit(2000))
+    out = remap(geo, interp="bilinear").to_pandas()
+    v = out["value"].to_numpy()
+    ok = ~np.isnan(v)
+    assert ((v[ok] >= 0) & (v[ok] <= 1)).all()
+    assert ((v[ok] > 0) & (v[ok] < 1)).any()  # interpolated values exist
+
+
+def test_undistort_grid_cached():
+    r = Remapper()
+    g1 = r.undistort_grid("brown")
+    g2 = r.undistort_grid("brown")
+    assert g1 is g2
+    assert g1[0].shape == (150, 200) and g1[0].dtype == np.float32
+    # distorted positions differ from identity away from the center
+    jj = np.arange(200, dtype=np.float32)
+    assert np.abs(g1[0][10] - jj).max() > 0.5
+
+
+def test_remap_checker_matches_oracle(sf_unit):
+    ours = (
+        remap_checker_table(read_page_keys(sf_unit))
+        .to_pandas()
+        .sort_values(["doc_id", "jn", "in_"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    for t in ("lineitem", "documents"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'")
+    oracle = (
+        con.sql(Q.with_pages(sql_remap_checker()) + " ORDER BY doc_id, jn, in_")
+        .df()
+        .reset_index(drop=True)
+    )
+    assert len(ours) == len(oracle) > 0
+    for c in ("doc_id", "jn", "in_", "checker"):
+        assert (ours[c].values == oracle[c].values).all(), c
