@@ -29,6 +29,7 @@ from orthority_ray.stages.camera_geocode import (
     pinhole_geocode_table,
     sql_pinhole_geocode,
 )
+from orthority_ray.stages.metadata import SQL_METADATA as _SQL_METADATA
 from orthority_ray.stages.remap import sql_remap_checker as _sql_remap_checker
 from orthority_ray.stages.geocode import geocode
 from orthority_ray.stages.pip import pip_join
@@ -167,6 +168,12 @@ def q_auto_utm(sf_dir: str):
                          "mean_lat_milli": [mean_lat_milli], "epsg": [epsg]})
 
 
+def q_metadata(sf_dir: str):
+    from orthority_ray.stages.metadata import extract_metadata
+
+    return extract_metadata(read_pages(sf_dir))
+
+
 def q_gcp_refine(sf_dir: str):
     import ray.data as rd
 
@@ -255,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_brand": R.q_parts_by_brand,
         "remap_checker": q_remap_checker,
         "auto_utm": q_auto_utm,
+        "metadata": q_metadata,
         # non-SQL-expressible (driver records rows-only checks):
         "gcp_refine": q_gcp_refine,
         "calibrate": q_calibrate,
@@ -305,6 +313,7 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": R.SQL_EVENT_SESSIONS,
         "parts_by_brand": R.SQL_PARTS_BY_BRAND,
         "remap_checker": S.with_pages(_sql_remap_checker()),
+        "metadata": S.with_pages(_SQL_METADATA),
         "auto_utm": S.with_geo(
             """SELECT n, s_lon // n AS mean_lon_milli, s_lat // n AS mean_lat_milli,
                  CAST(CASE WHEN s_lat // n >= 85000 THEN 32600 ELSE 32700 END

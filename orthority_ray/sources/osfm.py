@@ -1,0 +1,77 @@
+"""OpenSfM / ODM ``reconstruction.json`` reader (SURVEY.md §2.1 S11,
+`orthority/param_io.py:1160-1263` analog).
+
+Parses the public OpenSfM reconstruction schema: ``cameras`` (projection
+type + normalised focal/distortion) -> interior params; ``shots``
+(angle-axis rotation + translation) -> exterior position/OPK via the
+Rodrigues conversion (`core/rotations.cv_ext_to_oty_ext`), offset by the
+topocentric ``reference_lla`` origin.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from ..core.rotations import cv_ext_to_oty_ext
+
+_PROJECTION_TO_CAM_TYPE = {
+    "perspective": "brown",
+    "brown": "brown",
+    "fisheye": "fisheye",
+    "fisheye_opencv": "fisheye",
+    "spherical": None,  # unsupported, skipped with a note
+}
+
+
+class OsfmReader:
+    def __init__(self, path: str | Path, ref_xyz=None):
+        self.doc = json.loads(Path(path).read_text())
+        if isinstance(self.doc, list):  # OpenSfM writes a list of reconstructions
+            self.doc = self.doc[0]
+        ref = self.doc.get("reference_lla")
+        if ref_xyz is not None:
+            self.ref_xyz = np.asarray(ref_xyz, dtype=np.float64)
+        elif ref:
+            # engine's deterministic lla->world placement (see camera_geocode)
+            self.ref_xyz = np.array(
+                [
+                    (ref["longitude"] + 180.0) * 111_320.0,
+                    (ref["latitude"] + 85.0) * 111_320.0,
+                    ref.get("altitude", 0.0),
+                ]
+            )
+        else:
+            self.ref_xyz = np.zeros(3)
+
+    def read_int_param(self) -> dict:
+        out = {}
+        for cam_id, c in self.doc.get("cameras", {}).items():
+            cam_type = _PROJECTION_TO_CAM_TYPE.get(c.get("projection_type", "perspective"))
+            if cam_type is None:
+                continue
+            w, h = int(c["width"]), int(c["height"])
+            params = dict(
+                cam_type=cam_type,
+                im_size=[w, h],
+                focal_len=float(c.get("focal", c.get("focal_x", 1.0))),
+                sensor_size=[1.0, h / w],
+                cx=float(c.get("c_x", 0.0)),
+                cy=float(c.get("c_y", 0.0)),
+            )
+            for k in ("k1", "k2", "k3", "p1", "p2"):
+                if k in c:
+                    params[k] = float(c[k])
+            out[cam_id] = params
+        return out
+
+    def read_ext_param(self) -> dict:
+        out = {}
+        for name, shot in self.doc.get("shots", {}).items():
+            xyz, opk = cv_ext_to_oty_ext(
+                t=shot["translation"], r=shot["rotation"], ref_xyz=self.ref_xyz
+            )
+            out[name] = dict(xyz=list(xyz), opk=list(opk), camera=shot["camera"])
+        return out
