@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) — the reference's test suite uses
+unseeded randomness (`test_camera.py:194`); we use seeded + property-based."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from orthority_ray.core import cells as C
+from orthority_ray.core import hashing as H
+from orthority_ray.core.cameras import create_camera
+from orthority_ray.core.rotations import opk_to_rotation, rotation_to_opk
+from orthority_ray.functions.scalars import convert_array_dtype, nan_equals
+from orthority_ray.sources import param_io as P
+
+coords = st.tuples(
+    st.integers(min_value=0, max_value=H.LON_RANGE - 1),
+    st.integers(min_value=0, max_value=H.LAT_RANGE - 1),
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(coords, st.sampled_from(C.RES_MILLI))
+def test_cell_encode_decode_property(c, cs):
+    lon_m = np.array([c[0]], dtype=np.int64)
+    lat_m = np.array([c[1]], dtype=np.int64)
+    cell = C.encode(lon_m, lat_m, cs)
+    col, row = C.decode(cell, cs)
+    assert col[0] == c[0] // cs and row[0] == c[1] // cs
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=10**8))
+def test_geocode_in_range_property(doc_id):
+    lon_m, lat_m = H.geocode_milli(np.array([doc_id], dtype=np.int64))
+    assert 0 <= lon_m[0] < H.LON_RANGE
+    assert 0 <= lat_m[0] < H.LAT_RANGE
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.floats(-0.5, 0.5), st.floats(-0.5, 0.5), st.floats(-3.1, 3.1)
+)
+def test_opk_roundtrip_property(o, p, k):
+    R = opk_to_rotation((o, p, k))
+    o2, p2, k2 = rotation_to_opk(R)
+    R2 = opk_to_rotation((o2, p2, k2))
+    assert np.allclose(R, R2, atol=1e-12)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.floats(1, 199), st.floats(1, 149), st.floats(400, 990),
+    st.sampled_from(["pinhole", "brown", "opencv", "fisheye"]),
+)
+def test_camera_roundtrip_property(j, i, z, cam_type):
+    extra = {"pinhole": {}, "brown": P.BROWN, "opencv": P.OPENCV, "fisheye": P.FISHEYE}[cam_type]
+    cam = create_camera(
+        cam_type, im_size=P.IM_SIZE, focal_len=P.FOCAL, sensor_size=P.SENSOR,
+        cx=P.CXY[0], cy=P.CXY[1], xyz=P.XYZ, opk=P.OPK, **extra,
+    )
+    x, y, zz = cam.pixel_to_world_z(np.array([j]), np.array([i]), z)
+    j2, i2 = cam.world_to_pixel(x, y, zz)
+    assert abs(j2[0] - j) < 1e-5 and abs(i2[0] - i) < 1e-5
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.floats(allow_nan=True, allow_infinity=False, width=32), min_size=1, max_size=20))
+def test_nan_equals_reflexive_property(xs):
+    a = np.array(xs, dtype=np.float64)
+    assert nan_equals(a, a).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.floats(-1e6, 1e6), min_size=1, max_size=10))
+def test_convert_dtype_within_bounds_property(xs):
+    out = convert_array_dtype(np.array(xs), "int16")
+    info = np.iinfo("int16")
+    assert (out >= info.min).all() and (out <= info.max).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.text(min_size=0, max_size=200))
+def test_md5_matches_duckdb_property(text):
+    import hashlib
+
+    import duckdb
+
+    ours = hashlib.md5(text.encode("utf-8")).hexdigest()
+    con = duckdb.connect()
+    con.execute("SELECT md5(?)", [text])
+    theirs = con.fetchone()[0]
+    assert ours == theirs
