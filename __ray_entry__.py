@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": R.q_events_hourly,
         "event_sessions": R.q_event_sessions,
         "parts_by_brand": R.q_parts_by_brand,
+        "priority_revenue": R.q_priority_revenue,
         "remap_checker": q_remap_checker,
         "auto_utm": q_auto_utm,
         "metadata": q_metadata,
@@ -312,6 +313,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": R.SQL_EVENTS_HOURLY,
         "event_sessions": R.SQL_EVENT_SESSIONS,
         "parts_by_brand": R.SQL_PARTS_BY_BRAND,
+        "priority_revenue": R.SQL_PRIORITY_REVENUE,
         "remap_checker": S.with_pages(_sql_remap_checker()),
         "metadata": S.with_pages(_SQL_METADATA),
         "auto_utm": S.with_geo(

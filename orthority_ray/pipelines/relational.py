@@ -166,6 +166,46 @@ FROM (
 """.strip()
 
 
+# --- large x large partitioned hash join ------------------------------------
+
+
+def q_priority_revenue(sf_dir: str) -> ray.data.Dataset:
+    """orders ⋈ lineitem (both large sides -> bucketed hash join,
+    stages/hashjoin.py) -> revenue by order priority."""
+    from ..stages.hashjoin import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": b["l_orderkey"],
+                "rev_cents": pa.array(cents(price * (1.0 - disc))),
+            }
+        )
+
+    li_prep = li.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = hash_join(
+        orders, li_prep, "o_orderkey",
+        ["o_orderkey", "o_orderpriority"], ["o_orderkey", "rev_cents"],
+    )
+    return (
+        joined.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_lineitems"), Sum("rev_cents", alias_name="rev_cents"))
+    )
+
+
+SQL_PRIORITY_REVENUE = """
+SELECT o.o_orderpriority AS o_orderpriority, COUNT(*) AS n_lineitems,
+       SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS rev_cents
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""".strip()
+
+
 # --- events: tumbling window aggregate --------------------------------------
 
 WINDOW_US = 3_600_000_000  # 1 hour

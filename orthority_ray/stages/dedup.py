@@ -31,8 +31,19 @@ from ..core.config import pool
 # --- exact dedup -----------------------------------------------------------
 
 
+_MD5_CACHE: dict[bytes, str] = {}
+
+
 def add_text_md5(batch: pa.Table, col: str = "text") -> pa.Table:
-    md5 = [hashlib.md5(t).hexdigest() for t in batch[col].cast(pa.binary()).to_pylist()]
+    """Vectorized-ish md5 with a per-worker memo (dup-heavy crawl payloads)."""
+    md5 = []
+    for t in batch[col].cast(pa.binary()).to_pylist():
+        h = _MD5_CACHE.get(t)
+        if h is None:
+            h = hashlib.md5(t).hexdigest()
+            if len(_MD5_CACHE) < 200_000:
+                _MD5_CACHE[t] = h
+        md5.append(h)
     return batch.append_column("text_md5", pa.array(md5, pa.string()))
 
 

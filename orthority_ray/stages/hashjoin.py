@@ -1,0 +1,56 @@
+"""Partitioned hash join for two LARGE sides (SURVEY.md §2.5; ray_guide.md
+"Both sides large").
+
+Neither side fits a broadcast, so both are bucketed by ``hash(key) % B`` and
+matching buckets are joined pairwise inside ``map_groups`` — an explicit
+hash-partitioned join.  The bucket count B bounds per-reducer memory
+(bucket ≈ rows/B); skewed keys can be salted into sub-buckets by raising B
+or pre-splitting hot keys (stages/salting.py pattern).
+
+Implementation detail: the two sides are tagged and unioned so ONE
+``groupby(bucket)`` shuffle co-locates both sides of each bucket (Ray Data
+has no native co-partitioned zip); the per-bucket pandas merge is the probe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+DEFAULT_BUCKETS = 64
+
+
+def _with_bucket(ds: ray.data.Dataset, key: str, side: int, n_buckets: int,
+                 columns: list[str]) -> ray.data.Dataset:
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = ((k * 2654435761) % 4294967296) % n_buckets
+        out = {c: batch[c] for c in columns}
+        out["__bucket"] = pa.array(bucket)
+        out["__side"] = pa.array(np.full(batch.num_rows, side, dtype=np.int8))
+        return pa.table(out)
+
+    return ds.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+
+
+def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
+              left_cols: list[str], right_cols: list[str],
+              n_buckets: int = DEFAULT_BUCKETS, how: str = "inner") -> ray.data.Dataset:
+    """Inner/left join of two large Datasets on an int64 ``key`` column.
+
+    ``left_cols`` / ``right_cols`` are the OUTPUT columns of each side (must
+    include ``key``); overlapping non-key names get pandas suffixes.
+    """
+    lt = _with_bucket(left.select_columns(left_cols), key, 0, n_buckets, left_cols)
+    rt = _with_bucket(right.select_columns(right_cols), key, 1, n_buckets, right_cols)
+    both = lt.union(rt)
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == 0][left_cols]
+        r = g[g["__side"] == 1][right_cols]
+        out = l.merge(r, on=key, how=how, suffixes=("_l", "_r"))
+        return out
+
+    return both.groupby("__bucket").map_groups(probe, batch_format="pandas")

@@ -103,19 +103,27 @@ class _PartialTopK:
             }
         )
 
+    Q_CHUNK = 128  # queries per distance-matrix slab: keeps B x Qc resident
+    # in cache instead of allocating one huge B x Q matrix per batch
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
-        # exact oracle expression order: (lon-qlon)*(lon-qlon)+(lat-qlat)*(lat-qlat)
-        # computed in-place (2 temporaries instead of 4 — the stage is
-        # allocation/bandwidth bound at B x Q); identical IEEE result per element.
-        dl = lon[:, None] - self.qlon[None, :]
-        np.multiply(dl, dl, out=dl)
-        dt = lat[:, None] - self.qlat[None, :]
-        np.multiply(dt, dt, out=dt)
-        dl += dt
-        return self._emit(doc_id, dl, np.arange(self.qid.shape[0]))
+        Q = self.qid.shape[0]
+        parts = []
+        for qs in range(0, Q, self.Q_CHUNK):
+            qe = min(qs + self.Q_CHUNK, Q)
+            # exact oracle expression order:
+            # (lon-qlon)*(lon-qlon)+(lat-qlat)*(lat-qlat), computed in-place
+            # (identical IEEE result per element)
+            dl = lon[:, None] - self.qlon[None, qs:qe]
+            np.multiply(dl, dl, out=dl)
+            dt = lat[:, None] - self.qlat[None, qs:qe]
+            np.multiply(dt, dt, out=dt)
+            dl += dt
+            parts.append(self._emit(doc_id, dl, np.arange(qs, qe)))
+        return pa.concat_tables(parts) if parts else _EMPTY_PARTIAL
 
 
 class _PartialTopKCellRing(_PartialTopK):
