@@ -168,6 +168,17 @@ def q_auto_utm(sf_dir: str):
                          "mean_lat_milli": [mean_lat_milli], "epsg": [epsg]})
 
 
+def q_overview_coarse(sf_dir: str):
+    """Overview pyramid top level as a query: per-cell counts re-aggregated
+    at the 8-degree resolution (stages/overviews.py ladder)."""
+    import pandas as pd
+
+    from orthority_ray.stages.overviews import overview_pyramid
+
+    pyr = overview_pyramid(_geo(sf_dir))
+    return pyr[8000]
+
+
 def q_metadata(sf_dir: str):
     from orthority_ray.stages.metadata import extract_metadata
 
@@ -258,12 +269,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_per_region": R.q_customers_per_region,
         "top_orders": R.q_top_orders,
         "events_hourly": R.q_events_hourly,
+        "events_sliding": R.q_events_sliding,
         "event_sessions": R.q_event_sessions,
         "parts_by_brand": R.q_parts_by_brand,
         "priority_revenue": R.q_priority_revenue,
         "remap_checker": q_remap_checker,
         "auto_utm": q_auto_utm,
         "metadata": q_metadata,
+        "overview_coarse": q_overview_coarse,
         # non-SQL-expressible (driver records rows-only checks):
         "gcp_refine": q_gcp_refine,
         "calibrate": q_calibrate,
@@ -311,11 +324,16 @@ def oracle_sql() -> dict[str, str]:
         "customers_per_region": R.SQL_CUSTOMERS_PER_REGION,
         "top_orders": R.SQL_TOP_ORDERS,
         "events_hourly": R.SQL_EVENTS_HOURLY,
+        "events_sliding": R.SQL_EVENTS_SLIDING,
         "event_sessions": R.SQL_EVENT_SESSIONS,
         "parts_by_brand": R.SQL_PARTS_BY_BRAND,
         "priority_revenue": R.SQL_PRIORITY_REVENUE,
         "remap_checker": S.with_pages(_sql_remap_checker()),
         "metadata": S.with_pages(_SQL_METADATA),
+        "overview_coarse": S.with_geo(
+            "SELECT (lat_milli // 8000) * 45 + lon_milli // 8000 AS cell, "
+            "COUNT(*) AS n_docs FROM geod GROUP BY 1"
+        ),
         "auto_utm": S.with_geo(
             """SELECT n, s_lon // n AS mean_lon_milli, s_lat // n AS mean_lat_milli,
                  CAST(CASE WHEN s_lat // n >= 85000 THEN 32600 ELSE 32700 END

@@ -138,6 +138,19 @@ def run_flagship(sf_dir: str, out_dir: str, n_parts: int = N_PARTS,
     return lineage.load_manifest_table(out_dir)
 
 
+def write_tile_layout(out_dir: str, flagship_out_dir: str) -> list[str]:
+    """Final output layout keyed by tile (SURVEY.md §7.4): re-lay the
+    flagship's resume-oriented (hash-part) output as hive-partitioned parquet
+    ``tile_id=<t>/`` directories — the engine's analog of the reference's
+    per-tile GTiff layout (S15).  Reads the already-committed partitions, so
+    it composes with resume."""
+    ds = ray.data.read_parquet(
+        [str(p) for p in sorted(Path(flagship_out_dir).glob("part=*/data.parquet"))]
+    )
+    ds.write_parquet(out_dir, partition_cols=["tile_id"])
+    return sorted(p.name for p in Path(out_dir).glob("tile_id=*"))
+
+
 def flagship_result(sf_dir: str) -> ray.data.Dataset:
     """The flagship transform WITHOUT the write (for `entry()` smoke checks):
     extracted + geocoded + PIP-joined pages."""

@@ -240,6 +240,45 @@ FROM events GROUP BY 1, 2
 """.strip()
 
 
+# --- events: sliding window aggregate ---------------------------------------
+
+SLIDE_US = 1_800_000_000  # 30 min slide, 1 h windows -> each event in 2 windows
+
+
+def q_events_sliding(sf_dir: str) -> ray.data.Dataset:
+    """1-hour windows sliding every 30 minutes: each event lands in the two
+    windows covering it (emitted per batch, then grouped) — the flat-map +
+    groupby sliding-window pattern."""
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = cents(b["value"].to_numpy(zero_copy_only=False))
+        slide = ts // SLIDE_US
+        # windows starting at slide*30min cover [start, start+60min): an event
+        # belongs to windows 'slide' and 'slide-1'
+        win = np.concatenate([slide, slide - 1])
+        vals = np.concatenate([val, val])
+        return pa.table({"window_slide": pa.array(win), "val_cents": pa.array(vals)})
+
+    return (
+        ev.map_batches(assign, batch_format="pyarrow", batch_size=65536)
+        .groupby("window_slide")
+        .aggregate(Count(alias_name="n_events"), Sum("val_cents", alias_name="sum_val_cents"))
+    )
+
+
+SQL_EVENTS_SLIDING = f"""
+SELECT window_slide, COUNT(*) AS n_events,
+       SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sum_val_cents
+FROM (
+  SELECT epoch_us(ts) // {SLIDE_US} AS window_slide, value FROM events
+  UNION ALL
+  SELECT epoch_us(ts) // {SLIDE_US} - 1 AS window_slide, value FROM events
+) GROUP BY window_slide
+""".strip()
+
+
 # --- events: per-user sessionization (gap > 30 min) -------------------------
 
 GAP_US = 1_800_000_000

@@ -59,6 +59,23 @@ def test_flagship_checksums_parallelism_invariant(sf_unit, tmp_path):
     assert (a["rows"].values == b["rows"].values).all()
 
 
+def test_tile_layout_write(sf_unit, tmp_path):
+    import pyarrow.parquet as pq
+
+    from orthority_ray.pipelines.flagship import write_tile_layout
+
+    flag = str(tmp_path / "flag")
+    run_flagship(sf_unit, flag, n_parts=4)
+    tiles_dir = str(tmp_path / "tiles")
+    parts = write_tile_layout(tiles_dir, flag)
+    assert len(parts) > 1 and all(p.startswith("tile_id=") for p in parts)
+    # total rows preserved across the re-layout
+    import pyarrow.dataset as pds
+
+    n = pds.dataset(tiles_dir, partitioning="hive").count_rows()
+    assert n == 6000
+
+
 def test_row_checksum_order_insensitive():
     import pyarrow as pa
 
