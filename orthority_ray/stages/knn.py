@@ -144,6 +144,10 @@ class _PartialTopKCellRing(_PartialTopK):
         self.qcell = C.encode(qlon_m, qlat_m, cs)
         self.max_ring = max(C.ncols(cs), C.nrows(cs))
 
+    FALLBACK_RINGS = 16  # past this, ring bookkeeping costs more than a
+    # vectorized scan of the whole batch (a batch with no points near the
+    # query would otherwise expand rings to the world edge — O(max_ring^2))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.qid.shape[0] == 0 or batch.num_rows == 0:
             return _EMPTY_PARTIAL
@@ -157,14 +161,17 @@ class _PartialTopKCellRing(_PartialTopK):
         for qi in range(self.qid.shape[0]):
             best_d = np.empty(0)
             best_i = np.empty(0, dtype=np.int64)
+            tested = np.zeros(0, dtype=np.int64)
+            done = False
             r = 0
-            while r <= self.max_ring:
+            while r <= self.FALLBACK_RINGS:
                 ring_cells = C.ring(int(self.qcell[qi]), r, self.cs)
                 lo = np.searchsorted(kcell_s, ring_cells, side="left")
                 hi = np.searchsorted(kcell_s, ring_cells, side="right")
                 picks = [order[a:b] for a, b in zip(lo, hi) if b > a]
                 if picks:
                     sel = np.concatenate(picks)
+                    tested = np.concatenate([tested, sel])
                     dl = lon[sel] - self.qlon[qi]
                     dt = lat[sel] - self.qlat[qi]
                     d = dl * dl + dt * dt
@@ -178,8 +185,25 @@ class _PartialTopKCellRing(_PartialTopK):
                         best_d, best_i = best_d[keep], best_i[keep]
                 bound = C.ring_min_dist_deg(r + 1, self.cs)
                 if best_d.shape[0] >= self.k and bound * bound > best_d.max():
+                    done = True
                     break
                 r += 1
+            if not done:
+                # exact fallback: scan every point not yet tested
+                mask = np.ones(lon.shape[0], dtype=bool)
+                mask[tested] = False
+                rest = np.nonzero(mask)[0]
+                if rest.size:
+                    dl = lon[rest] - self.qlon[qi]
+                    dt = lat[rest] - self.qlat[qi]
+                    d = dl * dl + dt * dt
+                    best_d = np.concatenate([best_d, d])
+                    best_i = np.concatenate([best_i, rest])
+                    if best_d.shape[0] > self.k:
+                        part = np.argpartition(best_d, self.k - 1)[: self.k]
+                        kth = best_d[part].max()
+                        keep = best_d <= kth
+                        best_d, best_i = best_d[keep], best_i[keep]
             out_q.append(np.full(best_i.shape[0], self.qid[qi]))
             out_n.append(doc_id[best_i])
             out_d.append(best_d)
