@@ -82,6 +82,48 @@ def cmd_refine(args) -> int:
     return 0
 
 
+def cmd_sharpen(args) -> int:
+    """Two-phase Gram-Schmidt sharpen over the geocoded pages (the `oty
+    sharpen` analog)."""
+    _ray_session()
+    from .sources.pages import read_page_keys
+    from .stages.geocode import geocode
+    from .stages.sharpen import pan_sharpen
+
+    out = pan_sharpen(geocode(read_page_keys(args.sf_dir))).limit(args.limit).to_pandas()
+    cols = ["doc_id", "pan", "ms0", "sharp_ms0", "sharp_ms1", "sharp_ms2"]
+    print(out[cols].to_string(index=False))
+    return 0
+
+
+def cmd_calibrate(args) -> int:
+    """Per-image DLT calibration demo (the `oty`-fit analog)."""
+    _ray_session()
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from .core.cameras import create_camera
+    from .sources import param_io as P
+    from .stages.fit import calibrate_grouped
+
+    cam = create_camera(
+        "pinhole", im_size=P.IM_SIZE, focal_len=P.FOCAL, sensor_size=P.SENSOR,
+        cx=P.CXY[0], cy=P.CXY[1], xyz=P.XYZ, opk=P.OPK,
+    )
+    frames = []
+    for img, seed in (("im_a", 1), ("im_b", 2)):
+        r = np.random.default_rng(seed)
+        j = r.uniform(5, 195, 60)
+        i = r.uniform(5, 145, 60)
+        z = r.uniform(700, 950, 60)
+        x, y, zz = cam.pixel_to_world_z(j, i, z)
+        frames.append(pd.DataFrame({"image": img, "j": j, "i": i, "x": x, "y": y, "z": zz}))
+    out = calibrate_grouped(ray.data.from_pandas(pd.concat(frames))).to_pandas()
+    print(out.to_string(index=False))
+    return 0
+
+
 def cmd_list(args) -> int:
     sys.path.insert(0, args.repo_root)
     import __ray_entry__ as E
@@ -118,6 +160,14 @@ def main(argv=None) -> int:
     r = sub.add_parser("refine", help="grouped RPC refinement demo")
     r.add_argument("--method", default="shift", choices=["shift", "shift_drift"])
     r.set_defaults(fn=cmd_refine)
+
+    sh = sub.add_parser("sharpen", help="Gram-Schmidt pan-sharpen demo")
+    sh.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sh.add_argument("--limit", type=int, default=10)
+    sh.set_defaults(fn=cmd_sharpen)
+
+    c = sub.add_parser("calibrate", help="per-image DLT calibration demo")
+    c.set_defaults(fn=cmd_calibrate)
 
     l = sub.add_parser("list", help="list queries")
     l.set_defaults(fn=cmd_list)
