@@ -90,14 +90,28 @@ def q_quality(sf_dir: str):
 
 
 def q_extract_verify(sf_dir: str):
-    """(n_pages, n_bad): the byte-identical-extraction invariant as a query."""
+    """(n_pages, n_bad): the byte-identical-extraction invariant as a query
+    — one pass, per-batch partial counts summed."""
     import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    from orthority_ray.stages.extract import verify_extraction
+    from orthority_ray.stages.extract import extract_batch
 
-    n_bad = verify_extraction(read_pages(sf_dir)).count()
-    n_pages = read_page_keys(sf_dir).count()
-    return pd.DataFrame({"n_pages": [n_pages], "n_bad": [n_bad]})
+    def counts(batch: pa.Table) -> pa.Table:
+        b = extract_batch(batch)
+        ok = pc.sum(pc.equal(b["extracted_text"], b["text"])).as_py() or 0
+        return pa.table(
+            {
+                "n_pages": pa.array([b.num_rows], pa.int64()),
+                "n_bad": pa.array([b.num_rows - ok], pa.int64()),
+            }
+        )
+
+    parts = read_pages(sf_dir).map_batches(counts, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {"n_pages": [int(parts["n_pages"].sum())], "n_bad": [int(parts["n_bad"].sum())]}
+    )
 
 
 def q_ann(sf_dir: str):

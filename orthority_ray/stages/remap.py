@@ -44,10 +44,11 @@ def checkerboard(shape: tuple[int, int] = (P.IM_SIZE[1], P.IM_SIZE[0])) -> np.nd
 class Remapper:
     """Actor: holds the source image + camera bank + lazy undistort grids."""
 
-    def __init__(self, interp: str = "nearest"):
+    def __init__(self, interp: str = "nearest", out_dtype: str | None = None):
         self.image = checkerboard().astype(np.float64)
         self.bank = P.build_camera_bank()
         self.interp = interp
+        self.out_dtype = out_dtype  # dtype matrix parity (`test_ortho.py:663-1160`)
         self._undistort_grids: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
     def undistort_grid(self, cam_id: str) -> tuple[np.ndarray, np.ndarray]:
@@ -100,6 +101,10 @@ class Remapper:
             if m.any():
                 j[m], i[m] = self.bank[cam_id].world_to_pixel(wx[m], wy[m], wz[m])
         vals, valid = self._sample(j, i)
+        if self.out_dtype:
+            from ..functions.scalars import convert_array_dtype
+
+            vals = convert_array_dtype(vals, self.out_dtype).astype(np.float64)
         # 1-step mask "dilation": a sample whose 4-neighborhood in pixel
         # space leaves the frame is flagged (remap-blur guard, M12)
         h, w = self.image.shape
@@ -114,11 +119,13 @@ class Remapper:
 
 
 def remap(geo_ds: ray.data.Dataset, interp: str = "nearest",
+          out_dtype: str | None = None,
           *, concurrency: int | None = None) -> ray.data.Dataset:
     """geo_ds must carry (doc_id, wx, wy, wz) — see stages/camera_geocode."""
     return geo_ds.map_batches(
         Remapper, batch_format="pyarrow", batch_size=32768,
-        concurrency=pool(concurrency), fn_constructor_kwargs=dict(interp=interp),
+        concurrency=pool(concurrency),
+        fn_constructor_kwargs=dict(interp=interp, out_dtype=out_dtype),
     )
 
 

@@ -72,3 +72,11 @@ def test_remap_checker_matches_oracle(sf_unit):
     assert len(ours) == len(oracle) > 0
     for c in ("doc_id", "jn", "in_", "checker"):
         assert (ours[c].values == oracle[c].values).all(), c
+
+def test_remap_dtype_option(sf_unit):
+    """process-options dtype matrix parity (`test_ortho.py:663-1160`): the
+    sampled value converts round+clip+cast with NaN -> nodata sentinel."""
+    geo = camera_geocode(read_page_keys(sf_unit).limit(1000))
+    out = remap(geo, interp="bilinear", out_dtype="uint8").to_pandas()
+    v = out["value"].to_numpy()
+    assert np.isin(v, [0.0, 1.0]).all()  # bilinear rounds to {0,1}; NaN -> 0
