@@ -192,9 +192,28 @@ def q_priority_revenue(sf_dir: str) -> ray.data.Dataset:
         orders, li_prep, "o_orderkey",
         ["o_orderkey", "o_orderpriority"], ["o_orderkey", "rev_cents"],
     )
+
+    # combiner: collapse each joined batch to <= 5 priority rows before the
+    # final groupby, so the second shuffle is dimension-sized
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": b["o_orderpriority"].to_pylist(),
+                "rev_cents": b["rev_cents"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            n_lineitems=("rev_cents", "size"), rev_cents=("rev_cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
     return (
-        joined.groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n_lineitems"), Sum("rev_cents", alias_name="rev_cents"))
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_lineitems", alias_name="n_lineitems"),
+                   Sum("rev_cents", alias_name="rev_cents"))
     )
 
 
