@@ -12,7 +12,6 @@ Owns its Ray session (guarded init; the library never calls ray.init)."""
 from __future__ import annotations
 
 import argparse
-import json
 import sys
 
 

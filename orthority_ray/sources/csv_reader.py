@@ -15,7 +15,7 @@ from pathlib import Path
 
 import numpy as np
 
-from ..core.rotations import opk_to_rotation, rpy_to_opk
+from ..core.rotations import rpy_to_opk
 from ..functions.scalars import utm_crs_from_latlon
 
 # accepted header spellings -> canonical field (subset of the reference's

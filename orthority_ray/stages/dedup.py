@@ -22,7 +22,6 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Min
 

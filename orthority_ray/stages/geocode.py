@@ -17,7 +17,6 @@ integer math, columns appended.  No shuffle.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import ray.data
 

@@ -15,7 +15,6 @@ what this stage demonstrates.)
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data

@@ -29,7 +29,7 @@ from ..core import hashing as H
 from ..core.hashing import sql_flit as FL
 from ..core.config import pool
 from ..sources import param_io as P
-from .camera_geocode import FLAT_Z, doc_pixels, sql_pinhole_geocode
+from .camera_geocode import FLAT_Z, doc_pixels
 
 CHECKER_PERIOD = 8
 
