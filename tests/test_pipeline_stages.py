@@ -144,3 +144,28 @@ def test_knn_cellring_equals_broadcast(sf_unit):
     )
     assert (a[["query_id", "dist_key", "neighbor_id"]].values
             == b[["query_id", "dist_key", "neighbor_id"]].values).all()
+
+
+def test_pip_cell_indexed_equals_scan(sf_unit):
+    """The cell-sharded PIP (candidate tiles from the cell index) produces
+    exactly the scan join's rows, including for 1024-tile tables."""
+    from orthority_ray.core.geometry import make_tile_rings
+    from orthority_ray.stages.pip import pip_join, pip_join_cell_indexed
+
+    for n_tiles in (64, 1024):
+        rings = make_tile_rings(n_tiles)
+        geo = geocode(read_page_keys(sf_unit))
+        a = (
+            pip_join(geo, rings)
+            .to_pandas()
+            .sort_values(["doc_id", "tile_id"])
+            .reset_index(drop=True)
+        )
+        b = (
+            pip_join_cell_indexed(geocode(read_page_keys(sf_unit)), rings)
+            .to_pandas()
+            .sort_values(["doc_id", "tile_id"])
+            .reset_index(drop=True)
+        )
+        assert len(a) == len(b) > 0
+        assert (a[["doc_id", "tile_id", "cell"]].values == b[["doc_id", "tile_id", "cell"]].values).all()
