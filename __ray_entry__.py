@@ -16,6 +16,7 @@ from collections.abc import Callable
 from typing import Any
 
 from orthority_ray.core.geometry import make_tile_rings, sql_pip_predicate
+from orthority_ray.core.hashing import SQL_SITE as _SQL_SITE
 from orthority_ray.pipelines import relational as R
 from orthority_ray.pipelines.flagship import flagship_result
 from orthority_ray.sources import sql as S
@@ -193,6 +194,32 @@ def q_overview_coarse(sf_dir: str):
     return pyr[8000]
 
 
+def q_site_skew(sf_dir: str):
+    """The Zipf concentration as a query: doc counts per site band
+    (hot 0-9 / mid 10-99 / tail), integer-exact via the shared hash spec."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from orthority_ray.core import hashing as H
+
+    def bands(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h1, _ = H.doc_hashes(doc_id)
+        site = H.site_of(h1)
+        band = np.where(site < 10, 0, np.where(site < 100, 1, 2))
+        b, n = np.unique(band, return_counts=True)
+        return pa.table({"band": pa.array(b.astype(np.int64)),
+                         "n_docs": pa.array(n.astype(np.int64))})
+
+    return (
+        read_page_keys(sf_dir)
+        .map_batches(bands, batch_format="pyarrow", batch_size=65536)
+        .groupby("band")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
 def q_metadata(sf_dir: str):
     from orthority_ray.stages.metadata import extract_metadata
 
@@ -290,6 +317,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remap_checker": q_remap_checker,
         "auto_utm": q_auto_utm,
         "metadata": q_metadata,
+        "site_skew": q_site_skew,
+        "supplier_balance": R.q_supplier_balance,
+        "docs_by_lang": R.q_docs_by_lang,
         "overview_coarse": q_overview_coarse,
         # non-SQL-expressible (driver records rows-only checks):
         "gcp_refine": q_gcp_refine,
@@ -344,6 +374,14 @@ def oracle_sql() -> dict[str, str]:
         "priority_revenue": R.SQL_PRIORITY_REVENUE,
         "remap_checker": S.with_pages(_sql_remap_checker()),
         "metadata": S.with_pages(_SQL_METADATA),
+        "site_skew": S.with_pages(
+            f"""SELECT CASE WHEN {_SQL_SITE} < 10 THEN 0
+                     WHEN {_SQL_SITE} < 100 THEN 1
+                     ELSE 2 END AS band, COUNT(*) AS n_docs
+               FROM pages GROUP BY 1"""
+        ),
+        "supplier_balance": R.SQL_SUPPLIER_BALANCE,
+        "docs_by_lang": R.SQL_DOCS_BY_LANG,
         "overview_coarse": S.with_geo(
             "SELECT (lat_milli // 8000) * 45 + lon_milli // 8000 AS cell, "
             "COUNT(*) AS n_docs FROM geod GROUP BY 1"

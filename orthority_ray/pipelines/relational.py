@@ -224,6 +224,58 @@ GROUP BY o.o_orderpriority
 """.strip()
 
 
+# --- supplier rollup (broadcast dim join; covers the supplier table) --------
+
+
+def q_supplier_balance(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    n2name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    ref = ray.put(n2name)
+
+    def tag(b: pa.Table) -> pa.Table:
+        from ..sources.pages import cached_get
+
+        nk = b["s_nationkey"].to_numpy(zero_copy_only=False)
+        bal = b["s_acctbal"].to_numpy(zero_copy_only=False)
+        lookup = cached_get(ref)
+        return pa.table(
+            {
+                "n_name": pa.array([lookup[int(k)] for k in nk], pa.string()),
+                "bal_cents": pa.array(cents(bal)),
+            }
+        )
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+    return (
+        sup.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_suppliers"), Sum("bal_cents", alias_name="bal_cents"))
+    )
+
+
+SQL_SUPPLIER_BALANCE = """
+SELECT n.n_name AS n_name, COUNT(*) AS n_suppliers,
+       SUM(CAST(floor(s.s_acctbal * 100.0 + 0.5) AS BIGINT)) AS bal_cents
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""".strip()
+
+
+def q_docs_by_lang(sf_dir: str) -> ray.data.Dataset:
+    """Direct documents-table rollup (lang, count, chars)."""
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return docs.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )
+
+
+SQL_DOCS_BY_LANG = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars FROM documents GROUP BY lang
+""".strip()
+
+
 # --- events: tumbling window aggregate --------------------------------------
 
 WINDOW_US = 3_600_000_000  # 1 hour
