@@ -401,3 +401,68 @@ class RpcCamera:
 
 
 _CAMERA_REGISTRY["rpc"] = RpcCamera
+
+
+@dataclass
+class GcpCamera:
+    """GCP-interpolated camera (SURVEY.md §2.2 M5, `orthority/camera.py:
+    514-556` — untested in the reference; this engine version is tested).
+
+    A DLT pinhole base model is fitted to the GCPs (stages/fit.pnp_dlt) and
+    the residual pixel error at each GCP is interpolated by inverse-distance
+    weighting — so the transform reproduces the GCPs exactly and degrades
+    smoothly between them.  Inverse: base-model inverse plus a fixed-point
+    residual correction.
+    """
+
+    cam_type = "gcp"
+
+    im_size: tuple[int, int]
+    gcps: dict  # {"ji": (N,2), "xyz": (N,3)}
+
+    def __post_init__(self):
+        from ..stages.fit import pnp_dlt
+
+        ji = np.asarray(self.gcps["ji"], dtype=np.float64)
+        xyz = np.asarray(self.gcps["xyz"], dtype=np.float64)
+        fit = pnp_dlt(ji[:, 0], ji[:, 1], xyz[:, 0], xyz[:, 1], xyz[:, 2])
+        self.base = FrameCamera.__new__(FrameCamera)
+        self.base.K, self.base.R, self.base.T = fit["K"], fit["R_world"], fit["T"]
+        self.base.distort = False
+        self._gcp_xyz = xyz
+        self._gcp_ji = ji
+        bj, bi = FrameCamera.world_to_pixel(self.base, xyz[:, 0], xyz[:, 1], xyz[:, 2])
+        self._res_j = ji[:, 0] - bj
+        self._res_i = ji[:, 1] - bi
+
+    def _idw_residual(self, x, y, z, power: float = 2.0, eps: float = 1e-12):
+        d2 = (
+            (x[:, None] - self._gcp_xyz[None, :, 0]) ** 2
+            + (y[:, None] - self._gcp_xyz[None, :, 1]) ** 2
+            + (z[:, None] - self._gcp_xyz[None, :, 2]) ** 2
+        )
+        w = 1.0 / (d2 ** (power / 2.0) + eps)
+        w = w / w.sum(axis=1, keepdims=True)
+        return w @ self._res_j, w @ self._res_i
+
+    def world_to_pixel(self, x, y, z):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        z = np.broadcast_to(np.asarray(z, dtype=np.float64), x.shape)
+        j, i = FrameCamera.world_to_pixel(self.base, x, y, z)
+        dj, di = self._idw_residual(x, y, z)
+        return j + dj, i + di
+
+    def pixel_to_world_z(self, j, i, z, iters: int = 8):
+        """Fixed-point inverse: start from the base-model inverse, then
+        correct the pixel target by the local interpolated residual."""
+        j = np.asarray(j, dtype=np.float64)
+        i = np.asarray(i, dtype=np.float64)
+        x, y, zz = FrameCamera.pixel_to_world_z(self.base, j, i, z)
+        for _ in range(iters):
+            dj, di = self._idw_residual(x, y, zz)
+            x, y, zz = FrameCamera.pixel_to_world_z(self.base, j - dj, i - di, z)
+        return x, y, zz
+
+
+_CAMERA_REGISTRY["gcp"] = GcpCamera

@@ -166,3 +166,29 @@ def test_rpy_to_opk_nadir_identity():
     opk = rpy_to_opk((0.0, 0.0, 0.0), (30.0, 20.0, 100.0), lla_to_world)
     R = opk_to_rotation(opk)
     assert np.allclose(R @ R.T, np.eye(3), atol=1e-9)
+
+
+def test_gcp_camera_reproduces_gcps_and_roundtrips():
+    """GcpCamera (M5): exact at the GCPs (IDW weights collapse there) and
+    round-trip-consistent between them."""
+    from orthority_ray.core.cameras import GcpCamera
+
+    base = _cam("brown")  # generate GCPs through a DISTORTED camera so the
+    # GCP model has a real residual field to interpolate
+    rng = np.random.default_rng(42)
+    jg = rng.uniform(10, 190, 40)
+    ig = rng.uniform(10, 140, 40)
+    zg = rng.uniform(750, 900, 40)
+    xg, yg, zzg = base.pixel_to_world_z(jg, ig, zg)
+    cam = GcpCamera(im_size=P.IM_SIZE,
+                    gcps={"ji": np.stack([jg, ig], 1), "xyz": np.stack([xg, yg, zzg], 1)})
+    # exact at the control points
+    j2, i2 = cam.world_to_pixel(xg, yg, zzg)
+    assert np.abs(j2 - jg).max() < 1e-6 and np.abs(i2 - ig).max() < 1e-6
+    # round trip between GCPs stays sub-pixel
+    jt = rng.uniform(30, 170, 50)
+    it = rng.uniform(30, 120, 50)
+    zt = rng.uniform(780, 880, 50)
+    x, y, z = cam.pixel_to_world_z(jt, it, zt)
+    j3, i3 = cam.world_to_pixel(x, y, z)
+    assert np.abs(j3 - jt).max() < 0.1 and np.abs(i3 - it).max() < 0.1
