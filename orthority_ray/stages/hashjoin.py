@@ -54,3 +54,12 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
         return out
 
     return both.groupby("__bucket").map_groups(probe, batch_format="pandas")
+
+
+def native_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
+                num_partitions: int = DEFAULT_BUCKETS, how: str = "inner") -> ray.data.Dataset:
+    """Ray Data's built-in hash-partitioned ``Dataset.join`` (available in
+    this Ray release) — same semantics as :func:`hash_join`; kept alongside
+    the explicit bucketed implementation so the portable pattern and the
+    native operator can be compared (equality asserted in tests)."""
+    return left.join(right, join_type=how, num_partitions=num_partitions, on=(key,))

@@ -1,0 +1,60 @@
+"""Hash join: explicit bucketed implementation vs Ray's native Dataset.join
+vs pandas ground truth."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from orthority_ray.stages.hashjoin import hash_join, native_join
+
+
+@pytest.fixture()
+def sides():
+    rng = np.random.default_rng(42)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 500, 2000), "lv": rng.integers(0, 100, 2000)}
+    )
+    right = pd.DataFrame(
+        {"k": rng.integers(0, 500, 1500), "rv": rng.integers(0, 100, 1500)}
+    )
+    return left, right
+
+
+def _canon(df):
+    return df.sort_values(list(sorted(df.columns))).reset_index(drop=True)[sorted(df.columns)]
+
+
+def test_bucketed_join_matches_pandas(sides):
+    left, right = sides
+    out = hash_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right), "k", ["k", "lv"], ["k", "rv"]
+    ).to_pandas()
+    truth = left.merge(right, on="k", how="inner")
+    assert len(out) == len(truth)
+    assert (_canon(out).values == _canon(truth).values).all()
+
+
+def test_native_join_matches_bucketed(sides):
+    left, right = sides
+    a = hash_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right), "k", ["k", "lv"], ["k", "rv"]
+    ).to_pandas()
+    b = native_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right), "k", num_partitions=8
+    ).to_pandas()
+    assert len(a) == len(b)
+    assert (_canon(a).values == _canon(b).values).all()
+
+
+def test_left_join_keeps_unmatched(sides):
+    left, right = sides
+    only_left = pd.DataFrame({"k": [99999], "lv": [1]})
+    left2 = pd.concat([left, only_left], ignore_index=True)
+    out = hash_join(
+        ray.data.from_pandas(left2), ray.data.from_pandas(right), "k",
+        ["k", "lv"], ["k", "rv"], how="left",
+    ).to_pandas()
+    truth = left2.merge(right, on="k", how="left")
+    assert len(out) == len(truth)
+    assert out[out["k"] == 99999]["rv"].isna().all()
