@@ -5,9 +5,10 @@ Exact + near-dup operators a 100 TB training-data pipeline needs (brief §
 constants, no RNG) and parallelism-invariant.
 
 Scale notes:
-- exact dedup: content hash per batch (vectorized md5) -> hash-partitioned
-  ``groupby(text_md5)`` -> per-group representative.  The shuffle carries one
-  small row per page (hash + id), not the payload.
+- exact dedup: content hash per batch (memoised md5) -> hash-partitioned
+  ``groupby(text_md5)`` -> per-group representative.  ``exact_dedup_groups``
+  shuffles only (hash, id) rows; ``exact_dedup`` (keep-representative-rows)
+  must shuffle the payload — the standard dedup cost at crawl scale.
 - MinHash: shingle -> 64-bit minhash signature per row inside ``map_batches``
   (numpy, vectorized over shingles), explode to (band, band_hash) rows,
   ``groupby`` the bands; candidate pairs verified with exact n-gram Jaccard.
