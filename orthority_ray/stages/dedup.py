@@ -232,6 +232,70 @@ class JaccardVerifier:
         )
 
 
+# --- connected components over candidate pairs ------------------------------
+
+
+def connected_components(pairs: ray.data.Dataset, max_rounds: int = 20) -> ray.data.Dataset:
+    """Duplicate clusters from (doc_a, doc_b) pairs via distributed
+    min-label propagation (ray_guide.md dedup recipe): every node starts
+    labelled with itself; each round, every edge pushes min(label) to both
+    endpoints (groupby(node).min); stop at fixed point.
+
+    Rounds are bounded by the cluster diameter; crawl duplicate clusters are
+    shallow (near-cliques from LSH bands), so convergence is fast.  Output:
+    (doc_id, component) with component = min doc_id of the cluster.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    edges = pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "a": pa.concat_arrays(
+                    [b["doc_a"].combine_chunks(), b["doc_b"].combine_chunks()]
+                ),
+                "b": pa.concat_arrays(
+                    [b["doc_b"].combine_chunks(), b["doc_a"].combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # small (candidate pairs), reused every round
+
+    # labels: node -> current component label (starts as the node itself)
+    labels = edges.map_batches(
+        lambda b: pa.table({"node": b["a"], "label": b["a"]}), batch_format="pyarrow"
+    ).groupby("node").aggregate(Min("label", alias_name="label"))
+
+    for _ in range(max_rounds):
+        lab_pdf = labels.to_pandas()  # bounded by #nodes in the pair graph
+        lab_ref = ray.put(dict(zip(lab_pdf["node"], lab_pdf["label"])))
+
+        def push(batch: pa.Table) -> pa.Table:
+            lk = ray.get(lab_ref)
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            la = np.array([lk[int(x)] for x in a], dtype=np.int64)
+            lb = np.array([lk[int(x)] for x in b], dtype=np.int64)
+            return pa.table({"node": pa.array(a), "label": pa.array(np.minimum(la, lb))})
+
+        new_labels = (
+            edges.map_batches(push, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+        )
+        new_pdf = new_labels.to_pandas().sort_values("node").reset_index(drop=True)
+        old_pdf = lab_pdf.sort_values("node").reset_index(drop=True)
+        labels = new_labels
+        if (new_pdf["label"].values == old_pdf["label"].values).all():
+            break
+
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "component": b["label"]}),
+        batch_format="pyarrow",
+    )
+
+
 # --- SimHash ---------------------------------------------------------------
 
 

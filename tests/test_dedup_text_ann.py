@@ -212,3 +212,52 @@ def test_multimodal_plumbing(sf_unit):
     assert imgs["feat"].map(len).eq(16).all()
     frames = sample_frames(media, every_n=4).to_pandas()
     assert (frames["n_frames"] > 0).all()
+
+
+def test_connected_components_planted_graph():
+    """Min-label propagation finds the exact planted components, including a
+    chain (diameter > 1) and singleton-free behavior (only paired nodes)."""
+    import ray.data
+
+    from orthority_ray.stages.dedup import connected_components
+
+    # components: {1,2,3,4 chain}, {10,11}, {20,21,22 triangle}
+    pairs = pd.DataFrame(
+        {"doc_a": [1, 2, 3, 10, 20, 20, 21], "doc_b": [2, 3, 4, 11, 21, 22, 22]}
+    )
+    out = (
+        connected_components(ray.data.from_pandas(pairs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    comp = dict(zip(out["doc_id"], out["component"]))
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_on_real_pairs(sf_unit):
+    """Full near-dup pipeline order: LSH candidates -> Jaccard VERIFY ->
+    connected components.  Raw LSH pairs contain band-collision false
+    positives, so clustering must run on verified pairs only; then every
+    component's members share identical text."""
+    import pyarrow as pa
+    import ray.data
+
+    from orthority_ray.stages.dedup import (
+        JaccardVerifier,
+        connected_components,
+        minhash_candidate_pairs,
+    )
+
+    pages = read_pages(sf_unit).limit(1500)
+    pairs = minhash_candidate_pairs(pages, pre_dedup=False).to_pandas()
+    pdf = pages.select_columns(["doc_id", "text"]).to_pandas().drop_duplicates("doc_id")
+    lookup_ref = ray.put(dict(zip(pdf["doc_id"], pdf["text"])))
+    verified = JaccardVerifier(lookup_ref, threshold=0.99)(
+        pa.table({"doc_a": pairs["doc_a"].values, "doc_b": pairs["doc_b"].values})
+    ).to_pandas()
+    comps = connected_components(ray.data.from_pandas(verified[["doc_a", "doc_b"]])).to_pandas()
+    merged = comps.merge(pdf, on="doc_id")
+    n_texts_per_comp = merged.groupby("component")["text"].nunique()
+    assert (n_texts_per_comp == 1).all()  # identical-text clusters only
+    assert len(comps) > 0
