@@ -270,6 +270,31 @@ def q_minhash_pairs(sf_dir: str):
     return D.minhash_candidate_pairs(read_pages(sf_dir))
 
 
+def q_dup_clusters(sf_dir: str):
+    """Full near-dup pipeline: exact-dedup reps -> MinHash-LSH candidates ->
+    exact Jaccard verify -> connected components (min-label propagation)."""
+    import pyarrow as pa
+    import ray as _ray
+    import ray.data as rd
+
+    pages = read_pages(sf_dir)
+    pairs = D.minhash_candidate_pairs(pages).to_pandas()  # rep-level, small
+    if len(pairs) == 0:
+        import pandas as pd
+
+        return pd.DataFrame({"doc_id": [], "component": []}).astype("int64")
+    reps = D.exact_dedup(pages).to_pandas()
+    lookup_ref = _ray.put(dict(zip(reps["doc_id"], reps["text"])))
+    verified = D.JaccardVerifier(lookup_ref, threshold=0.8)(
+        pa.table({"doc_a": pairs["doc_a"].values, "doc_b": pairs["doc_b"].values})
+    ).to_pandas()
+    if len(verified) == 0:
+        import pandas as pd
+
+        return pd.DataFrame({"doc_id": [], "component": []}).astype("int64")
+    return D.connected_components(rd.from_pandas(verified[["doc_a", "doc_b"]]))
+
+
 def q_simhash_buckets(sf_dir: str):
     return D.simhash_buckets(read_pages(sf_dir))
 
@@ -327,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_covariance": q_cell_covariance,
         "dem_geocode": q_dem_geocode,
         "minhash_pairs": q_minhash_pairs,
+        "dup_clusters": q_dup_clusters,
         "simhash_buckets": q_simhash_buckets,
         "lang_id": q_lang_id,
         "ann_lsh": q_ann_lsh,
