@@ -386,8 +386,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": ANN.sql_embedding_neardup(0.45),
         "cell_stats": S.with_geo(
             """SELECT cell, COUNT(*) AS n,
-                 SUM(lon_milli) AS sum_lon_milli,
-                 SUM(lat_milli) AS sum_lat_milli
+                 CAST(SUM(lon_milli) AS BIGINT) AS sum_lon_milli,
+                 CAST(SUM(lat_milli) AS BIGINT) AS sum_lat_milli
                FROM geod GROUP BY cell"""
         ),
         "pricing_summary": R.SQL_PRICING,
@@ -401,9 +401,9 @@ def oracle_sql() -> dict[str, str]:
         "remap_checker": S.with_pages(_sql_remap_checker()),
         "metadata": S.with_pages(_SQL_METADATA),
         "site_skew": S.with_pages(
-            f"""SELECT CASE WHEN {_SQL_SITE} < 10 THEN 0
+            f"""SELECT CAST(CASE WHEN {_SQL_SITE} < 10 THEN 0
                      WHEN {_SQL_SITE} < 100 THEN 1
-                     ELSE 2 END AS band, COUNT(*) AS n_docs
+                     ELSE 2 END AS BIGINT) AS band, COUNT(*) AS n_docs
                FROM pages GROUP BY 1"""
         ),
         "supplier_balance": R.SQL_SUPPLIER_BALANCE,
@@ -416,7 +416,9 @@ def oracle_sql() -> dict[str, str]:
             """SELECT n, s_lon // n AS mean_lon_milli, s_lat // n AS mean_lat_milli,
                  CAST(CASE WHEN s_lat // n >= 85000 THEN 32600 ELSE 32700 END
                    + ((s_lon // n) // 6000) % 60 + 1 AS BIGINT) AS epsg
-               FROM (SELECT COUNT(*) AS n, SUM(lon_milli) AS s_lon, SUM(lat_milli) AS s_lat
+               FROM (SELECT COUNT(*) AS n,
+                            CAST(SUM(lon_milli) AS BIGINT) AS s_lon,
+                            CAST(SUM(lat_milli) AS BIGINT) AS s_lat
                      FROM geod)"""
         ),
     }

@@ -61,9 +61,9 @@ def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
 
 SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty,
-       SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_base_cents,
-       SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS sum_disc_cents,
+       CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
        COUNT(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """.strip()
@@ -159,7 +159,7 @@ SELECT l_orderkey, rev_cents,
        row_number() OVER (ORDER BY rev_cents DESC, l_orderkey ASC) AS rank
 FROM (
   SELECT l_orderkey,
-         SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS rev_cents
+         CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
   FROM lineitem GROUP BY l_orderkey
 ) ORDER BY rev_cents DESC, l_orderkey ASC LIMIT {TOPK_ORDERS}
 """.strip()
@@ -218,7 +218,7 @@ def q_priority_revenue(sf_dir: str) -> ray.data.Dataset:
 
 SQL_PRIORITY_REVENUE = """
 SELECT o.o_orderpriority AS o_orderpriority, COUNT(*) AS n_lineitems,
-       SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS rev_cents
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
 """.strip()
@@ -257,7 +257,7 @@ def q_supplier_balance(sf_dir: str) -> ray.data.Dataset:
 
 SQL_SUPPLIER_BALANCE = """
 SELECT n.n_name AS n_name, COUNT(*) AS n_suppliers,
-       SUM(CAST(floor(s.s_acctbal * 100.0 + 0.5) AS BIGINT)) AS bal_cents
+       CAST(SUM(CAST(floor(s.s_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
 GROUP BY n.n_name
 """.strip()
@@ -272,7 +272,7 @@ def q_docs_by_lang(sf_dir: str) -> ray.data.Dataset:
 
 
 SQL_DOCS_BY_LANG = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars FROM documents GROUP BY lang
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY lang
 """.strip()
 
 
@@ -305,7 +305,7 @@ def q_events_hourly(sf_dir: str) -> ray.data.Dataset:
 SQL_EVENTS_HOURLY = f"""
 SELECT epoch_us(ts) // {WINDOW_US} AS window, event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sum_val_cents
+       CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val_cents
 FROM events GROUP BY 1, 2
 """.strip()
 
@@ -340,7 +340,7 @@ def q_events_sliding(sf_dir: str) -> ray.data.Dataset:
 
 SQL_EVENTS_SLIDING = f"""
 SELECT window_slide, COUNT(*) AS n_events,
-       SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sum_val_cents
+       CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val_cents
 FROM (
   SELECT epoch_us(ts) // {SLIDE_US} AS window_slide, value FROM events
   UNION ALL
@@ -437,7 +437,7 @@ def q_parts_by_brand(sf_dir: str) -> ray.data.Dataset:
 
 SQL_PARTS_BY_BRAND = """
 SELECT COALESCE(p.p_brand, 'NONE') AS p_brand, COUNT(*) AS n_lineitems,
-       SUM(CAST(floor(l.l_quantity) AS BIGINT)) AS sum_qty
+       CAST(SUM(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY COALESCE(p.p_brand, 'NONE')
 """.strip()

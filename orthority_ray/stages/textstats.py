@@ -138,11 +138,11 @@ def quality(ds: ray.data.Dataset, *, concurrency: int | None = None) -> ray.data
 
 SQL_QUALITY = r"""
 SELECT doc_id,
-  (CASE WHEN length(regexp_extract_all(text, '\S+')) BETWEEN 20 AND 200 THEN 500000 ELSE 0 END
+  CAST(CASE WHEN length(regexp_extract_all(text, '\S+')) BETWEEN 20 AND 200 THEN 500000 ELSE 0 END
  + CASE WHEN (length(replace(text, ' ', '')) * 10) // greatest(1, length(regexp_extract_all(text, '\S+'))) BETWEEN 25 AND 90 THEN 300000 ELSE 0 END
  + CASE WHEN 10 * length(list_filter(regexp_extract_all(lower(text), '\S+'),
         x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x)))
-        >= length(regexp_extract_all(text, '\S+')) THEN 200000 ELSE 0 END) AS quality
+        >= length(regexp_extract_all(text, '\S+')) THEN 200000 ELSE 0 END AS BIGINT) AS quality
 FROM pages
 """.strip()
 

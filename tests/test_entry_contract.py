@@ -54,6 +54,11 @@ def test_query_matches_oracle(name, sf_unit):
     )
     assert len(ours) == len(oracle), f"{name}: rows {len(ours)} vs {len(oracle)}"
     for c in ours.columns:
+        # dtype must match exactly or the driver's value-hash comparison fails
+        # (round 1: DuckDB SUM(BIGINT) -> HUGEINT -> float64 vs engine int64)
+        assert ours[c].dtype == oracle[c].dtype, (
+            f"{name}.{c}: dtype {ours[c].dtype} vs oracle {oracle[c].dtype}"
+        )
         a, b = ours[c].values, oracle[c].values
         if np.issubdtype(ours[c].dtype, np.floating):
             assert np.allclose(a, b, atol=0, rtol=0), f"{name}.{c}"
