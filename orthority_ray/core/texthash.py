@@ -1,0 +1,291 @@
+"""Vectorized text-hashing kernels shared by dedup / textstats / lang-id.
+
+Round 1 hashed shingles and tokens with per-byte Python loops
+(``for byt in g: h = (h ^ byt) * FNV_PRIME``).  The naive vectorization
+(pad every gram into a matrix) does not help, because *constructing* the
+hundreds of thousands of per-gram byte strings is as expensive as hashing
+them.  These kernels therefore never materialize gram strings at all: each
+text is whitespace-normalized and encoded ONCE into a shared flat byte
+buffer, token/shingle boundaries are recovered vectorized (a shingle is a
+contiguous slice of the normalized buffer), and the per-byte recurrence runs
+position-parallel across all grams with one numpy gather per byte position.
+
+All constants and byte-level semantics are IDENTICAL to round 1 (every
+signature, bucket and fingerprint in the repo's outputs is unchanged —
+pinned by tests/test_texthash.py), and everything is deterministic and
+process-invariant (no builtin ``hash``, no RNG).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+FNV_PRIME = np.uint64(0x100000001B3)
+WORD_MULT = np.uint64(131)
+DOC_MULT = np.uint64(1099511628211)
+
+
+# --- flat token buffer ------------------------------------------------------
+
+
+class TokenBuf:
+    """Whitespace-normalized texts in one flat uint8 buffer.
+
+    ``flat`` holds ``" ".join(t.split()).encode()`` for every text,
+    concatenated; ``tok_starts``/``tok_lens`` are the global byte spans of
+    every token; ``counts`` is tokens per text.  Single spaces separate
+    tokens, and 0x20 can only be a separator (UTF-8 continuation bytes are
+    >= 0x80), so token boundaries are exactly the space positions.
+    """
+
+    __slots__ = ("flat", "tok_starts", "tok_lens", "counts")
+
+    def __init__(self, flat: np.ndarray, tok_starts: np.ndarray,
+                 tok_lens: np.ndarray, counts: np.ndarray):
+        self.flat = flat
+        self.tok_starts = tok_starts
+        self.tok_lens = tok_lens
+        self.counts = counts
+
+
+def tokenize(texts: list[str]) -> TokenBuf:
+    parts = [" ".join(t.split()).encode("utf-8") for t in texts]
+    doc_lens = np.fromiter((len(p) for p in parts), dtype=np.int64, count=len(parts))
+    doc_starts = np.cumsum(doc_lens) - doc_lens
+    flat = np.frombuffer(b"".join(parts), dtype=np.uint8)
+    if flat.size:
+        space = np.flatnonzero(flat == 0x20)
+        # token starts: each doc start (if non-empty) + every position after a space
+        starts = np.concatenate([doc_starts[doc_lens > 0], space + 1])
+        starts.sort(kind="stable")
+        ends = np.concatenate([space, doc_starts[doc_lens > 0] + doc_lens[doc_lens > 0]])
+        ends.sort(kind="stable")
+        tok_lens = ends - starts
+        # tokens per doc: non-empty doc with L bytes and S spaces has S+1 tokens
+        doc_ends = doc_starts + doc_lens
+        spaces_per_doc = np.searchsorted(space, doc_ends) - np.searchsorted(space, doc_starts)
+        counts = np.where(doc_lens > 0, spaces_per_doc + 1, 0)
+    else:
+        starts = np.empty(0, dtype=np.int64)
+        tok_lens = np.empty(0, dtype=np.int64)
+        counts = np.zeros(len(texts), dtype=np.int64)
+    return TokenBuf(flat, starts, tok_lens, counts)
+
+
+def _fold_spans(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                *, fnv: bool) -> np.ndarray:
+    """Run the byte recurrence over each [start, start+len) span of ``flat``,
+    position-parallel: one masked gather + one vector update per byte
+    position.  fnv=True: h=(h^b)*FNV_PRIME from FNV_OFFSET; else h=h*131+b
+    from 0."""
+    g = starts.shape[0]
+    h = np.full(g, FNV_OFFSET, dtype=np.uint64) if fnv else np.zeros(g, dtype=np.uint64)
+    if g == 0:
+        return h
+    lmax = int(lens.max()) if g else 0
+    cap = flat.size - 1 if flat.size else 0
+    with np.errstate(over="ignore"):
+        for k in range(lmax):
+            active = lens > k
+            b = flat[np.minimum(starts + k, cap)].astype(np.uint64)
+            nh = (h ^ b) * FNV_PRIME if fnv else h * WORD_MULT + b
+            h = np.where(active, nh, h)
+    return h
+
+
+# --- bytes-list kernels (profiles, tests, small inputs) ---------------------
+
+
+def _flat_spans(grams: list[bytes]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    n = len(grams)
+    lens = np.fromiter((len(g) for g in grams), dtype=np.int64, count=n)
+    flat = np.frombuffer(b"".join(grams), dtype=np.uint8)
+    starts = np.cumsum(lens) - lens
+    return flat, starts, lens
+
+
+def fnv1a_bulk(grams: list[bytes]) -> np.ndarray:
+    """FNV-1a over each byte string, bit-identical to round 1's loop."""
+    flat, starts, lens = _flat_spans(grams)
+    return _fold_spans(flat, starts, lens, fnv=True)
+
+
+def word131_bulk(grams: list[bytes]) -> np.ndarray:
+    """Base-131 polynomial hash per byte string (h = h*131 + b, init 0)."""
+    flat, starts, lens = _flat_spans(grams)
+    return _fold_spans(flat, starts, lens, fnv=False)
+
+
+# --- token/shingle kernels over the normalized buffer -----------------------
+
+
+def token_hashes(buf: TokenBuf, *, fnv: bool = True) -> np.ndarray:
+    """Hash of every token (FNV-1a, or base-131 for the fingerprint path)."""
+    return _fold_spans(buf.flat, buf.tok_starts, buf.tok_lens, fnv=fnv)
+
+
+def _gram_spans(buf: TokenBuf, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Byte spans of the word n-gram shingles of every doc (round-1 rules:
+    < n words -> ONE gram of the whole normalized doc; empty doc -> one
+    empty gram), all vectorized."""
+    cnt = buf.counts
+    n_docs = cnt.shape[0]
+    tok_base = np.cumsum(cnt) - cnt
+    kd = np.maximum(1, np.where(cnt == 0, 1, cnt - n + 1))
+    total = int(kd.sum())
+    goff = np.cumsum(kd) - kd
+    first = np.repeat(tok_base, kd) + (np.arange(total) - np.repeat(goff, kd))
+    span = np.repeat(np.minimum(cnt, n), kd)  # tokens per gram; 0 for empty docs
+    nz = span > 0
+    cap = max(buf.tok_starts.shape[0] - 1, 0)
+    fi = np.minimum(first, cap)
+    li = np.minimum(first + span - 1, cap)
+    g_start = np.where(nz, buf.tok_starts[fi], 0)
+    g_len = np.where(nz, buf.tok_starts[li] + buf.tok_lens[li] - g_start, 0)
+    return g_start, g_len, kd
+
+
+def shingle_hashes_batch(texts: list[str], n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 FNV-1a shingle hashes for a whole batch: (flat_hashes,
+    grams_per_doc).  Every doc contributes >= 1 gram (reduceat-safe)."""
+    buf = tokenize(texts)
+    g_start, g_len, counts = _gram_spans(buf, n)
+    return _fold_spans(buf.flat, g_start, g_len, fnv=True), counts
+
+
+def fingerprint_docs(word_hashes: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-doc rolling fingerprint over word hashes, vectorized across docs.
+
+    Semantics (identical to round 1's loop):
+        h = 0; for hw in words: h = (h * 1099511628211 + hw) & 0x7FFF...F
+    Masking to 63 bits each step equals one final mask of the mod-2^64 fold
+    (reduction mod 2^63 is a ring hom of mod 2^64), and the fold itself is
+    the polynomial sum(hw_i * M^(k-1-i)) — one multiply + segmented sum.
+    """
+    n_docs = counts.shape[0]
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if word_hashes.size == 0:
+        return out.astype(np.int64)
+    max_k = int(counts.max())
+    powers = np.ones(max_k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(1, max_k):
+            powers[i] = powers[i - 1] * DOC_MULT
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        pos = np.arange(word_hashes.shape[0], dtype=np.int64)
+        expo = np.repeat(ends, counts) - 1 - pos
+        terms = word_hashes * powers[expo]
+        nz = counts > 0
+        sums = np.add.reduceat(terms, starts[nz])
+    out[nz] = sums
+    return (out & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+
+
+def split_words(texts: list[str]) -> tuple[list[bytes], np.ndarray]:
+    """All texts' whitespace tokens as one flat utf-8 list + per-doc counts
+    (compat helper for callers that need the token bytes themselves)."""
+    flat: list[bytes] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        w = t.split()
+        counts[i] = len(w)
+        for x in w:
+            flat.append(x.encode("utf-8"))
+    return flat, counts
+
+
+_SIMHASH_TOKEN_CHUNK = 131_072  # bounds the (tokens, 64) bit matrix to ~64 MB
+
+
+def simhash_batch(texts: list[str]) -> np.ndarray:
+    """Token-weighted 64-bit SimHash per text, batched.
+
+    Identical bit semantics to round 1's per-text ``simhash64``: majority
+    vote of each hash bit across tokens, strict > half (empty text -> 0).
+    Docs are processed in token-bounded chunks so the transient bit matrix
+    stays small regardless of batch size.
+    """
+    buf = tokenize(texts)
+    counts = buf.counts
+    n_docs = counts.shape[0]
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if buf.tok_starts.size == 0:
+        return out
+    hashes = token_hashes(buf, fnv=True)
+    shifts = np.arange(64, dtype=np.uint64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    d0 = 0
+    while d0 < n_docs:
+        d1 = int(np.searchsorted(ends, starts[d0] + _SIMHASH_TOKEN_CHUNK, "left")) + 1
+        d1 = min(max(d1, d0 + 1), n_docs)
+        c = counts[d0:d1]
+        nz = c > 0
+        if nz.any():
+            h = hashes[starts[d0] : ends[d1 - 1]]
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            seg_starts = (starts[d0:d1] - starts[d0])[nz]
+            bitsum = np.add.reduceat(bits, seg_starts, axis=0)
+            maj = (bitsum * 2 > c[nz][:, None]).astype(np.uint64)
+            vals = (maj << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+            idx = np.arange(d0, d1)[nz]
+            out[idx] = vals
+        d0 = d1
+    return out
+
+
+def stopword_counts(buf: TokenBuf, stopwords: tuple[str, ...]) -> np.ndarray:
+    """Exact per-doc stopword counts, vectorized: tokens no longer than 7
+    bytes are packed into a uint64 key (top byte = length, so "a" != "a\\0")
+    and membership-tested against the packed stopword keys with np.isin.
+    Exact string comparison — not a hash — because keys encode the full
+    content."""
+    sw = [w.encode("utf-8") for w in stopwords]
+    assert all(len(w) <= 7 for w in sw), "stopwords longer than 7 bytes"
+
+    def pack(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        key = lens.astype(np.uint64) << np.uint64(56)
+        cap = flat.size - 1 if flat.size else 0
+        for k in range(7):
+            b = np.where(lens > k, flat[np.minimum(starts + k, cap)], 0).astype(np.uint64)
+            key |= b << np.uint64(48 - 8 * k)
+        return key
+
+    sflat, sstarts, slens = _flat_spans(sw)
+    sw_keys = np.unique(pack(sflat, sstarts, slens))
+    short = buf.tok_lens <= 7
+    tok_keys = pack(buf.flat, buf.tok_starts, buf.tok_lens)
+    is_stop = short & np.isin(tok_keys, sw_keys)
+    n_docs = buf.counts.shape[0]
+    ends = np.cumsum(buf.counts)
+    starts = ends - buf.counts
+    nz = buf.counts > 0
+    out = np.zeros(n_docs, dtype=np.int64)
+    if nz.any():
+        out[nz] = np.add.reduceat(is_stop.astype(np.int64), starts[nz])
+    return out
+
+
+def trigram16_sets(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct 16-bit codepoint-trigram hashes per text: (flat, counts).
+
+    gram = ((cp0 * 131 + cp1) * 131 + cp2) & 0xFFFF over unicode codepoints —
+    the LangId feature, vectorized via utf-32 views; texts shorter than 3
+    chars contribute 0 grams.
+    """
+    flat_parts: list[np.ndarray] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if len(t) < 3:
+            counts[i] = 0
+            continue
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        g = ((cp[:-2] * WORD_MULT + cp[1:-1]) * WORD_MULT + cp[2:]) & np.uint64(0xFFFF)
+        u = np.unique(g)
+        flat_parts.append(u)
+        counts[i] = u.shape[0]
+    if flat_parts:
+        return np.concatenate(flat_parts), counts
+    return np.empty(0, dtype=np.uint64), counts

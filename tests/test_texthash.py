@@ -1,0 +1,123 @@
+"""Vectorized text-hash kernels vs the round-1 per-byte reference loops.
+
+The kernels in core/texthash.py must be BIT-IDENTICAL to the per-byte Python
+implementations they replaced (stages/dedup.py / stages/textstats.py round 1)
+— every minhash signature, simhash, band bucket and fingerprint in the repo's
+outputs depends on it.  The reference loops are inlined here as ground truth.
+"""
+
+import numpy as np
+import pytest
+
+from orthority_ray.core import texthash as TH
+
+
+def _ref_fnv1a(g: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for byt in g:
+        h = ((h ^ byt) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def _ref_shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    words = text.split()
+    if len(words) < n:
+        grams = [" ".join(words)] if words else [""]
+    else:
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    return np.array([_ref_fnv1a(g.encode("utf-8")) for g in grams], dtype=np.uint64)
+
+
+def _ref_simhash64(text: str) -> int:
+    toks = text.split()
+    if not toks:
+        return 0
+    hashes = np.array([_ref_fnv1a(t.encode("utf-8")) for t in toks], dtype=np.uint64)
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    counts = bits.sum(axis=0)
+    maj = counts * 2 > len(toks)
+    return int(np.sum(np.where(maj, 1, 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)))
+
+
+def _ref_fingerprint(text: str) -> int:
+    h = 0
+    for w in text.split():
+        hw = 0
+        for b in w.encode("utf-8"):
+            hw = (hw * 131 + b) & 0xFFFFFFFFFFFFFFFF
+        h = (h * 1099511628211 + hw) & 0x7FFFFFFFFFFFFFFF
+    return h
+
+
+def _corpus():
+    rng = np.random.default_rng(7)
+    words = ["the", "quick", "brown", "fox", "jumps", "über", "naïve", "数据", "x"]
+    texts = ["", "a", "ab", "one two", "one two three four five"]
+    for _ in range(40):
+        k = int(rng.integers(0, 60))
+        texts.append(" ".join(rng.choice(words, k)))
+    texts.append("  leading and   multiple   spaces  ")
+    texts.append("\tmixed\nwhitespace and unicode 漢字 teste")
+    return texts
+
+
+def test_fnv1a_bulk_matches_reference():
+    grams = [t.encode("utf-8") for t in _corpus() if t] + [b"", b"\x00\xff", b"x" * 300]
+    got = TH.fnv1a_bulk(grams)
+    want = np.array([_ref_fnv1a(g) for g in grams], dtype=np.uint64)
+    assert (got == want).all()
+
+
+def test_shingle_hashes_batch_matches_reference():
+    texts = _corpus()
+    flat, counts = TH.shingle_hashes_batch(texts, 3)
+    assert counts.sum() == flat.shape[0]
+    pos = 0
+    for t, c in zip(texts, counts):
+        ref = _ref_shingle_hashes(t, 3)
+        assert c == ref.shape[0]
+        assert (flat[pos : pos + c] == ref).all(), t
+        pos += c
+
+
+def test_simhash_batch_matches_reference():
+    texts = _corpus()
+    got = TH.simhash_batch(texts)
+    want = np.array([_ref_simhash64(t) for t in texts], dtype=np.uint64)
+    assert (got == want).all()
+
+
+def test_simhash_batch_chunking_invariant():
+    texts = _corpus() * 3
+    import orthority_ray.core.texthash as th
+
+    old = th._SIMHASH_TOKEN_CHUNK
+    try:
+        th._SIMHASH_TOKEN_CHUNK = 7  # force many tiny chunks
+        small = TH.simhash_batch(texts)
+    finally:
+        th._SIMHASH_TOKEN_CHUNK = old
+    assert (small == TH.simhash_batch(texts)).all()
+
+
+def test_fingerprint_docs_matches_reference():
+    texts = _corpus()
+    flat, counts = TH.split_words(texts)
+    got = TH.fingerprint_docs(TH.word131_bulk(flat), counts)
+    want = np.array([_ref_fingerprint(t) for t in texts], dtype=np.int64)
+    assert (got == want).all()
+
+
+def test_trigram16_sets_matches_python_sets():
+    texts = _corpus()
+    flat, counts = TH.trigram16_sets(texts)
+    pos = 0
+    for t, c in zip(texts, counts):
+        want = {((ord(a) * 131 + ord(b)) * 131 + ord(c)) & 0xFFFF
+                for a, b, c in zip(t, t[1:], t[2:])}
+        got = set(flat[pos : pos + c].tolist())
+        assert got == want, t
+        assert c == len(want)
+        pos += c
