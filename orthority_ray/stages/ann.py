@@ -232,6 +232,72 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95) -> ray.data.Dataset:
     )
 
 
+def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.95,
+                          n_buckets_cap: int = 4096) -> ray.data.Dataset:
+    """(vec_a, vec_b, sim_key) near-dup pairs via LSH bucketing — the
+    10^12-vector scale path promised by :func:`embedding_neardup`:
+
+    1. every vector is EMITTED into its hyperplane-signature bucket plus the
+       ``N_PLANES`` 1-bit-flip buckets (multi-probe on the emit side covers
+       any pair within Hamming distance 2 of each other);
+    2. one ``groupby(bucket)`` shuffle co-locates candidates (payload
+       travels (1 + N_PLANES)x — the standard LSH space/recall trade);
+    3. exact pairwise cosine WITHIN each bucket (vectorized matmul), so
+       precision is 1.0 and only recall is approximate;
+    4. cross-bucket duplicate pairs collapse with a final pair groupby.
+
+    No full-matrix broadcast anywhere; per-bucket memory is bounded by
+    bucket occupancy (raise N_PLANES as the table grows).
+    """
+    thresh_key = int(np.floor(threshold * SIM_SCALE + 0.5))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(batch)
+        if len(ids) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "embedding": batch["embedding"].slice(0, 0)})
+        planes = _planes(m.shape[1])
+        b = _bucket_of(m, planes)
+        flips = b[:, None] ^ (1 << np.arange(N_PLANES))[None, :]
+        buckets = np.concatenate([b[:, None], flips], axis=1).ravel()  # (n*(P+1),)
+        reps = np.repeat(np.arange(len(ids)), N_PLANES + 1)
+        emb = batch["embedding"].combine_chunks().take(pa.array(reps))
+        return pa.table(
+            {
+                "bucket": pa.array(buckets % n_buckets_cap),
+                "vec_id": pa.array(ids[reps]),
+                "embedding": emb,
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        # a vector can reach the same bucket through several probes
+        ids, first = np.unique(ids, return_index=True)
+        if ids.shape[0] < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "sim_key": []}).astype(np.int64)
+        m = np.stack(g["embedding"].to_numpy()[first]).astype(np.float64)
+        sims = _cosine(m, m)
+        key = np.floor(sims * SIM_SCALE + 0.5).astype(np.int64)
+        ai, bi = np.nonzero(key >= thresh_key)
+        keep = ids[ai] < ids[bi]
+        return pd.DataFrame(
+            {"vec_a": ids[ai[keep]], "vec_b": ids[bi[keep]], "sim_key": key[ai[keep], bi[keep]]}
+        )
+
+    cand = (
+        read_embeddings(sf_dir)
+        .map_batches(explode, batch_format="pyarrow", batch_size=4096)
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+    # the same pair can surface from several buckets -> keep one
+    return cand.groupby(["vec_a", "vec_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
 def sql_embedding_neardup(threshold: float = 0.95) -> str:
     thresh_key = int(np.floor(threshold * SIM_SCALE + 0.5))
     return f"""

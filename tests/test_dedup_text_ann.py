@@ -205,6 +205,24 @@ def test_ann_lsh_recall(sf_small):
     assert recall > 0.35  # bucketed search trades recall for bucket pruning
 
 
+def test_embedding_neardup_lsh_recall_and_precision(sf_small):
+    """The LSH-bucketed scale path (no full-matrix broadcast): every emitted
+    pair must be exact-verified (precision 1.0, including sim_key values);
+    recall vs the exact pair set is approximate but bounded below."""
+    from orthority_ray.stages.ann import embedding_neardup_lsh
+
+    exact = embedding_neardup(sf_small, threshold=0.45).to_pandas()
+    approx = embedding_neardup_lsh(sf_small, threshold=0.45).to_pandas()
+    e = {(a, b): s for a, b, s in zip(exact["vec_a"], exact["vec_b"], exact["sim_key"])}
+    a_ = {(a, b): s for a, b, s in zip(approx["vec_a"], approx["vec_b"], approx["sim_key"])}
+    assert len(e) > 0
+    # precision: every LSH pair is a true pair with the identical sim_key
+    for k, s in a_.items():
+        assert k in e and e[k] == s
+    recall = len(set(a_) & set(e)) / len(e)
+    assert recall >= 0.5, recall
+
+
 def test_embedding_neardup_matches_oracle(sf_small):
     ours = (
         embedding_neardup(sf_small, threshold=0.45)
