@@ -31,6 +31,7 @@ from orthority_ray.stages.camera_geocode import (
     sql_pinhole_geocode,
 )
 from orthority_ray.stages.metadata import SQL_METADATA as _SQL_METADATA
+from orthority_ray.stages.quantiles import sql_exact_quantiles, sql_grouped_median
 from orthority_ray.stages.remap import sql_remap_checker as _sql_remap_checker
 from orthority_ray.stages.geocode import geocode
 from orthority_ray.stages.pip import pip_join
@@ -146,6 +147,33 @@ def q_cell_stats(sf_dir: str):
 
 def q_cell_covariance(sf_dir: str):
     return grouped_covariance(_geo(sf_dir), "cell", ["lon", "lat"])
+
+
+QUANTS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_cell_median(sf_dir: str):
+    """A2: exact per-cell discrete median (grouped-quantile operator)."""
+    from orthority_ray.stages.quantiles import grouped_median
+
+    return grouped_median(_geo(sf_dir).select_columns(["cell", "lat_milli"]),
+                          "cell", "lat_milli")
+
+
+def q_quantiles_exact(sf_dir: str):
+    """A2: exact global quantiles of an int column via the distributed
+    histogram (count-then-select)."""
+    from orthority_ray.stages.quantiles import exact_quantiles_int
+
+    return exact_quantiles_int(_geo(sf_dir), "lon_milli", QUANTS)
+
+
+def q_quantiles_sketch(sf_dir: str):
+    """A2: mergeable KLL-style sketch for unbounded columns (rows-only;
+    tolerance-tested vs numpy in tests/test_quantiles.py)."""
+    from orthority_ray.stages.quantiles import sketch_quantiles
+
+    return sketch_quantiles(_geo(sf_dir), "lon", QUANTS)
 
 
 # --- non-SQL-expressible (rows-only checks) ---------------------------------
@@ -327,6 +355,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann": q_ann,
         "embedding_neardup": q_embedding_neardup,
         "cell_stats": q_cell_stats,
+        "cell_median": q_cell_median,
+        "quantiles_exact": q_quantiles_exact,
         "pricing_summary": R.q_pricing_summary,
         "customers_per_region": R.q_customers_per_region,
         "top_orders": R.q_top_orders,
@@ -347,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "calibrate": q_calibrate,
         "cell_covariance": q_cell_covariance,
         "dem_geocode": q_dem_geocode,
+        "quantiles_sketch": q_quantiles_sketch,
         "minhash_pairs": q_minhash_pairs,
         "dup_clusters": q_dup_clusters,
         "simhash_buckets": q_simhash_buckets,
@@ -387,6 +418,8 @@ def oracle_sql() -> dict[str, str]:
                  CAST(SUM(lat_milli) AS BIGINT) AS sum_lat_milli
                FROM geod GROUP BY cell"""
         ),
+        "cell_median": S.with_geo(sql_grouped_median("cell", "lat_milli", "geod")),
+        "quantiles_exact": S.with_geo(sql_exact_quantiles("lon_milli", "geod", QUANTS)),
         "pricing_summary": R.SQL_PRICING,
         "customers_per_region": R.SQL_CUSTOMERS_PER_REGION,
         "top_orders": R.SQL_TOP_ORDERS,

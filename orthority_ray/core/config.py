@@ -24,6 +24,18 @@ def pool(n: int | None = None) -> tuple[int, int]:
     return (1, max(1, min(n, total)))
 
 
+def session_token() -> str:
+    """Identifier of the current Ray session/job — caches of materialized
+    Datasets or ObjectRefs must be invalidated when it changes (objects die
+    with their session; tests restart Ray mid-process)."""
+    try:
+        # node id is fresh per local session (job ids restart at 01000000
+        # in every new cluster, so they collide across restarts)
+        return ray.get_runtime_context().get_node_id()
+    except Exception:
+        return "none"
+
+
 def read_blocks() -> int:
     """override_num_blocks for single-file reads: a one-file parquet read
     yields ONE read task and too few blocks to feed the cluster — scaling

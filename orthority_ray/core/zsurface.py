@@ -154,40 +154,69 @@ class ZSurface:
 
     # --- ray-march intersection (M14) --------------------------------------
 
-    def raymarch(self, camera, j, i, n_steps: int = 64):
+    def raymarch(self, camera, j, i, n_steps: int = 16, refine: int = 8):
         """First intersection of the pixel rays with the surface.
 
-        All rays marched in LOCKSTEP down a shared z-ladder from the surface
-        max to min; the first bracket [z_hi, z_lo] where the ray passes below
-        the surface is refined linearly.  Rays that never cross resolve to
-        the min-z point (the reference's fallback, `camera.py:157-163`).
+        Two phases (round-2 speedup — same first-crossing semantics, ~3x
+        fewer surface evaluations than the round-1 64-step linear ladder):
+
+        1. COARSE lockstep ladder (``n_steps`` levels zmax -> zmin): every
+           ray's first bracket [z_hi, z_lo] with a sign change is recorded;
+        2. BISECTION (``refine`` rounds) of the brackets, all crossed rays
+           in lockstep, finishing with one linear interpolation — accuracy
+           (zmax - zmin) / n_steps / 2^refine, far below the old ladder's.
+
+        Rays that never cross resolve to the min-z point (the reference's
+        fallback, `camera.py:157-163`).  A crossing strictly inside a coarse
+        interval that re-emerges before its lower edge can be missed — the
+        same trade every stepped DEM intersector makes; n_steps bounds it.
         """
         zmin, zmax = self.min_max()
-        ladder = np.linspace(zmax, zmin, n_steps)
+        ladder = np.linspace(zmax, zmin, max(2, n_steps))
         j = np.asarray(j, dtype=np.float64)
         i = np.asarray(i, dtype=np.float64)
         n = j.shape[0]
-        hit_z = np.full(n, np.nan)
+        z_hi = np.empty(n)
+        z_lo = np.empty(n)
+        d_hi = np.empty(n)
+        d_lo = np.empty(n)
+        done = np.zeros(n, dtype=bool)
         prev_diff = None
         prev_z = None
-        done = np.zeros(n, dtype=bool)
         for zk in ladder:
             x, y, _ = camera.pixel_to_world_z(j, i, zk)
-            zs = self.sample(x, y)
-            diff = zk - zs  # >0: ray point above surface
+            diff = zk - self.sample(x, y)  # >0: ray point above surface
             if prev_diff is not None:
                 crossing = (~done) & (prev_diff > 0) & (diff <= 0)
                 if crossing.any():
-                    # linear interp of the bracket
-                    frac = np.where(
-                        prev_diff - diff != 0, prev_diff / (prev_diff - diff), 0.0
-                    )
-                    hit_z[crossing] = prev_z + (zk - prev_z) * frac[crossing]
+                    z_hi[crossing] = prev_z
+                    z_lo[crossing] = zk
+                    d_hi[crossing] = prev_diff[crossing]
+                    d_lo[crossing] = diff[crossing]
                     done |= crossing
-            prev_diff = diff if prev_diff is None else np.where(done, prev_diff, diff)
+                prev_diff = np.where(done, prev_diff, diff)
+            else:
+                prev_diff = diff
             prev_z = zk
             if done.all():
                 break
-        hit_z = np.where(done, hit_z, zmin)  # min-z fallback
+        hit_z = np.full(n, zmin)  # min-z fallback for non-crossing rays
+        idx = np.nonzero(done)[0]
+        if idx.size:
+            jc, ic = j[idx], i[idx]
+            zh, zl = z_hi[idx], z_lo[idx]
+            dh, dl = d_hi[idx], d_lo[idx]
+            for _ in range(refine):
+                zm = 0.5 * (zh + zl)
+                x, y, _ = camera.pixel_to_world_z(jc, ic, zm)
+                dm = zm - self.sample(x, y)
+                below = dm <= 0  # NaN (left grid) -> treated as above
+                zl = np.where(below, zm, zl)
+                dl = np.where(below, dm, dl)
+                zh = np.where(below, zh, zm)
+                dh = np.where(below, dh, dm)
+            denom = dh - dl
+            frac = np.where(denom != 0, dh / denom, 0.0)
+            hit_z[idx] = zh + (zl - zh) * frac
         x, y, zz = camera.pixel_to_world_z(j, i, hit_z)
         return x, y, zz

@@ -18,12 +18,57 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 
+# The testdata tables are single-file single-row-group parquet -> a serial
+# one-task read that throttles every streamed stage behind it (see
+# sources/pages.py _KEYS_CACHE).  Materialize each pruned (table, columns)
+# read once per session; blocks live in the object store and every query
+# fans out from them.  A real deployment reads many files and needs none of
+# this.
+_TABLE_CACHE: dict[tuple, ray.data.Dataset] = {}
+
+
 def _read(sf_dir: str, table: str, columns: list[str]) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from ..core.config import read_blocks, session_token
+
+    key = (sf_dir, table, tuple(columns), session_token())
+    ds = _TABLE_CACHE.get(key)
+    if ds is None:
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/{table}.parquet", columns=columns,
+            override_num_blocks=read_blocks(),
+        ).materialize()
+        while len(_TABLE_CACHE) >= 12:
+            _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
+        _TABLE_CACHE[key] = ds
+    return ds
 
 
 def cents(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+def bucketed_sum(partials: ray.data.Dataset, key: str, val: str,
+                 n_buckets: int = 64) -> ray.data.Dataset:
+    """High-cardinality groupby-sum: hash keys into ``n_buckets`` and sum
+    within each bucket with a vectorized pandas groupby.  Ray's native
+    ``groupby(key).aggregate`` pays per-GROUP overhead in its sort-based
+    reduce (measured 5.3 s for 147k groups at sf0.1 vs 3.2 s bucketed);
+    bucketing makes the wide step's group count a constant while the
+    per-key work stays vectorized.  Exactness unchanged: int64 sums."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = ((k * 2654435761) % 4294967296) % n_buckets
+        return b.append_column("__bucket", pa.array(bucket))
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key, as_index=False)[val].sum()
+
+    return (
+        partials.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+        .groupby("__bucket")
+        .map_groups(agg, batch_format="pandas")
+    )
 
 
 # --- Q1-style pricing summary ----------------------------------------------
@@ -119,17 +164,20 @@ def q_top_orders(sf_dir: str) -> ray.data.Dataset:
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def prep(b: pa.Table) -> pa.Table:
+        """Per-block partial sum by orderkey (exact int64): lineitem rows are
+        clustered by order, so this collapses ~4-8x before the shuffle —
+        the combiner pattern that keeps the wide step small."""
+        key = b["l_orderkey"].to_numpy(zero_copy_only=False)
         price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = b["l_discount"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {"l_orderkey": b["l_orderkey"], "rev_cents": pa.array(cents(price * (1.0 - disc)))}
-        )
+        rev = cents(price * (1.0 - disc))
+        u, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(u.shape[0], dtype=np.int64)
+        np.add.at(sums, inv, rev)
+        return pa.table({"l_orderkey": pa.array(u), "rev_cents": pa.array(sums)})
 
-    agg = (
-        li.map_batches(prep, batch_format="pyarrow", batch_size=65536)
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev_cents", alias_name="rev_cents"))
-    )
+    partials = li.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    agg = bucketed_sum(partials, "l_orderkey", "rev_cents")
 
     # top-k WITHOUT a global sort: per-block partial top-k, then one tiny
     # final merge block (global sort of all orders would shuffle everything

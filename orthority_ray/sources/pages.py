@@ -178,17 +178,42 @@ def pages_from_keys(keys_ds: ray.data.Dataset, sf_dir: str) -> ray.data.Dataset:
     return keys_ds.map_batches(synth, batch_format="pyarrow", batch_size=16384)
 
 
+# The testdata parquet is ONE file with ONE row group, so read_parquet is a
+# single serial task; SplitBlocks only splits its OUTPUT, and every stage
+# fused/streamed behind it inherits the serial trickle (measured: a 0.1 s/
+# batch map over sf0.1 ran 5.3 s streamed vs 1.0 s from materialized blocks
+# on 32 CPUs).  A real deployment reads thousands of files/row groups and
+# parallelizes natively; here we materialize the tiny key table ONCE per
+# sf_dir into the object store and fan out from the 128 cached blocks.
+_KEYS_CACHE: dict[tuple, ray.data.Dataset] = {}
+
+
 def read_page_keys(sf_dir: str) -> ray.data.Dataset:
     """Just ``doc_id`` (for geo-only pipelines that don't touch the payload —
-    keeps the hot path to a single pruned int column)."""
+    keeps the hot path to a single pruned int column).  Materialized once
+    per sf_dir per Ray session (see _KEYS_CACHE note)."""
+    from ..core.config import session_token
+
+    cache_key = (sf_dir, session_token())
+    cached = _KEYS_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    # materialize the (serial single-task) read FIRST so the key map fans
+    # out over cached blocks instead of queueing behind the streaming read
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"],
         override_num_blocks=read_blocks(),
-    )
+    ).materialize()
 
     def keys(batch: pa.Table) -> pa.Table:
         ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({"doc_id": pa.array(ok * 8 + ln)})
 
-    return ds.map_batches(keys, batch_format="pyarrow", batch_size=65536)
+    # batch_size=None = one batch per input block -> 128 materialized blocks,
+    # so downstream task pools see full fan-out
+    out = ds.map_batches(keys, batch_format="pyarrow", batch_size=None).materialize()
+    while len(_KEYS_CACHE) >= 2:  # bound the cache: keys are ~16 B/row
+        _KEYS_CACHE.pop(next(iter(_KEYS_CACHE)))
+    _KEYS_CACHE[cache_key] = out
+    return out

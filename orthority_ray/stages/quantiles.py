@@ -1,0 +1,207 @@
+"""Distributed median / quantile operators (SURVEY §2.6 A2 gap).
+
+The reference derives its GSD from a median (``nanmedian`` over per-pixel
+scales, /root/reference/orthority/ortho.py:223); round 1 shipped only
+min/max.  Three Ray-Data-first strategies, by data shape:
+
+- :func:`grouped_median` — EXACT per-group discrete median via
+  ``groupby(key).map_groups`` (a group fits a worker: the grouped-quantile
+  case).  DuckDB-oracle-exact: picks ``sorted[floor((n-1)*q)]``, the same
+  element as ``quantile_disc(col, q)``.
+- :func:`exact_quantiles_int` — EXACT global quantiles of an integer column
+  via the two-pass count-then-select: per-batch ``np.bincount`` partials ->
+  ``groupby(value).sum`` (shuffle is value-cardinality-sized, not
+  row-sized) -> cumulative-count selection.  Right whenever the value
+  universe is bounded (milli-degree coords, token counts, ...).
+- :class:`KllSketch` / :func:`sketch_quantiles` — mergeable bounded-memory
+  rank sketch for unbounded/float columns: per-batch partial sketches
+  merged associatively (map_batches partials -> tree of merges).
+  Compaction keeps every second element of a sorted full level
+  (deterministic, so results are parallelism-invariant given the same
+  block partition; error ~ 1/capacity of rank).  Rows-only query with a
+  tolerance test vs numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def _disc_index(n: int, q: float) -> int:
+    """Index of the discrete q-quantile in a sorted array — the same
+    element DuckDB's quantile_disc picks (verified: floor((n-1)*q))."""
+    return int(np.floor((n - 1) * q))
+
+
+def grouped_median(ds: ray.data.Dataset, key: str, col: str,
+                   q: float = 0.5) -> ray.data.Dataset:
+    """(key, n, median) per group — exact discrete quantile inside each
+    group (hash-partitioned; per-group data fits a worker)."""
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[col].to_numpy())
+        return pd.DataFrame(
+            {
+                key: [g[key].iloc[0]],
+                "n": np.array([v.shape[0]], dtype=np.int64),
+                "median": np.array([v[_disc_index(v.shape[0], q)]], dtype=np.int64),
+            }
+        )
+
+    return ds.groupby(key).map_groups(med, batch_format="pandas")
+
+
+def sql_grouped_median(key: str, col: str, table: str, q: float = 0.5) -> str:
+    return (
+        f"SELECT {key}, COUNT(*) AS n, "
+        f"CAST(quantile_disc({col}, {q!r}) AS BIGINT) AS median "
+        f"FROM {table} GROUP BY {key}"
+    )
+
+
+# --- exact global quantiles over a bounded integer universe -----------------
+
+
+def exact_quantiles_int(ds: ray.data.Dataset, col: str, qs: tuple[float, ...],
+                        batch_size: int = 65536) -> pd.DataFrame:
+    """(q_pm, value) exact discrete quantiles of an int column.
+
+    Pass 1 is a distributed histogram: per-batch value counts (already a
+    combiner: batch -> <=distinct rows) -> ``groupby(value).sum``.  The
+    final cumulative select runs on the value-cardinality-sized histogram —
+    dimension-sized, never row-sized.
+    """
+    from ray.data.aggregate import Sum
+
+    def counts(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"value": pa.array(u.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    hist = (
+        ds.select_columns([col])
+        .map_batches(counts, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("value")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded by the value universe, not the row count
+        .sort_values("value")
+        .reset_index(drop=True)
+    )
+    cum = hist["n"].cumsum().to_numpy()
+    total = int(cum[-1]) if len(cum) else 0
+    rows = []
+    for q in qs:
+        idx = _disc_index(total, q)
+        pos = int(np.searchsorted(cum, idx + 1, "left"))
+        rows.append((int(round(q * 1_000_000)), int(hist["value"].iloc[pos])))
+    return pd.DataFrame(rows, columns=["q_pm", "value"]).astype(np.int64)
+
+
+def sql_exact_quantiles(col: str, table: str, qs: tuple[float, ...]) -> str:
+    parts = " UNION ALL ".join(
+        f"SELECT CAST({int(round(q * 1_000_000))} AS BIGINT) AS q_pm, "
+        f"CAST(quantile_disc({col}, {q!r}) AS BIGINT) AS value FROM {table}"
+        for q in qs
+    )
+    return parts
+
+
+# --- mergeable rank sketch for unbounded columns ----------------------------
+
+
+class KllSketch:
+    """Deterministic KLL-style rank sketch: levels of capacity ``cap``;
+    a full level is sorted and every second element (even indices) is
+    promoted to the next level with doubled weight.  Deterministic
+    compaction trades the randomized KLL's unbiasedness for run-to-run
+    reproducibility; rank error stays O(levels / cap)."""
+
+    def __init__(self, cap: int = 256):
+        self.cap = cap
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+
+    def add(self, values: np.ndarray) -> "KllSketch":
+        self.levels[0] = np.concatenate([self.levels[0], values.astype(np.float64)])
+        self._compact()
+        return self
+
+    def merge(self, other: "KllSketch") -> "KllSketch":
+        for i, lv in enumerate(other.levels):
+            while len(self.levels) <= i:
+                self.levels.append(np.empty(0, dtype=np.float64))
+            self.levels[i] = np.concatenate([self.levels[i], lv])
+        self._compact()
+        return self
+
+    def _compact(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if self.levels[i].shape[0] > self.cap:
+                s = np.sort(self.levels[i], kind="mergesort")
+                promoted = s[::2]
+                self.levels[i] = np.empty(0, dtype=np.float64)
+                if i + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, dtype=np.float64))
+                self.levels[i + 1] = np.concatenate([self.levels[i + 1], promoted])
+            i += 1
+
+    def quantiles(self, qs: tuple[float, ...]) -> np.ndarray:
+        vals = np.concatenate(self.levels)
+        weights = np.concatenate(
+            [np.full(lv.shape[0], 1 << i, dtype=np.int64)
+             for i, lv in enumerate(self.levels)]
+        )
+        order = np.argsort(vals, kind="mergesort")
+        vals, weights = vals[order], weights[order]
+        cum = np.cumsum(weights)
+        total = cum[-1] if cum.shape[0] else 0
+        out = np.empty(len(qs), dtype=np.float64)
+        for j, q in enumerate(qs):
+            target = _disc_index(int(total), q) + 1
+            out[j] = vals[int(np.searchsorted(cum, target, "left"))]
+        return out
+
+    def to_rows(self) -> pa.Table:
+        """Serialize to (level, value) rows — the shuffle-friendly form."""
+        lvls = np.concatenate(
+            [np.full(lv.shape[0], i, dtype=np.int64)
+             for i, lv in enumerate(self.levels)]
+        ) if self.levels else np.empty(0, dtype=np.int64)
+        vals = np.concatenate(self.levels) if self.levels else np.empty(0)
+        return pa.table({"level": pa.array(lvls), "value": pa.array(vals)})
+
+    @staticmethod
+    def from_rows(level: np.ndarray, value: np.ndarray, cap: int = 256) -> "KllSketch":
+        sk = KllSketch(cap)
+        n_levels = int(level.max()) + 1 if level.shape[0] else 1
+        sk.levels = [value[level == i].astype(np.float64) for i in range(n_levels)]
+        sk._compact()
+        return sk
+
+
+def sketch_quantiles(ds: ray.data.Dataset, col: str, qs: tuple[float, ...],
+                     cap: int = 256, batch_size: int = 65536) -> pd.DataFrame:
+    """(q_pm, value) approximate global quantiles via per-batch KLL partial
+    sketches reduced through ONE dimension-sized collect: each batch ships
+    <= cap*levels (level, value) rows, the driver merges sketches — total
+    driver traffic is O(blocks * cap), independent of row count."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        sk = KllSketch(cap).add(b[col].to_numpy(zero_copy_only=False))
+        return sk.to_rows()
+
+    rows = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .to_pandas()
+    )
+    sk = KllSketch.from_rows(rows["level"].to_numpy(), rows["value"].to_numpy(), cap)
+    vals = sk.quantiles(qs)
+    return pd.DataFrame(
+        {"q_pm": np.array([int(round(q * 1_000_000)) for q in qs], dtype=np.int64),
+         "value": vals}
+    )

@@ -34,6 +34,23 @@ from .camera_geocode import FLAT_Z, doc_pixels
 CHECKER_PERIOD = 8
 
 
+def _cubic_kernel(t: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Cubic convolution kernel (Keys), a=-0.75 = OpenCV INTER_CUBIC.
+    Exactly interpolates at integer nodes and reproduces linear ramps."""
+    x = np.abs(t)
+    near = ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0
+    far = ((a * x - 5.0 * a) * x + 8.0 * a) * x - 4.0 * a
+    return np.where(x <= 1.0, near, np.where(x < 2.0, far, 0.0))
+
+
+def _lanczos4_kernel(t: np.ndarray) -> np.ndarray:
+    """Lanczos window, support 4 (8 taps); weights normalized at use."""
+    x = np.abs(t)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = np.sinc(t) * np.sinc(t / 4.0)
+    return np.where(x < 4.0, out, 0.0)
+
+
 def checkerboard(shape: tuple[int, int] = (P.IM_SIZE[1], P.IM_SIZE[0])) -> np.ndarray:
     """uint8 checkerboard image, period 8 px (reference fixture semantics)."""
     h, w = shape
@@ -65,7 +82,14 @@ class Remapper:
         return grids
 
     def _sample(self, j: np.ndarray, i: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(values, valid) at fractional pixel coords; nodata outside."""
+        """(values, valid) at fractional pixel coords; nodata outside.
+
+        Interp set mirrors the reference's enum (``orthority/enums.py:82-109``
+        nearest/bilinear/cubic/lanczos; 'average' is the overview-build
+        downsampler, stages/overviews.py): cubic is the 4-tap convolution
+        kernel with a=-0.75 (OpenCV INTER_CUBIC semantics, the reference's
+        remap backend), lanczos the normalized 8-tap Lanczos4 window.
+        """
         h, w = self.image.shape
         if self.interp == "nearest":
             jn = np.floor(j).astype(np.int64)
@@ -73,19 +97,47 @@ class Remapper:
             valid = (jn >= 0) & (jn < w) & (iN >= 0) & (iN < h)
             out = np.where(valid, self.image[np.clip(iN, 0, h - 1), np.clip(jn, 0, w - 1)], np.nan)
             return out, valid
+        if self.interp == "bilinear":
+            j0 = np.floor(j).astype(np.int64)
+            i0 = np.floor(i).astype(np.int64)
+            fj, fi = j - j0, i - i0
+            valid = (j0 >= 0) & (j0 < w - 1) & (i0 >= 0) & (i0 < h - 1)
+            j0c = np.clip(j0, 0, w - 2)
+            i0c = np.clip(i0, 0, h - 2)
+            img = self.image
+            out = (
+                img[i0c, j0c] * (1 - fi) * (1 - fj)
+                + img[i0c, j0c + 1] * (1 - fi) * fj
+                + img[i0c + 1, j0c] * fi * (1 - fj)
+                + img[i0c + 1, j0c + 1] * fi * fj
+            )
+            return np.where(valid, out, np.nan), valid
+        if self.interp == "cubic":
+            return self._sample_separable(j, i, np.arange(-1, 3), _cubic_kernel, False)
+        if self.interp == "lanczos":
+            return self._sample_separable(j, i, np.arange(-3, 5), _lanczos4_kernel, True)
+        raise ValueError(f"unknown interp {self.interp!r}")
+
+    def _sample_separable(self, j: np.ndarray, i: np.ndarray, offs: np.ndarray,
+                          kernel, normalize: bool) -> tuple[np.ndarray, np.ndarray]:
+        """Separable T-tap convolution sampling, vectorized over the batch:
+        one (N, T, T) gather + weighted sum.  Valid only where the full
+        support fits in-frame (matches the reference's border-nodata rule)."""
+        h, w = self.image.shape
         j0 = np.floor(j).astype(np.int64)
         i0 = np.floor(i).astype(np.int64)
         fj, fi = j - j0, i - i0
-        valid = (j0 >= 0) & (j0 < w - 1) & (i0 >= 0) & (i0 < h - 1)
-        j0c = np.clip(j0, 0, w - 2)
-        i0c = np.clip(i0, 0, h - 2)
-        img = self.image
-        out = (
-            img[i0c, j0c] * (1 - fi) * (1 - fj)
-            + img[i0c, j0c + 1] * (1 - fi) * fj
-            + img[i0c + 1, j0c] * fi * (1 - fj)
-            + img[i0c + 1, j0c + 1] * fi * fj
-        )
+        lo, hi = int(offs.min()), int(offs.max())
+        valid = (j0 + lo >= 0) & (j0 + hi < w) & (i0 + lo >= 0) & (i0 + hi < h)
+        wj = kernel(fj[:, None] - offs[None, :])  # (N, T)
+        wi = kernel(fi[:, None] - offs[None, :])
+        if normalize:
+            wj = wj / wj.sum(axis=1, keepdims=True)
+            wi = wi / wi.sum(axis=1, keepdims=True)
+        jc = np.clip(j0[:, None] + offs[None, :], 0, w - 1)
+        ic = np.clip(i0[:, None] + offs[None, :], 0, h - 1)
+        patch = self.image[ic[:, :, None], jc[:, None, :]]  # (N, Ti, Tj)
+        out = (wi[:, :, None] * wj[:, None, :] * patch).sum(axis=(1, 2))
         return np.where(valid, out, np.nan), valid
 
     def __call__(self, batch: pa.Table) -> pa.Table:

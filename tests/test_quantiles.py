@@ -1,0 +1,76 @@
+"""Distributed median/quantile operators (SURVEY §2.6 A2; reference derives
+GSD from a median, /root/reference/orthority/ortho.py:223)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from orthority_ray.stages.quantiles import (
+    KllSketch,
+    exact_quantiles_int,
+    grouped_median,
+    sketch_quantiles,
+)
+
+QS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+@pytest.fixture()
+def values():
+    rng = np.random.default_rng(11)
+    # lognormal-ish skewed ints + heavy ties
+    return np.concatenate(
+        [rng.integers(0, 50, 20_000), (rng.lognormal(3, 1, 30_000)).astype(np.int64)]
+    )
+
+
+def _disc(v, q):
+    s = np.sort(v)
+    return s[int(np.floor((len(s) - 1) * q))]
+
+
+def test_exact_quantiles_int_matches_numpy(values):
+    ds = ray.data.from_pandas(pd.DataFrame({"x": values})).repartition(13)
+    out = exact_quantiles_int(ds, "x", QS)
+    for q, v in zip(QS, out["value"]):
+        assert v == _disc(values, q), q
+
+
+def test_grouped_median_matches_pergroup_sort(values):
+    keys = values % 7
+    ds = ray.data.from_pandas(pd.DataFrame({"k": keys, "x": values})).repartition(9)
+    out = grouped_median(ds, "k", "x").to_pandas().sort_values("k").reset_index(drop=True)
+    for k in range(7):
+        grp = values[keys == k]
+        row = out[out["k"] == k].iloc[0]
+        assert row["n"] == grp.shape[0]
+        assert row["median"] == _disc(grp, 0.5), k
+
+
+def test_kll_sketch_rank_error_bounded(values):
+    sk = KllSketch(cap=256)
+    for chunk in np.array_split(values.astype(np.float64), 37):
+        sk.add(chunk)
+    est = sk.quantiles(QS)
+    s = np.sort(values)
+    for q, e in zip(QS, est):
+        # rank of the estimate must be within ~3% of the target rank
+        rank = np.searchsorted(s, e, "right") / len(s)
+        assert abs(rank - q) < 0.03, (q, rank)
+
+
+def test_kll_merge_associative_and_deterministic(values):
+    a, b, c = np.array_split(values.astype(np.float64), 3)
+    s1 = KllSketch(128).add(a).merge(KllSketch(128).add(b)).merge(KllSketch(128).add(c))
+    s2 = KllSketch(128).add(a).merge(KllSketch(128).add(b)).merge(KllSketch(128).add(c))
+    assert (s1.quantiles(QS) == s2.quantiles(QS)).all()
+
+
+def test_sketch_quantiles_dataset(values):
+    ds = ray.data.from_pandas(pd.DataFrame({"x": values.astype(np.float64)})).repartition(8)
+    out = sketch_quantiles(ds, "x", QS)
+    s = np.sort(values)
+    for q, e in zip(QS, out["value"]):
+        rank = np.searchsorted(s, e, "right") / len(s)
+        assert abs(rank - q) < 0.05, (q, rank)

@@ -43,6 +43,74 @@ def test_remap_bilinear_smooth(sf_unit):
     assert ((v[ok] > 0) & (v[ok] < 1)).any()  # interpolated values exist
 
 
+def _ref_cubic_1d(p, f, a=-0.75):
+    """Direct 4-tap cubic convolution at fractional offset f over points p."""
+    def W(t):
+        x = abs(t)
+        if x <= 1:
+            return ((a + 2) * x - (a + 3)) * x * x + 1
+        if x < 2:
+            return ((a * x - 5 * a) * x + 8 * a) * x - 4 * a
+        return 0.0
+
+    return sum(p[k + 1] * W(f - k) for k in range(-1, 3))
+
+
+@pytest.mark.parametrize("interp", ["cubic", "lanczos"])
+def test_kernel_interp_exact_at_nodes_and_linear(interp):
+    """Cubic/Lanczos sampling: exact at integer nodes; cubic reproduces a
+    linear ramp exactly (Keys kernel linear precision); both stay finite and
+    flag out-of-support samples invalid."""
+    r = Remapper(interp=interp)
+    # linear ramp image
+    h, w = 40, 50
+    ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    r.image = (2.0 * jj + 3.0 * ii).astype(np.float64)
+    # integer nodes (away from border)
+    js = np.array([5.0, 10.0, 20.0, 30.0])
+    is_ = np.array([6.0, 12.0, 18.0, 30.0])
+    vals, valid = r._sample(js, is_)
+    assert valid.all()
+    np.testing.assert_allclose(vals, 2.0 * js + 3.0 * is_, atol=1e-9)
+    # fractional positions: near-linear (a=-0.75 trades a little linear
+    # precision for sharpness — only a=-0.5 Catmull-Rom is linear-exact)
+    jf = js + 0.37
+    if_ = is_ + 0.61
+    vals, valid = r._sample(jf, if_)
+    assert valid.all()
+    np.testing.assert_allclose(vals, 2.0 * jf + 3.0 * if_, rtol=2e-3)
+    # full support must fit: near-border samples are invalid
+    edge = 0.5 if interp == "cubic" else 2.5
+    _, v_edge = r._sample(np.array([edge]), np.array([10.0]))
+    assert not v_edge.any()
+
+
+def test_cubic_matches_direct_convolution():
+    rng = np.random.default_rng(3)
+    r = Remapper(interp="cubic")
+    r.image = rng.uniform(0, 255, (20, 20))
+    j, i = 7.3, 11.8
+    j0, i0 = int(np.floor(j)), int(np.floor(i))
+    fj, fi = j - j0, i - i0
+    rows = [_ref_cubic_1d(r.image[i0 + k, j0 - 1 : j0 + 3], fj) for k in range(-1, 3)]
+    want = _ref_cubic_1d(np.array(rows), fi)
+    got, valid = r._sample(np.array([j]), np.array([i]))
+    assert valid.all()
+    np.testing.assert_allclose(got[0], want, rtol=1e-12)
+
+
+def test_remap_cubic_on_checker(sf_unit):
+    """End-to-end cubic remap over the pipeline fixture: finite where the
+    4x4 support fits, overshoot bounded by the kernel's Lebesgue constant."""
+    geo = camera_geocode(read_page_keys(sf_unit).limit(2000))
+    out = remap(geo, interp="cubic").to_pandas()
+    v = out["value"].to_numpy()
+    ok = out["valid"].to_numpy()
+    assert ok.mean() > 0.9
+    assert np.isfinite(v[ok]).all()
+    assert (v[ok] > -0.25).all() and (v[ok] < 1.25).all()  # bounded overshoot
+
+
 def test_undistort_grid_cached():
     r = Remapper()
     g1 = r.undistort_grid("brown")
