@@ -61,8 +61,12 @@ def run_flagship(sf_dir: str, out_dir: str, n_parts: int = N_PARTS,
     # which partitions remain), cheap int-only scan + combiner aggregate.
     tiles_pdf = assign_tiles(geocode(read_page_keys(sf_dir)))
     tiles_pdf.to_parquet(out_path / "_tiles.parquet", index=False)
-    cell_to_tile = dict(zip(tiles_pdf["cell"].astype(np.int64), tiles_pdf["tile_id"].astype(np.int64)))
-    cell_ref = ray.put(cell_to_tile)
+    # broadcast the routing table as SORTED parallel arrays: the per-batch
+    # lookup is one vectorized np.searchsorted, not a per-row dict probe
+    order = np.argsort(tiles_pdf["cell"].to_numpy())
+    route_cells = tiles_pdf["cell"].to_numpy().astype(np.int64)[order]
+    route_tiles = tiles_pdf["tile_id"].to_numpy().astype(np.int64)[order]
+    cell_ref = ray.put((route_cells, route_tiles))
 
     if not missing:
         return lineage.load_manifest_table(out_dir)
@@ -84,30 +88,30 @@ def run_flagship(sf_dir: str, out_dir: str, n_parts: int = N_PARTS,
 
     staged = ds.map_batches(transform, batch_format="pyarrow", batch_size=16384)
 
-    class Finish:
-        """Per-batch: verify extraction + attach tile_id from the broadcast
-        routing table (fetched once per actor)."""
+    def finish(batch: pa.Table) -> pa.Table:
+        """Per-batch: verify extraction (Arrow pc.equal, zero-copy) + attach
+        tile_id via vectorized searchsorted over the broadcast routing
+        arrays (cached per worker — stateless tasks, no actor pool)."""
+        import pyarrow.compute as pc
 
-        def __init__(self):
-            self.cell_to_tile = ray.get(cell_ref)
+        from ..sources.pages import cached_get
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return batch.append_column("tile_id", pa.array([], pa.int64()))
-            et = batch["extracted_text"].to_pylist()
-            tt = batch["text"].to_pylist()
-            bad = [u for e, t, u in zip(et, tt, batch["url"].to_pylist()) if e != t]
-            if bad:
-                raise ValueError(f"extraction not byte-identical for urls: {bad[:3]}")
-            cells = batch["cell"].to_numpy(zero_copy_only=False)
-            tile = np.array([self.cell_to_tile[int(c)] for c in cells], dtype=np.int64)
-            return batch.append_column("tile_id", pa.array(tile))
+        if batch.num_rows == 0:
+            return batch.append_column("tile_id", pa.array([], pa.int64()))
+        eq = pc.equal(batch["extracted_text"], batch["text"])
+        if not pc.all(eq).as_py():
+            bad = batch["url"].filter(pc.invert(eq)).to_pylist()
+            raise ValueError(f"extraction not byte-identical for urls: {bad[:3]}")
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        rc, rt = cached_get(cell_ref)
+        idx = np.searchsorted(rc, cells)
+        idx = np.clip(idx, 0, rc.shape[0] - 1)
+        if not (rc[idx] == cells).all():
+            missing = np.unique(cells[rc[idx] != cells])
+            raise ValueError(f"cells missing from routing table: {missing[:5]}")
+        return batch.append_column("tile_id", pa.array(rt[idx]))
 
-    from ..core.config import pool
-
-    finished = staged.map_batches(
-        Finish, batch_format="pyarrow", batch_size=16384, concurrency=pool(None)
-    )
+    finished = staged.map_batches(finish, batch_format="pyarrow", batch_size=16384)
 
     out_cols = ["url", "warc_ts", "text", "lang", "doc_id", "lon", "lat", "cell", "tile_id", "part"]
     finished = finished.select_columns(out_cols)
@@ -125,10 +129,23 @@ def run_flagship(sf_dir: str, out_dir: str, n_parts: int = N_PARTS,
     manifests.materialize()  # drive the pipeline to completion
 
     # planned partitions that received no rows still need a (rows=0)
-    # manifest, or resume would re-plan them forever
+    # manifest, or resume would re-plan them forever; empty partitions carry
+    # the FULL output schema so write_tile_layout's read never sees mixed
+    # schemas across part directories (ADVICE r1)
     still_missing = lineage.plan_missing(out_dir, planned, fp)
     empty_schema = pa.schema(
-        [("doc_id", pa.int64()), ("cell", pa.int64()), ("tile_id", pa.int64())]
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("doc_id", pa.int64()),
+            ("lon", pa.float64()),
+            ("lat", pa.float64()),
+            ("cell", pa.int64()),
+            ("tile_id", pa.int64()),
+            ("part", pa.int64()),
+        ]
     )
     for p in still_missing:
         lineage.write_partition(

@@ -26,7 +26,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 from ..core.config import read_blocks
 from ..core.geometry import make_tile_rings, points_in_rings, ring_bboxes
@@ -47,9 +46,7 @@ def fused_cell_aggregate(sf_dir: str, replicate: int = 1,
     bboxes = ring_bboxes(rings)
 
     def fused(batch: pa.Table) -> pa.Table:
-        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
-        base = ok * 8 + ln
+        base = batch["doc_id"].to_numpy(zero_copy_only=False)
         if replicate > 1:
             doc_id = np.concatenate([base + r * (1 << 24) for r in range(replicate)])
         else:
@@ -94,10 +91,14 @@ def fused_cell_aggregate(sf_dir: str, replicate: int = 1,
             }
         )
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"],
-        override_num_blocks=read_blocks(),
-    )
+    # the cached MATERIALIZED key table (sources/pages._KEYS_CACHE): the raw
+    # single-row-group parquet read is ONE serial task, and every map task
+    # chained behind its streaming output trickles serially no matter how
+    # many CPUs are free (measured: 8 -> 32 CPUs moved throughput only
+    # 1.91 -> 2.2 M docs/s until the read was materialized first)
+    from ..sources.pages import read_page_keys
+
+    ds = read_page_keys(sf_dir)
     return ds.map_batches(fused, batch_format="pyarrow", batch_size=4096)
 
 
@@ -107,13 +108,27 @@ def fused_headline(sf_dir: str, replicate: int = 1,
 
     The tile routing is identical to stages/tiles.assign_tiles (same sort
     keys over the same exact counts) — asserted in tests."""
-    agg = (
-        fused_cell_aggregate(sf_dir, replicate)
-        .groupby("cell")
-        .aggregate(Sum("n_docs", alias_name="n_docs"),
-                   Sum("n_join_pairs", alias_name="n_join_pairs"))
-        .to_pandas()
-    )
+    # final combine: the per-block partials are DIMENSION-sized (cells x
+    # blocks), so stream them to the driver and reduce with numpy instead of
+    # paying Ray's all-to-all Aggregate fixed cost (~1.5 s at any CPU count,
+    # the largest serial term in the 8->32 scaling gap).  At cluster scale
+    # (blocks x cells outgrowing one node) insert one bucketed pre-reduce
+    # (relational.bucketed_sum) before this and the driver table stays tiny.
+    cells_acc: list[np.ndarray] = []
+    docs_acc: list[np.ndarray] = []
+    pairs_acc: list[np.ndarray] = []
+    for b in fused_cell_aggregate(sf_dir, replicate).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        cells_acc.append(b["cell"].to_numpy(zero_copy_only=False))
+        docs_acc.append(b["n_docs"].to_numpy(zero_copy_only=False))
+        pairs_acc.append(b["n_join_pairs"].to_numpy(zero_copy_only=False))
+    cell_all = np.concatenate(cells_acc)
+    order = np.argsort(cell_all, kind="stable")
+    cs, idx = np.unique(cell_all[order], return_index=True)
+    n_docs = np.add.reduceat(np.concatenate(docs_acc)[order], idx)
+    n_pairs = np.add.reduceat(np.concatenate(pairs_acc)[order], idx)
+    agg = pd.DataFrame({"cell": cs, "n_docs": n_docs, "n_join_pairs": n_pairs})
     join_rows = int(agg["n_join_pairs"].sum())
     pdf = agg.sort_values(["n_docs", "cell"], ascending=[False, True], kind="mergesort")
     pdf = pdf.reset_index(drop=True)

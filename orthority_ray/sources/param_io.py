@@ -167,3 +167,46 @@ def read_ext_param_geojson(path: str | Path) -> dict:
         out[pr["filename"]] = dict(xyz=pr["xyz"], opk=pr["opk"], camera=pr["camera"])
     validate_collection(EXT_SCHEMA, out)
     return out
+
+
+# --- many-files parallel param read (S7) ------------------------------------
+
+
+def read_param_files(paths: list[str | Path]) -> "ray.data.Dataset":
+    """Parse many interior-param YAML files in PARALLEL Ray tasks — the
+    Ray-Data-native analog of the reference's thread-pooled tag reads over
+    file batches (`orthority/param_io.py:371-394`, SURVEY §2.1 S7): I/O and
+    parsing fan out across the cluster instead of a driver-side thread pool.
+
+    -> Dataset(path: string, camera: string, cam_type: string,
+    params_json: string), one row per camera entry per file; malformed files
+    raise (schema validation per file, same strictness as read_int_param).
+    """
+    import json as _json
+
+    import pyarrow as pa
+    import ray.data
+
+    items = [{"path": str(p)} for p in paths]
+
+    def parse(batch: "pa.Table") -> "pa.Table":
+        out_path, out_cam, out_type, out_js = [], [], [], []
+        for p in batch["path"].to_pylist():
+            params = read_int_param(p)
+            for cam, v in params.items():
+                out_path.append(p)
+                out_cam.append(str(cam))
+                out_type.append(str(v.get("cam_type", "")))
+                out_js.append(_json.dumps(v, sort_keys=True))
+        return pa.table(
+            {
+                "path": pa.array(out_path, pa.string()),
+                "camera": pa.array(out_cam, pa.string()),
+                "cam_type": pa.array(out_type, pa.string()),
+                "params_json": pa.array(out_js, pa.string()),
+            }
+        )
+
+    return ray.data.from_items(items).map_batches(
+        parse, batch_format="pyarrow", batch_size=8
+    )

@@ -70,11 +70,12 @@ def exact_quantiles_int(ds: ray.data.Dataset, col: str, qs: tuple[float, ...],
     """(q_pm, value) exact discrete quantiles of an int column.
 
     Pass 1 is a distributed histogram: per-batch value counts (already a
-    combiner: batch -> <=distinct rows) -> ``groupby(value).sum``.  The
-    final cumulative select runs on the value-cardinality-sized histogram —
-    dimension-sized, never row-sized.
+    combiner: batch -> <=distinct rows) -> bucketed sum (64 hash buckets;
+    Ray's native aggregate pays per-group cost at 100k+ distinct values).
+    The final cumulative select runs on the value-cardinality-sized
+    histogram — dimension-sized, never row-sized.
     """
-    from ray.data.aggregate import Sum
+    from ..pipelines.relational import bucketed_sum
 
     def counts(b: pa.Table) -> pa.Table:
         v = b[col].to_numpy(zero_copy_only=False)
@@ -82,11 +83,11 @@ def exact_quantiles_int(ds: ray.data.Dataset, col: str, qs: tuple[float, ...],
         return pa.table({"value": pa.array(u.astype(np.int64)),
                          "n": pa.array(c.astype(np.int64))})
 
+    partials = ds.select_columns([col]).map_batches(
+        counts, batch_format="pyarrow", batch_size=batch_size
+    )
     hist = (
-        ds.select_columns([col])
-        .map_batches(counts, batch_format="pyarrow", batch_size=batch_size)
-        .groupby("value")
-        .aggregate(Sum("n", alias_name="n"))
+        bucketed_sum(partials, "value", "n")
         .to_pandas()  # bounded by the value universe, not the row count
         .sort_values("value")
         .reset_index(drop=True)

@@ -108,7 +108,7 @@ def salted_cell_moments(geo_ds: ray.data.Dataset, cols: list[str],
 
     def merge_level(g: pd.DataFrame) -> pd.DataFrame:
         acc = (0, np.zeros(d), np.zeros((d, d)))
-        g = g.sort_values("n", kind="mergesort")
+        g = g.sort_values(["n"] + [c for c in g.columns if c.startswith(("mean_", "c_"))], kind="mergesort")  # content tie-break: equal-n partials (fixed batch sizes) must merge in a run-independent order
         for _, row in g.iterrows():
             mean = np.array([row[f"mean_{j}"] for j in range(d)])
             c = np.array([row[f"c_{j}"] for j in range(d * d)]).reshape(d, d)
@@ -126,7 +126,7 @@ def salted_cell_moments(geo_ds: ray.data.Dataset, cols: list[str],
 
     def merge_final(g: pd.DataFrame) -> pd.DataFrame:
         acc = (0, np.zeros(d), np.zeros((d, d)))
-        g = g.sort_values("n", kind="mergesort")
+        g = g.sort_values(["n"] + [c for c in g.columns if c.startswith(("mean_", "c_"))], kind="mergesort")  # content tie-break: equal-n partials (fixed batch sizes) must merge in a run-independent order
         for _, row in g.iterrows():
             mean = np.array([row[f"mean_{j}"] for j in range(d)])
             c = np.array([row[f"c_{j}"] for j in range(d * d)]).reshape(d, d)

@@ -80,7 +80,7 @@ def grouped_covariance(ds: ray.data.Dataset, key: str, cols: list[str]) -> ray.d
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         acc = (0, np.zeros(d), np.zeros((d, d)))
-        g = g.sort_values("n", kind="mergesort")  # deterministic merge order
+        g = g.sort_values(["n"] + [c for c in g.columns if c.startswith(("mean_", "c_"))], kind="mergesort")  # content tie-break: equal-n partials (fixed batch sizes) must merge in a run-independent order
         for _, row in g.iterrows():
             mean = np.array([row[f"mean_{j}"] for j in range(d)])
             c = np.array([row[f"c_{j}"] for j in range(d * d)]).reshape(d, d)

@@ -95,3 +95,37 @@ def test_csv_reader_rpy_dialect(tmp_path):
 
     R = opk_to_rotation(params["a.tif"]["opk"])
     assert np.allclose(R @ R.T, np.eye(3), atol=1e-9)
+
+def test_read_param_files_parallel(tmp_path):
+    """S7: many param files parsed in parallel Ray tasks; every (file,
+    camera) row surfaces with validated content."""
+    import json
+
+    from orthority_ray.sources.param_io import (
+        int_param_dict,
+        read_param_files,
+        write_int_param,
+    )
+
+    params = int_param_dict()
+    paths = []
+    for k in range(12):
+        p = tmp_path / f"int_{k}.yaml"
+        write_int_param(p, params)
+        paths.append(p)
+    out = read_param_files(paths).to_pandas()
+    assert len(out) == 12 * len(params)
+    assert set(out["camera"]) == set(params)
+    row = out.iloc[0]
+    assert json.loads(row["params_json"])["cam_type"] == params[row["camera"]]["cam_type"]
+
+
+def test_read_param_files_malformed_raises(tmp_path):
+    import pytest as _pytest
+
+    from orthority_ray.sources.param_io import read_param_files
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("not: [a, param, file]")
+    with _pytest.raises(Exception):
+        read_param_files([bad]).to_pandas()
