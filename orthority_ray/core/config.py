@@ -24,6 +24,31 @@ def pool(n: int | None = None) -> tuple[int, int]:
     return (1, max(1, min(n, total)))
 
 
+_STAGE_CACHE: dict[str, object] = {}
+
+
+def cached_stage(cls, key: str, *args, **kwargs):
+    """Wrap a callable-class batch fn as a STATELESS task fn with a
+    per-worker-process instance cache: the instance builds once per worker
+    (like an actor's __init__) but the stage runs as elastic tasks — no
+    actor-pool spawn in the measured path (pool spin-up dominated several
+    stage wall times; see BASELINE.md perf lessons).  ``key`` must encode
+    everything the constructor args depend on (ObjectRef hexes included —
+    refs die with their session and a fresh ray.put yields a fresh hex).
+    """
+
+    def fn(batch):
+        inst = _STAGE_CACHE.get(key)
+        if inst is None:
+            inst = cls(*args, **kwargs)
+            if len(_STAGE_CACHE) > 64:
+                _STAGE_CACHE.pop(next(iter(_STAGE_CACHE)))
+            _STAGE_CACHE[key] = inst
+        return inst(batch)
+
+    return fn
+
+
 def session_token() -> str:
     """Identifier of the current Ray session/job — caches of materialized
     Datasets or ObjectRefs must be invalidated when it changes (objects die

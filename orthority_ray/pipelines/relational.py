@@ -139,9 +139,11 @@ def q_customers_per_region(sf_dir: str) -> ray.data.Dataset:
     from ..core.config import pool
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    from ..core.config import cached_stage
+
     return (
-        cust.map_batches(JoinFn, batch_format="pyarrow", batch_size=65536,
-                         concurrency=pool(None))
+        cust.map_batches(cached_stage(JoinFn, f"rel:joinfn:{lookup_ref.hex()}"),
+                         batch_format="pyarrow", batch_size=65536)
         .groupby("r_name")
         .aggregate(Count(alias_name="n_customers"))
     )
@@ -473,11 +475,12 @@ def q_parts_by_brand(sf_dir: str) -> ray.data.Dataset:
                  "qty": pa.array(np.floor(qty).astype(np.int64))}
             )
 
-    from ..core.config import pool
+    from ..core.config import cached_stage
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
     return (
-        li.map_batches(Lookup, batch_format="pyarrow", batch_size=65536, concurrency=pool(None))
+        li.map_batches(cached_stage(Lookup, f"rel:brand:{ref.hex()}"),
+                       batch_format="pyarrow", batch_size=65536)
         .groupby("p_brand")
         .aggregate(Count(alias_name="n_lineitems"), Sum("qty", alias_name="sum_qty"))
     )

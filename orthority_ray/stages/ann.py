@@ -108,9 +108,11 @@ def _merge(g: pd.DataFrame, k: int = K) -> pd.DataFrame:
 def ann_bruteforce(sf_dir: str, k: int = K, *, concurrency: int | None = None) -> ray.data.Dataset:
     queries_ref = ray.put(load_queries(sf_dir))
     ds = read_embeddings(sf_dir)
+    from ..core.config import cached_stage
+
     partials = ds.map_batches(
-        _PartialTopSim, batch_format="pyarrow", batch_size=4096,
-        concurrency=pool(concurrency or 4), fn_constructor_args=(queries_ref, k),
+        cached_stage(_PartialTopSim, f"ann:brute:{queries_ref.hex()}:{k}", queries_ref, k),
+        batch_format="pyarrow", batch_size=4096,
     )
     return partials.groupby("query_id").map_groups(lambda g: _merge(g, k), batch_format="pandas")
 
@@ -188,9 +190,11 @@ class _LshPartial(_PartialTopSim):
 def ann_lsh(sf_dir: str, k: int = K, *, concurrency: int | None = None) -> ray.data.Dataset:
     queries_ref = ray.put(load_queries(sf_dir))
     ds = read_embeddings(sf_dir)
+    from ..core.config import cached_stage
+
     partials = ds.map_batches(
-        _LshPartial, batch_format="pyarrow", batch_size=4096,
-        concurrency=pool(concurrency or 4), fn_constructor_args=(queries_ref, k),
+        cached_stage(_LshPartial, f"ann:lsh:{queries_ref.hex()}:{k}", queries_ref, k),
+        batch_format="pyarrow", batch_size=4096,
     )
     return partials.groupby("query_id").map_groups(lambda g: _merge(g, k), batch_format="pandas")
 
@@ -227,8 +231,11 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95) -> ray.data.Dataset:
                 }
             )
 
+    from ..core.config import cached_stage
+
     return read_embeddings(sf_dir).map_batches(
-        Pairs, batch_format="pyarrow", batch_size=4096, concurrency=pool(2)
+        cached_stage(Pairs, f"ann:neardup:{all_ref.hex()}:{thresh_key}"),
+        batch_format="pyarrow", batch_size=4096,
     )
 
 

@@ -226,9 +226,10 @@ def minhash_candidate_pairs(ds: ray.data.Dataset, *, concurrency: int | None = N
     """
     if pre_dedup:
         ds = exact_dedup(ds)
-    bands = ds.map_batches(
-        MinHasher, batch_format="pyarrow", batch_size=4096, concurrency=pool(concurrency)
-    )
+    from ..core.config import cached_stage
+
+    bands = ds.map_batches(cached_stage(MinHasher, "dedup:minhash:3"),
+                           batch_format="pyarrow", batch_size=4096)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(g["doc_id"].to_numpy())
@@ -503,8 +504,10 @@ def add_simhash(batch: pa.Table) -> pa.Table:
 
 def simhash_buckets(ds: ray.data.Dataset) -> ray.data.Dataset:
     """(band, value, n_docs) bucket sizes — the SimHash LSH histogram."""
-    hashed = ds.map_batches(SimHasher, batch_format="pyarrow", batch_size=4096,
-                            concurrency=pool(None))
+    from ..core.config import cached_stage
+
+    hashed = ds.map_batches(cached_stage(SimHasher, "dedup:simhash"),
+                            batch_format="pyarrow", batch_size=4096)
 
     def explode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

@@ -30,7 +30,6 @@ import ray
 import ray.data
 
 from ..core import cells as C
-from ..core.config import pool
 from ..core import hashing as H
 
 QUERY_MOD = 997
@@ -225,14 +224,22 @@ def _merge_topk(g: pd.DataFrame, k: int = K) -> pd.DataFrame:
 
 
 def _run(geo_ds: ray.data.Dataset, cls, k: int, concurrency: int | None) -> ray.data.Dataset:
+    """Stateless tasks + per-worker cached scorer (no actor pool: the
+    scorer state is one broadcast matrix, and pool spin-up dominated the
+    stage wall time at this scale — see BASELINE.md perf lessons)."""
+    from ..sources.pages import _BROADCAST_CACHE
+
     queries_ref = ray.put(make_queries(geo_ds))
-    partials = geo_ds.map_batches(
-        cls,
-        batch_format="pyarrow",
-        batch_size=16384,
-        concurrency=pool(concurrency),
-        fn_constructor_args=(queries_ref, k),
-    )
+    cache_key = f"knn:{cls.__name__}:{k}:{queries_ref.hex()}"
+
+    def score(batch: pa.Table) -> pa.Table:
+        fn = _BROADCAST_CACHE.get(cache_key)
+        if fn is None:
+            fn = cls(queries_ref, k)
+            _BROADCAST_CACHE[cache_key] = fn
+        return fn(batch)
+
+    partials = geo_ds.map_batches(score, batch_format="pyarrow", batch_size=16384)
     return partials.groupby("query_id").map_groups(
         lambda g: _merge_topk(g, k), batch_format="pandas"
     )

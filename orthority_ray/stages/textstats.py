@@ -108,9 +108,10 @@ class TextFeatures:
 
 
 def text_features(ds: ray.data.Dataset, *, concurrency: int | None = None) -> ray.data.Dataset:
-    return ds.map_batches(
-        TextFeatures, batch_format="pyarrow", batch_size=4096, concurrency=pool(concurrency)
-    )
+    from ..core.config import cached_stage
+
+    return ds.map_batches(cached_stage(TextFeatures, "textstats:features"),
+                          batch_format="pyarrow", batch_size=4096)
 
 
 # token count via whitespace split — SQL parity with DuckDB:
@@ -151,9 +152,10 @@ class QualityScorer:
 
 
 def quality(ds: ray.data.Dataset, *, concurrency: int | None = None) -> ray.data.Dataset:
-    return ds.map_batches(
-        QualityScorer, batch_format="pyarrow", batch_size=4096, concurrency=pool(concurrency)
-    )
+    from ..core.config import cached_stage
+
+    return ds.map_batches(cached_stage(QualityScorer, "textstats:quality"),
+                          batch_format="pyarrow", batch_size=4096)
 
 
 SQL_QUALITY = r"""
@@ -210,5 +212,7 @@ class LangId:
 
 
 def lang_id(ds: ray.data.Dataset, *, concurrency: int | None = None) -> ray.data.Dataset:
-    return ds.map_batches(LangId, batch_format="pyarrow", batch_size=4096,
-                          concurrency=pool(concurrency))
+    from ..core.config import cached_stage
+
+    return ds.map_batches(cached_stage(LangId, "textstats:langid"),
+                          batch_format="pyarrow", batch_size=4096)
