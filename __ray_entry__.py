@@ -331,6 +331,10 @@ def q_embedding_neardup_lsh(sf_dir: str):
     return ANN.embedding_neardup_lsh(sf_dir, threshold=0.45)
 
 
+def q_ann_ivf(sf_dir: str):
+    return ANN.ann_ivf(sf_dir)
+
+
 def q_pan_sharpen(sf_dir: str):
     return pan_sharpen(_geo(sf_dir)).select_columns(
         ["doc_id", "sharp_ms0", "sharp_ms1", "sharp_ms2"]
@@ -383,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_buckets": q_simhash_buckets,
         "lang_id": q_lang_id,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "pan_sharpen": q_pan_sharpen,
     }

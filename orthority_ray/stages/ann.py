@@ -133,6 +133,99 @@ SELECT query_id, neighbor_id, rank, sim_key FROM (
 """.strip()
 
 
+# --- IVF (inverted-file) ANN -------------------------------------------------
+
+N_LIST = 32  # coarse centroids; bucket size ~ N / nlist
+N_PROBE = 6  # centroid lists each query scans
+
+
+def train_centroids(sf_dir: str, nlist: int = N_LIST, iters: int = 5,
+                    sample_mod: int = 7) -> np.ndarray:
+    """Deterministic coarse quantizer: k-means on the ``vec_id % sample_mod
+    == 0`` sample (data-derived, no RNG draw order dependence), seeded
+    Philox init, fixed Lloyd iterations.  The sample is small (N/mod) and
+    trains driver-side; at 10^12 scale the sample itself would be a Dataset
+    aggregate, but the centroid table stays nlist x dim either way."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids, m = _emb_matrix(t)
+    s = m[ids % sample_mod == 0]
+    sn = s / np.sqrt((s * s).sum(axis=1, keepdims=True))
+    rng = np.random.Generator(np.random.Philox(key=7))
+    cent = sn[rng.choice(sn.shape[0], size=min(nlist, sn.shape[0]), replace=False)]
+    for _ in range(iters):
+        sims = sn @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(cent.shape[0]):
+            mask = assign == c
+            if mask.any():
+                v = sn[mask].mean(axis=0)
+                cent[c] = v / np.sqrt((v * v).sum())
+    return cent
+
+
+class _IvfPartial(_PartialTopSim):
+    """Partial top-k scoring only vectors whose nearest centroid is among
+    the query's ``nprobe`` closest lists — the IVF probe, per batch."""
+
+    def __init__(self, queries_ref, cent_ref, k: int = K, nprobe: int = N_PROBE):
+        super().__init__(queries_ref, k)
+        self.cent = ray.get(cent_ref)  # (nlist, d), unit rows
+        qn = self.q / np.sqrt((self.q * self.q).sum(axis=1, keepdims=True))
+        order = np.argsort(-(qn @ self.cent.T), axis=1)
+        self.q_lists = order[:, :nprobe]  # (Q, nprobe)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(batch)
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "sim_key": pa.array([], pa.int64())})
+        if len(ids) == 0:
+            return empty
+        mn = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+        vlist = np.argmax(mn @ self.cent.T, axis=1)  # (B,)
+        out = []
+        for c in range(len(self.qids)):
+            mask = np.isin(vlist, self.q_lists[c])
+            if not mask.any():
+                continue
+            sims = _cosine(m[mask], self.q[c : c + 1])[:, 0]
+            key = np.floor(sims * SIM_SCALE + 0.5).astype(np.int64)
+            sub_ids = ids[mask]
+            k = min(self.k, key.shape[0])
+            order = np.lexsort((sub_ids, -key))[:k]
+            out.append(
+                pa.table(
+                    {
+                        "query_id": pa.array(np.full(k, self.qids[c], dtype=np.int64)),
+                        "neighbor_id": pa.array(sub_ids[order]),
+                        "sim_key": pa.array(key[order]),
+                    }
+                )
+            )
+        return pa.concat_tables(out) if out else empty
+
+
+def ann_ivf(sf_dir: str, k: int = K, nlist: int = N_LIST, nprobe: int = N_PROBE,
+            *, concurrency: int | None = None) -> ray.data.Dataset:
+    """IVF ANN: train coarse centroids once, broadcast them, probe the
+    ``nprobe`` nearest inverted lists per query inside each batch — the
+    second scale path next to LSH (brief: "an IVF or LSH-bucketed variant");
+    recall measured vs the exact brute force in tests."""
+    from ..core.config import cached_stage
+
+    queries_ref = ray.put(load_queries(sf_dir))
+    cent_ref = ray.put(train_centroids(sf_dir, nlist))
+    ds = read_embeddings(sf_dir)
+    partials = ds.map_batches(
+        cached_stage(_IvfPartial, f"ann:ivf:{queries_ref.hex()}:{k}:{nprobe}",
+                     queries_ref, cent_ref, k, nprobe),
+        batch_format="pyarrow", batch_size=4096,
+    )
+    return partials.groupby("query_id").map_groups(lambda g: _merge(g, k), batch_format="pandas")
+
+
 # --- LSH bucketing (the 10^12-scale path) -----------------------------------
 
 

@@ -205,6 +205,26 @@ def test_ann_lsh_recall(sf_small):
     assert recall > 0.35  # bucketed search trades recall for bucket pruning
 
 
+def test_ann_ivf_recall(sf_small):
+    """IVF probe path: every returned pair must carry the exact sim_key of
+    the brute-force result for that (query, neighbor); recall bounded."""
+    from orthority_ray.stages.ann import ann_ivf
+
+    exact = ann_bruteforce(sf_small).to_pandas()
+    ivf = ann_ivf(sf_small).to_pandas()
+    e = {(q, n): s for q, n, s in zip(exact["query_id"], exact["neighbor_id"], exact["sim_key"])}
+    hits = 0
+    for q, n, s in zip(ivf["query_id"], ivf["neighbor_id"], ivf["sim_key"]):
+        if (q, n) in e:
+            assert e[(q, n)] == s
+            hits += 1
+    recall = hits / len(e)
+    assert recall >= 0.5, recall
+    # determinism: identical output on a rerun (seeded centroids)
+    again = ann_ivf(sf_small).to_pandas()
+    assert ivf.equals(again)
+
+
 def test_embedding_neardup_lsh_recall_and_precision(sf_small):
     """The LSH-bucketed scale path (no full-matrix broadcast): every emitted
     pair must be exact-verified (precision 1.0, including sim_key values);
