@@ -131,18 +131,17 @@ def q_cell_stats(sf_dir: str):
     boundaries because lat/lon are exact milli multiples — observed flaky;
     the float moments kernel is exposed in the rows-only ``cell_covariance``
     query and verified with tolerances in tests/test_stats_sharpen.py)."""
-    from ray.data.aggregate import Count, Sum
+    import pyarrow as pa
 
-    return (
-        _geo(sf_dir)
-        .select_columns(["cell", "lon_milli", "lat_milli"])
-        .groupby("cell")
-        .aggregate(
-            Count(alias_name="n"),
-            Sum("lon_milli", alias_name="sum_lon_milli"),
-            Sum("lat_milli", alias_name="sum_lat_milli"),
-        )
+    from orthority_ray.pipelines.relational import combined_groupby_sum
+
+    renamed = _geo(sf_dir).map_batches(
+        lambda b: pa.table({"cell": b["cell"], "sum_lon_milli": b["lon_milli"],
+                            "sum_lat_milli": b["lat_milli"]}),
+        batch_format="pyarrow", batch_size=None,
     )
+    return combined_groupby_sum(renamed, ["cell"],
+                                ["sum_lon_milli", "sum_lat_milli"], count_alias="n")
 
 
 def q_cell_covariance(sf_dir: str):

@@ -33,9 +33,15 @@ def _read(sf_dir: str, table: str, columns: list[str]) -> ray.data.Dataset:
     key = (sf_dir, table, tuple(columns), session_token())
     ds = _TABLE_CACHE.get(key)
     if ds is None:
+        from pathlib import Path
+
+        # block count scaled to the file: splitting a 1000-row dim table
+        # 128 ways just buys 128 trivial task dispatches downstream
+        size = Path(f"{sf_dir}/{table}.parquet").stat().st_size
+        nb = read_blocks() if size > 4_000_000 else 8
         ds = ray.data.read_parquet(
             f"{sf_dir}/{table}.parquet", columns=columns,
-            override_num_blocks=read_blocks(),
+            override_num_blocks=nb,
         ).materialize()
         while len(_TABLE_CACHE) >= 12:
             _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
@@ -71,6 +77,50 @@ def bucketed_sum(partials: ray.data.Dataset, key: str, val: str,
     )
 
 
+def combined_groupby_sum(ds: ray.data.Dataset, keys: list[str], sum_cols: list[str],
+                         count_alias: str | None = None,
+                         batch_size: int | None = 65536) -> ray.data.Dataset:
+    """groupby(keys) with COUNT + integer SUMs, pre-combined per block: each
+    batch collapses to <= distinct(keys) rows (vectorized pandas groupby)
+    before the shuffle.  The sums must already be per-row values named as
+    the OUTPUT columns.  A second tiny combine bundles the per-task partials
+    into a handful of blocks, because the Aggregate's sort-shuffle creates
+    one reduce partition PER INPUT BLOCK — 128 partial blocks means 128
+    reduce partitions for a 25-row result (measured: the Aggregate was the
+    whole 1.8 s wall).  Column order: keys + [count_alias?] + sum_cols."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(keys + sum_cols).to_pandas()
+        gb = df.groupby(keys, as_index=False, sort=False)
+        if count_alias:
+            out = gb.size().rename(columns={"size": count_alias})
+            if sum_cols:
+                out = out.merge(gb[sum_cols].sum(), on=keys)
+        else:
+            out = gb[sum_cols].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def recombine(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        agg_spec = {c: "sum" for c in sum_cols}
+        if count_alias:
+            agg_spec[count_alias] = "sum"
+        out = df.groupby(keys, as_index=False, sort=False).agg(agg_spec)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    aggs = []
+    if count_alias:
+        aggs.append(Sum(count_alias, alias_name=count_alias))
+    aggs.extend(Sum(c, alias_name=c) for c in sum_cols)
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .map_batches(recombine, batch_format="pyarrow", batch_size=1 << 20)
+        .groupby(keys if len(keys) > 1 else keys[0])
+        .aggregate(*aggs)
+    )
+
+
 # --- Q1-style pricing summary ----------------------------------------------
 
 
@@ -86,21 +136,16 @@ def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
             {
                 "l_returnflag": b["l_returnflag"],
                 "l_linestatus": b["l_linestatus"],
-                "qty": pa.array(np.floor(qty).astype(np.int64)),
-                "base_cents": pa.array(cents(price)),
-                "disc_cents": pa.array(cents(price * (1.0 - disc))),
+                "sum_qty": pa.array(np.floor(qty).astype(np.int64)),
+                "sum_base_cents": pa.array(cents(price)),
+                "sum_disc_cents": pa.array(cents(price * (1.0 - disc))),
             }
         )
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty", alias_name="sum_qty"),
-            Sum("base_cents", alias_name="sum_base_cents"),
-            Sum("disc_cents", alias_name="sum_disc_cents"),
-            Count(alias_name="n_rows"),
-        )
+    prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    return combined_groupby_sum(
+        prepped, ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "sum_base_cents", "sum_disc_cents"], count_alias="n_rows",
     )
 
 
@@ -141,12 +186,9 @@ def q_customers_per_region(sf_dir: str) -> ray.data.Dataset:
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     from ..core.config import cached_stage
 
-    return (
-        cust.map_batches(cached_stage(JoinFn, f"rel:joinfn:{lookup_ref.hex()}"),
-                         batch_format="pyarrow", batch_size=65536)
-        .groupby("r_name")
-        .aggregate(Count(alias_name="n_customers"))
-    )
+    joined = cust.map_batches(cached_stage(JoinFn, f"rel:joinfn:{lookup_ref.hex()}"),
+                              batch_format="pyarrow", batch_size=None)
+    return combined_groupby_sum(joined, ["r_name"], [], count_alias="n_customers")
 
 
 SQL_CUSTOMERS_PER_REGION = """
@@ -298,11 +340,8 @@ def q_supplier_balance(sf_dir: str) -> ray.data.Dataset:
         )
 
     sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
-    return (
-        sup.map_batches(tag, batch_format="pyarrow", batch_size=65536)
-        .groupby("n_name")
-        .aggregate(Count(alias_name="n_suppliers"), Sum("bal_cents", alias_name="bal_cents"))
-    )
+    tagged = sup.map_batches(tag, batch_format="pyarrow", batch_size=None)
+    return combined_groupby_sum(tagged, ["n_name"], ["bal_cents"], count_alias="n_suppliers")
 
 
 SQL_SUPPLIER_BALANCE = """
@@ -316,9 +355,11 @@ GROUP BY n.n_name
 def q_docs_by_lang(sf_dir: str) -> ray.data.Dataset:
     """Direct documents-table rollup (lang, count, chars)."""
     docs = _read(sf_dir, "documents", ["lang", "n_chars"])
-    return docs.groupby("lang").aggregate(
-        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    renamed = docs.map_batches(
+        lambda b: pa.table({"lang": b["lang"], "sum_chars": b["n_chars"]}),
+        batch_format="pyarrow", batch_size=None,
     )
+    return combined_groupby_sum(renamed, ["lang"], ["sum_chars"], count_alias="n_docs")
 
 
 SQL_DOCS_BY_LANG = """
@@ -341,15 +382,13 @@ def q_events_hourly(sf_dir: str) -> ray.data.Dataset:
             {
                 "window": pa.array(ts // WINDOW_US),
                 "event_type": b["event_type"],
-                "val_cents": pa.array(cents(val)),
+                "sum_val_cents": pa.array(cents(val)),
             }
         )
 
-    return (
-        ev.map_batches(prep, batch_format="pyarrow", batch_size=65536)
-        .groupby(["window", "event_type"])
-        .aggregate(Count(alias_name="n_events"), Sum("val_cents", alias_name="sum_val_cents"))
-    )
+    prepped = ev.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    return combined_groupby_sum(prepped, ["window", "event_type"],
+                                ["sum_val_cents"], count_alias="n_events")
 
 
 SQL_EVENTS_HOURLY = f"""
@@ -379,13 +418,11 @@ def q_events_sliding(sf_dir: str) -> ray.data.Dataset:
         # belongs to windows 'slide' and 'slide-1'
         win = np.concatenate([slide, slide - 1])
         vals = np.concatenate([val, val])
-        return pa.table({"window_slide": pa.array(win), "val_cents": pa.array(vals)})
+        return pa.table({"window_slide": pa.array(win), "sum_val_cents": pa.array(vals)})
 
-    return (
-        ev.map_batches(assign, batch_format="pyarrow", batch_size=65536)
-        .groupby("window_slide")
-        .aggregate(Count(alias_name="n_events"), Sum("val_cents", alias_name="sum_val_cents"))
-    )
+    assigned = ev.map_batches(assign, batch_format="pyarrow", batch_size=None)
+    return combined_groupby_sum(assigned, ["window_slide"],
+                                ["sum_val_cents"], count_alias="n_events")
 
 
 SQL_EVENTS_SLIDING = f"""
@@ -459,31 +496,43 @@ def q_parts_by_brand(sf_dir: str) -> ray.data.Dataset:
     import pyarrow.parquet as pq
 
     part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
-    p2b = dict(zip(part["p_partkey"].to_pylist(), part["p_brand"].to_pylist()))
-    ref = ray.put(p2b)
+    # dictionary-encode the broadcast side: partkey -> small int brand CODE
+    # (dense array indexed by key), so only int64 codes travel through the
+    # map + combiner + shuffle; the 25-row final result decodes to strings.
+    brands = sorted(set(part["p_brand"].to_pylist())) + ["NONE"]
+    code_of = {b: i for i, b in enumerate(brands)}
+    keys = np.asarray(part["p_partkey"].to_pylist(), dtype=np.int64)
+    codes = np.full(int(keys.max()) + 2, code_of["NONE"], dtype=np.int64)
+    codes[keys] = [code_of[b] for b in part["p_brand"].to_pylist()]
+    ref = ray.put(codes)
 
     class Lookup:
         def __init__(self):
-            self.p2b = ray.get(ref)
+            self.codes = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+            pk = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
             qty = b["l_quantity"].to_numpy(zero_copy_only=False)
-            brands = [self.p2b.get(int(k), "NONE") for k in pk]
+            safe = np.where((pk >= 0) & (pk < self.codes.shape[0]), pk, self.codes.shape[0] - 1)
             return pa.table(
-                {"p_brand": pa.array(brands, pa.string()),
-                 "qty": pa.array(np.floor(qty).astype(np.int64))}
+                {"p_code": pa.array(self.codes[safe]),
+                 "sum_qty": pa.array(np.floor(qty).astype(np.int64))}
             )
 
     from ..core.config import cached_stage
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
-    return (
-        li.map_batches(cached_stage(Lookup, f"rel:brand:{ref.hex()}"),
-                       batch_format="pyarrow", batch_size=65536)
-        .groupby("p_brand")
-        .aggregate(Count(alias_name="n_lineitems"), Sum("qty", alias_name="sum_qty"))
-    )
+    looked = li.map_batches(cached_stage(Lookup, f"rel:brand:{ref.hex()}"),
+                            batch_format="pyarrow", batch_size=None)
+    agg = combined_groupby_sum(looked, ["p_code"], ["sum_qty"], count_alias="n_lineitems")
+    brand_arr = np.asarray(brands, dtype=object)
+
+    def decode(b: pa.Table) -> pa.Table:
+        c = b["p_code"].to_numpy(zero_copy_only=False)
+        return pa.table({"p_brand": pa.array(brand_arr[c], pa.string()),
+                         "n_lineitems": b["n_lineitems"], "sum_qty": b["sum_qty"]})
+
+    return agg.map_batches(decode, batch_format="pyarrow")
 
 
 SQL_PARTS_BY_BRAND = """
