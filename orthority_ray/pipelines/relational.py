@@ -83,11 +83,17 @@ def combined_groupby_sum(ds: ray.data.Dataset, keys: list[str], sum_cols: list[s
     """groupby(keys) with COUNT + integer SUMs, pre-combined per block: each
     batch collapses to <= distinct(keys) rows (vectorized pandas groupby)
     before the shuffle.  The sums must already be per-row values named as
-    the OUTPUT columns.  A second tiny combine bundles the per-task partials
-    into a handful of blocks, because the Aggregate's sort-shuffle creates
-    one reduce partition PER INPUT BLOCK — 128 partial blocks means 128
-    reduce partitions for a 25-row result (measured: the Aggregate was the
-    whole 1.8 s wall).  Column order: keys + [count_alias?] + sum_cols."""
+    the OUTPUT columns.
+
+    ``batch_size`` matters twice: the Aggregate's sort-shuffle creates one
+    reduce partition PER INPUT BLOCK (128 partial blocks = 128 reduce
+    partitions for a 25-row result, measured 1.8 s of AllToAll), so 65536
+    bundles ~14 read blocks per partial task -> ~10 blocks into the
+    shuffle.  Do NOT fix this with a second huge-batch combine stage: Ray
+    fuses chained maps into one operator and bundles tasks to the LARGEST
+    batch_size in the chain — a 1M-row recombine serialized the whole
+    upstream chain into a single task (measured).
+    Column order: keys + [count_alias?] + sum_cols."""
     from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
@@ -101,21 +107,12 @@ def combined_groupby_sum(ds: ray.data.Dataset, keys: list[str], sum_cols: list[s
             out = gb[sum_cols].sum()
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    def recombine(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        agg_spec = {c: "sum" for c in sum_cols}
-        if count_alias:
-            agg_spec[count_alias] = "sum"
-        out = df.groupby(keys, as_index=False, sort=False).agg(agg_spec)
-        return pa.Table.from_pandas(out, preserve_index=False)
-
     aggs = []
     if count_alias:
         aggs.append(Sum(count_alias, alias_name=count_alias))
     aggs.extend(Sum(c, alias_name=c) for c in sum_cols)
     return (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
-        .map_batches(recombine, batch_format="pyarrow", batch_size=1 << 20)
         .groupby(keys if len(keys) > 1 else keys[0])
         .aggregate(*aggs)
     )

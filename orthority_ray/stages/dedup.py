@@ -524,8 +524,9 @@ def simhash_buckets(ds: ray.data.Dataset) -> ray.data.Dataset:
             )
         return pa.concat_tables(parts)
 
-    return (
-        hashed.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "value"])
-        .aggregate(Count(alias_name="n_docs"))
+    from ..pipelines.relational import combined_groupby_sum
+
+    return combined_groupby_sum(
+        hashed.map_batches(explode, batch_format="pyarrow").select_columns(["band", "value"]),
+        ["band", "value"], [], count_alias="n_docs",
     )

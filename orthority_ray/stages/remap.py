@@ -173,11 +173,18 @@ class Remapper:
 def remap(geo_ds: ray.data.Dataset, interp: str = "nearest",
           out_dtype: str | None = None,
           *, concurrency: int | None = None) -> ray.data.Dataset:
-    """geo_ds must carry (doc_id, wx, wy, wz) — see stages/camera_geocode."""
+    """geo_ds must carry (doc_id, wx, wy, wz) — see stages/camera_geocode.
+
+    Stateless tasks + per-worker Remapper cache: the base state (checker
+    image + camera bank) is cheap, and the heavy undistort grids build
+    LAZILY per worker only for the cameras a batch actually touches —
+    actor-pool spin-up dominated this stage's wall otherwise."""
+    from ..core.config import cached_stage
+
     return geo_ds.map_batches(
-        Remapper, batch_format="pyarrow", batch_size=32768,
-        concurrency=pool(concurrency),
-        fn_constructor_kwargs=dict(interp=interp, out_dtype=out_dtype),
+        cached_stage(Remapper, f"remap:{interp}:{out_dtype}",
+                     interp=interp, out_dtype=out_dtype),
+        batch_format="pyarrow", batch_size=32768,
     )
 
 
