@@ -56,20 +56,41 @@ def add_text_md5(batch: pa.Table, col: str = "text") -> pa.Table:
 
 def exact_dedup_groups(ds: ray.data.Dataset, col: str = "text") -> ray.data.Dataset:
     """-> (text_md5, n_dups, rep_doc_id): one row per distinct text with its
-    duplicate count and min-doc_id representative.  DuckDB oracle: md5()."""
-    hashed = ds.map_batches(
-        lambda b: add_text_md5(b, col).select(["text_md5", "doc_id"]),
-        batch_format="pyarrow",
-        batch_size=8192,
-    )
-    return hashed.groupby("text_md5").aggregate(
-        Count(alias_name="n_dups"), Min("doc_id", alias_name="rep_doc_id")
+    duplicate count and min-doc_id representative.  DuckDB oracle: md5().
+
+    Block-local combiner first: each batch collapses to (md5, count, min id)
+    partials, so the shuffle moves <= distinct-per-block rows instead of
+    every page — count-sum and min compose across blocks exactly."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = add_text_md5(b, col)
+        df = pd.DataFrame(
+            {"text_md5": t["text_md5"].to_pylist(),
+             "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)}
+        )
+        g = df.groupby("text_md5", as_index=False, sort=False).agg(
+            n_dups=("doc_id", "size"), rep_doc_id=("doc_id", "min")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("text_md5")
+        .aggregate(Sum("n_dups", alias_name="n_dups"),
+                   Min("rep_doc_id", alias_name="rep_doc_id"))
     )
 
 
 def exact_dedup(ds: ray.data.Dataset, col: str = "text") -> ray.data.Dataset:
     """Keep one row (min doc_id, then first by url for full determinism) per
-    distinct text — the classic hash-partition + per-group-first."""
+    distinct text — the classic hash-partition + per-group-first.
+
+    Block-local combiner first: each batch keeps ONE candidate row per
+    distinct md5 (its (doc_id, url)-minimal row), so the payload shuffle
+    moves <= distinct-per-block rows; min-of-block-minima = global minimum,
+    so the final representative is unchanged."""
     hashed = ds.map_batches(lambda b: add_text_md5(b, col), batch_format="pyarrow",
                             batch_size=8192)
 
@@ -77,7 +98,14 @@ def exact_dedup(ds: ray.data.Dataset, col: str = "text") -> ray.data.Dataset:
         g = g.sort_values(["doc_id", "url"], kind="mergesort")
         return g.head(1)
 
-    return hashed.groupby("text_md5").map_groups(first, batch_format="pandas")
+    def local_first(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df.sort_values(["doc_id", "url"], kind="mergesort")
+        df = df.drop_duplicates("text_md5", keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pre = hashed.map_batches(local_first, batch_format="pyarrow", batch_size=65536)
+    return pre.groupby("text_md5").map_groups(first, batch_format="pandas")
 
 
 SQL_EXACT_DEDUP_GROUPS = """
