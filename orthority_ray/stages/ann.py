@@ -392,10 +392,11 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.95,
         .groupby("bucket")
         .map_groups(pairs_in_bucket, batch_format="pandas")
     )
-    # the same pair can surface from several buckets -> keep one
-    return cand.groupby(["vec_a", "vec_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    # the same pair can surface from several buckets -> keep one (sim_key is
+    # identical wherever the pair surfaces, so any representative works)
+    from .grouping import distinct_rows
+
+    return distinct_rows(cand, ["vec_a", "vec_b"])
 
 
 def sql_embedding_neardup(threshold: float = 0.95) -> str:

@@ -94,18 +94,22 @@ def exact_dedup(ds: ray.data.Dataset, col: str = "text") -> ray.data.Dataset:
     hashed = ds.map_batches(lambda b: add_text_md5(b, col), batch_format="pyarrow",
                             batch_size=8192)
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["doc_id", "url"], kind="mergesort")
-        return g.head(1)
-
     def local_first(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
         df = df.sort_values(["doc_id", "url"], kind="mergesort")
         df = df.drop_duplicates("text_md5", keep="first")
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    def bucket_first(g: pd.DataFrame) -> pd.DataFrame:
+        # per md5: the (doc_id, url)-minimal row, vectorized over all
+        # groups in the bucket (per-group map_groups measured ~0.8 ms/group)
+        g = g.sort_values(["text_md5", "doc_id", "url"], kind="mergesort")
+        return g.drop_duplicates("text_md5", keep="first")
+
+    from .grouping import bucketed_group_apply
+
     pre = hashed.map_batches(local_first, batch_format="pyarrow", batch_size=65536)
-    return pre.groupby("text_md5").map_groups(first, batch_format="pandas")
+    return bucketed_group_apply(pre, ["text_md5"], bucket_first)
 
 
 SQL_EXACT_DEDUP_GROUPS = """
@@ -259,18 +263,17 @@ def minhash_candidate_pairs(ds: ray.data.Dataset, *, concurrency: int | None = N
     bands = ds.map_batches(cached_stage(MinHasher, "dedup:minhash:3"),
                            batch_format="pyarrow", batch_size=4096)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if ids.size < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
-        ia, ib = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+    from .grouping import bucketed_group_apply, distinct_rows, grouped_pairs
 
-    cand = bands.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    # dedup pairs found in several bands
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # bucket count bounds the wide step's group count (buckets hold whole
+    # (band, band_hash) groups); pair expansion is vectorized per bucket
+    cand = bucketed_group_apply(
+        bands,
+        ["band", "band_hash"],
+        lambda g: grouped_pairs(g, ["band", "band_hash"], "doc_id", "doc_a", "doc_b"),
     )
+    # dedup pairs found in several bands
+    return distinct_rows(cand, ["doc_a", "doc_b"])
 
 
 class JaccardVerifier:

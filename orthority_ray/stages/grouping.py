@@ -1,0 +1,130 @@
+"""Bucketed group-apply — the scale-safe replacement for per-group
+``groupby(keys).map_groups(fn)`` when the GROUP COUNT grows with the data.
+
+Ray's ``map_groups`` invokes the Python callback once per group; with
+data-proportional group counts (distinct texts, LSH buckets, candidate
+pairs) that is millions of pandas-DataFrame constructions per block —
+measured 3.3 s for 4 000 groups vs 0.05 s vectorized.  The fix mirrors
+``relational.bucketed_sum``: hash the group key into ``n_buckets`` buckets,
+shuffle once on the bucket id (group count of the wide step becomes a
+CONSTANT), and hand each bucket — containing only WHOLE groups — to a
+callback that processes all its groups with vectorized pandas/numpy.
+
+The bucket id never reaches the callback's output, and bucket assignment
+cannot change results (outputs are unioned), so any process-stable hash
+works; ``pd.util.hash_array`` (SipHash-1-3, fixed key, no per-process salt)
+covers every dtype including strings.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def _bucket_ids(df: pd.DataFrame, keys: list[str], n_buckets: int) -> np.ndarray:
+    h = np.zeros(len(df), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in keys:
+            h = h * np.uint64(0x9E3779B97F4A7C15) + pd.util.hash_array(
+                np.asarray(df[k].to_numpy())
+            )
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def bucketed_group_apply(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    n_buckets: int = 64,
+    batch_size: int | None = 65536,
+) -> ray.data.Dataset:
+    """``fn`` receives one pandas DataFrame per bucket holding ALL rows of
+    every group hashed to it (no split groups) and must itself iterate /
+    vectorize over the groups; outputs are unioned across buckets.
+
+    ``n_buckets`` bounds the wide step's group count — size it to a few ×
+    cluster cores so buckets stay parallel and per-group reduce overhead
+    stays constant.  ``batch_size`` bundles the tag stage so the sort
+    shuffle sees few, large partials (see combined_groupby_sum's note)."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        df = b.select(keys).to_pandas()  # hash only the key columns
+        return b.append_column(
+            "__bucket", pa.array(_bucket_ids(df, keys, n_buckets))
+        )
+
+    def apply(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns="__bucket"))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("__bucket")
+        .map_groups(apply, batch_format="pandas")
+    )
+
+
+_TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _triu(n: int) -> tuple[np.ndarray, np.ndarray]:
+    t = _TRIU_CACHE.get(n)
+    if t is None:
+        t = np.triu_indices(n, k=1)
+        if len(_TRIU_CACHE) < 4096:
+            _TRIU_CACHE[n] = t
+    return t
+
+
+def grouped_pairs(df: pd.DataFrame, keys: list[str], id_col: str,
+                  out_a: str, out_b: str) -> pd.DataFrame:
+    """All unordered (a < b) DISTINCT-id pairs within each group of ``df``
+    — the LSH-bucket pair expansion, vectorized across groups: one sort +
+    one duplicate-drop for the whole bucket, then per-group numpy slicing
+    with size-cached ``triu_indices`` (no per-group DataFrames)."""
+    if not len(df):
+        return pd.DataFrame({out_a: np.array([], np.int64),
+                             out_b: np.array([], np.int64)})
+    d = df[keys + [id_col]].sort_values(keys + [id_col], kind="mergesort")
+    d = d.drop_duplicates()  # distinct ids within each group
+    ids = d[id_col].to_numpy()
+    gkey = np.zeros(len(d), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in keys:
+            gkey = gkey * np.uint64(0x9E3779B97F4A7C15) + pd.util.hash_array(
+                np.asarray(d[k].to_numpy())
+            )
+    boundary = np.flatnonzero(np.diff(gkey)) + 1
+    starts = np.concatenate([[0], boundary])
+    ends = np.concatenate([boundary, [len(d)]])
+    parts_a: list[np.ndarray] = []
+    parts_b: list[np.ndarray] = []
+    for s, e in zip(starts, ends):
+        c = e - s
+        if c < 2:
+            continue
+        ia, ib = _triu(int(c))
+        g = ids[s:e]
+        parts_a.append(g[ia])
+        parts_b.append(g[ib])
+    if not parts_a:
+        return pd.DataFrame({out_a: np.array([], np.int64),
+                             out_b: np.array([], np.int64)})
+    return pd.DataFrame({out_a: np.concatenate(parts_a),
+                         out_b: np.concatenate(parts_b)})
+
+
+def distinct_rows(ds: ray.data.Dataset, keys: list[str],
+                  n_buckets: int = 64) -> ray.data.Dataset:
+    """DISTINCT over ``keys`` (first row of each group after a sort on the
+    keys — deterministic) via one bucket shuffle + vectorized
+    ``drop_duplicates`` per bucket."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(keys, kind="mergesort").drop_duplicates(keys)
+
+    return bucketed_group_apply(ds, keys, fn, n_buckets=n_buckets)
