@@ -445,19 +445,28 @@ def q_event_sessions(sf_dir: str) -> ray.data.Dataset:
     ev = _read(sf_dir, "events", ["user_id", "ts"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].astype("int64").to_numpy())
-        gaps = np.diff(ts)
-        breaks = (gaps > GAP_US).sum()
-        n_sessions = int(breaks) + 1
-        # longest session in events
-        bounds = np.concatenate([[0], np.nonzero(gaps > GAP_US)[0] + 1, [ts.shape[0]]])
-        longest = int(np.diff(bounds).max())
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions],
-             "max_session_events": [longest], "n_events": [ts.shape[0]]}
+        # vectorized across ALL users in the bucket: one sort, session
+        # breaks on user change or gap > 30 min, per-session lengths via
+        # bincount, then a pandas groupby for the per-user rollup
+        d = g.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = d["user_id"].to_numpy()
+        ts = d["ts"].astype("int64").to_numpy()
+        new_sess = np.empty(len(d), dtype=bool)
+        new_sess[0] = True
+        new_sess[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > GAP_US)
+        sess_id = np.cumsum(new_sess) - 1
+        sess_len = np.bincount(sess_id)
+        sess_user = uid[np.flatnonzero(new_sess)]
+        df = pd.DataFrame({"user_id": sess_user, "len": sess_len})
+        return df.groupby("user_id", as_index=False, sort=False).agg(
+            n_sessions=("len", "size"),
+            max_session_events=("len", "max"),
+            n_events=("len", "sum"),
         )
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    from ..stages.grouping import bucketed_group_apply
+
+    return bucketed_group_apply(ev, ["user_id"], sessions)
 
 
 SQL_EVENT_SESSIONS = f"""
