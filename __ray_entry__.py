@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": R.q_events_hourly,
         "events_sliding": R.q_events_sliding,
         "event_sessions": R.q_event_sessions,
+        "events_asof": R.q_events_asof,
         "parts_by_brand": R.q_parts_by_brand,
         "priority_revenue": R.q_priority_revenue,
         "remap_checker": q_remap_checker,
@@ -430,6 +431,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": R.SQL_EVENTS_HOURLY,
         "events_sliding": R.SQL_EVENTS_SLIDING,
         "event_sessions": R.SQL_EVENT_SESSIONS,
+        "events_asof": R.SQL_EVENTS_ASOF,
         "parts_by_brand": R.SQL_PARTS_BY_BRAND,
         "priority_revenue": R.SQL_PRIORITY_REVENUE,
         "remap_checker": S.with_pages(_sql_remap_checker()),

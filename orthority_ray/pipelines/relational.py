@@ -547,3 +547,62 @@ SELECT COALESCE(p.p_brand, 'NONE') AS p_brand, COUNT(*) AS n_lineitems,
 FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY COALESCE(p.p_brand, 'NONE')
 """.strip()
+
+
+# --- events: as-of join against the order history ---------------------------
+
+
+def q_events_asof(sf_dir: str) -> ray.data.Dataset:
+    """Each event matched to the user's latest order at-or-before the event
+    time (backward as-of join, stages/asof.py): one co-partitioning shuffle
+    of both sides, per-bucket vectorized ``merge_asof`` across all users.
+    Ties on (custkey, orderdate) break to the max orderkey on both sides."""
+    from ..stages.asof import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+
+    def ev_prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": b["event_id"], "join_key": b["user_id"],
+             "t_us": b["ts"].cast(pa.int64())}
+        )
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        price = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"join_key": b["o_custkey"],
+             "t_us": b["o_orderdate"].cast(pa.int64()),
+             "order_key": b["o_orderkey"],
+             "order_cents": pa.array(cents(price))}
+        )
+
+    joined = asof_join(
+        ev.map_batches(ev_prep, batch_format="pyarrow"),
+        orders.map_batches(ord_prep, batch_format="pyarrow"),
+        key="join_key", time_col="t_us",
+        left_cols=["event_id", "join_key"],
+        right_cols=["join_key", "order_key", "order_cents"],
+    )
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": b["event_id"], "user_id": b["join_key"],
+             "order_key": b["order_key"], "order_cents": b["order_cents"]}
+        )
+
+    return joined.map_batches(fmt, batch_format="pyarrow")
+
+
+SQL_EVENTS_ASOF = """
+SELECT e.event_id, e.user_id,
+       CAST(COALESCE(o.o_orderkey, -1) AS BIGINT) AS order_key,
+       CAST(COALESCE(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT), -1) AS BIGINT) AS order_cents
+FROM events e
+ASOF LEFT JOIN (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+  FROM orders
+  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1
+) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""".strip()
