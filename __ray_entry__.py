@@ -80,6 +80,29 @@ def q_exact_dedup(sf_dir: str):
     return D.exact_dedup_groups(read_pages(sf_dir))
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact two-phase heavy hitters over the duplicate-text hotspots:
+    every text with count * 600 > total rows (local-threshold candidate
+    union + broadcast recount; stages/sketches.py)."""
+    from orthority_ray.stages.sketches import heavy_hitters
+
+    ds = (
+        read_pages(sf_dir)
+        .map_batches(lambda b: D.add_text_md5(b), batch_format="pyarrow",
+                     batch_size=8192)
+        .select_columns(["text_md5"])
+    )
+    return heavy_hitters(ds, "text_md5", inv_phi=600, count_alias="n_items")
+
+
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct doc_ids (rows-only: ~1.6% sketch, deterministic
+    hash so the estimate is parallelism-invariant)."""
+    from orthority_ray.stages.sketches import hll_distinct
+
+    return hll_distinct(read_page_keys(sf_dir), "doc_id")
+
+
 def q_text_features(sf_dir: str):
     return (
         T.text_features(read_pages(sf_dir))
@@ -352,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cellring": q_knn_cellring,
         "geocode_pinhole": q_geocode_pinhole,
         "exact_dedup": q_exact_dedup,
+        "heavy_hitters": q_heavy_hitters,
         "text_features": q_text_features,
         "quality": q_quality,
         "extract_verify": q_extract_verify,
@@ -367,6 +391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": R.q_events_sliding,
         "event_sessions": R.q_event_sessions,
         "events_asof": R.q_events_asof,
+        "events_window_join": R.q_events_window_join,
         "parts_by_brand": R.q_parts_by_brand,
         "priority_revenue": R.q_priority_revenue,
         "remap_checker": q_remap_checker,
@@ -389,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "hll_distinct": q_hll_distinct,
         "pan_sharpen": q_pan_sharpen,
     }
 
@@ -410,6 +436,13 @@ def oracle_sql() -> dict[str, str]:
         "knn_cellring": S.with_geo(KNN.SQL_KNN),
         "geocode_pinhole": S.with_pages(sql_pinhole_geocode()),
         "exact_dedup": S.with_pages(D.SQL_EXACT_DEDUP_GROUPS),
+        "heavy_hitters": S.with_pages(
+            """SELECT c.text_md5, c.n_items
+               FROM (SELECT md5(text) AS text_md5, COUNT(*) AS n_items
+                     FROM pages GROUP BY 1) c,
+                    (SELECT COUNT(*) AS n FROM pages) t
+               WHERE c.n_items * 600 > t.n"""
+        ),
         "text_features": S.with_pages(T.SQL_TEXT_FEATURES),
         "quality": S.with_pages(T.SQL_QUALITY),
         "extract_verify": S.with_pages(
@@ -432,6 +465,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": R.SQL_EVENTS_SLIDING,
         "event_sessions": R.SQL_EVENT_SESSIONS,
         "events_asof": R.SQL_EVENTS_ASOF,
+        "events_window_join": R.SQL_EVENTS_WINDOW_JOIN,
         "parts_by_brand": R.SQL_PARTS_BY_BRAND,
         "priority_revenue": R.SQL_PRIORITY_REVENUE,
         "remap_checker": S.with_pages(_sql_remap_checker()),

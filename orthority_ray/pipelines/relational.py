@@ -606,3 +606,24 @@ ASOF LEFT JOIN (
   QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1
 ) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """.strip()
+
+
+# --- events: self range join (temporal neighborhood count) ------------------
+
+
+def q_events_window_join(sf_dir: str) -> ray.data.Dataset:
+    """Per event: how many events of the SAME user land in the next 5
+    minutes (strictly-after, at-most-window) — the self range join
+    (stages/rangejoin.py); oracle is a DuckDB inequality LEFT JOIN."""
+    from ..stages.rangejoin import self_window_count
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return self_window_count(ev, "user_id", "ts", "event_id", 300_000_000)
+
+
+SQL_EVENTS_WINDOW_JOIN = """
+SELECT a.event_id, CAST(COUNT(b.event_id) AS BIGINT) AS n_follow
+FROM events a LEFT JOIN events b
+  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+GROUP BY a.event_id
+""".strip()

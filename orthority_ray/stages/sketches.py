@@ -1,0 +1,144 @@
+"""Mergeable sketches for crawl-scale profiling: exact two-phase heavy
+hitters and HyperLogLog distinct counting.
+
+Heavy hitters (frequency > n * phi) is EXACT despite sketching, via the
+local-threshold union bound: an item above the global threshold must be
+above the same threshold in at least one block (if count_b <= n_b*phi in
+every block, summing gives count <= n*phi).  So phase 1 filters each
+block's value_counts at the block-local threshold (never more than 1/phi
+survivors per block), phase 2 recounts the candidate union exactly with a
+broadcast membership filter + combiner groupby and applies the global
+threshold.  Two streaming passes, no full-cardinality shuffle — the
+standard exact-HH shape at scale.  All comparisons are integer
+(``count * inv_phi > n``), so the DuckDB oracle matches bit-for-bit.
+
+HyperLogLog: one pass, 2^p registers; per block a (register, rho) partial
+max (dimension-sized shuffle), global elementwise max, standard bias/
+linear-counting corrected estimate.  rho comes from the hash's top 32 bits
+through exact uint32->float64 frexp (capped at 33 — a register would need
+> 2^32 distinct inputs to saturate the cap, far past 100 TB row counts).
+Deterministic splitmix64 hash -> identical estimate at any parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+# --- exact two-phase heavy hitters ------------------------------------------
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    col: str,
+    inv_phi: int,
+    count_alias: str = "n_items",
+    batch_size: int | None = 65536,
+) -> ray.data.Dataset:
+    """-> (col, count_alias) for every value with ``count * inv_phi > n``
+    (strict), n = total rows.  EXACT output (see module docstring)."""
+    from ..pipelines.relational import combined_groupby_sum
+
+    n_total = ds.count()
+
+    def local_candidates(b: pa.Table) -> pa.Table:
+        vc = b.select([col]).to_pandas()[col].value_counts()
+        keep = vc.index[vc.to_numpy() * inv_phi > b.num_rows]
+        return pa.table({col: pa.array(keep.to_numpy(), b[col].type)})
+
+    cand = ds.map_batches(local_candidates, batch_format="pyarrow",
+                          batch_size=batch_size)
+    # candidate union is <= blocks / phi values — bounded, broadcastable
+    cand_vals = set(cand.to_pandas()[col]) if cand.count() else set()
+    if not cand_vals:
+        s = ds.schema()
+        typ = dict(zip(s.names, s.types))[col]
+        return ray.data.from_arrow(
+            pa.table({col: pa.array([], typ),
+                      count_alias: pa.array([], pa.int64())})
+        )
+    cand_ref = ray.put(cand_vals)
+
+    def member(b: pa.Table) -> pa.Table:
+        from ..sources.pages import cached_get
+
+        vals = cached_get(cand_ref)
+        s = b.select([col]).to_pandas()[col]
+        return b.select([col]).filter(pa.array(s.isin(vals).to_numpy()))
+
+    counted = combined_groupby_sum(
+        ds.map_batches(member, batch_format="pyarrow", batch_size=batch_size),
+        [col], [], count_alias=count_alias,
+    )
+
+    def threshold(b: pa.Table) -> pa.Table:
+        n = b[count_alias].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(n * inv_phi > n_total))
+
+    return counted.map_batches(threshold, batch_format="pyarrow")
+
+
+# --- HyperLogLog -------------------------------------------------------------
+
+HLL_P = 12  # 4096 registers, ~1.6% standard error
+_HLL_M = 1 << HLL_P
+
+
+def _hll_partial(values: np.ndarray) -> pa.Table:
+    """(register, rho) partial maxima for one block's int64 values."""
+    h = _splitmix64(values.astype(np.int64).view(np.uint64))
+    reg = (h & np.uint64(_HLL_M - 1)).astype(np.int64)
+    top = (h >> np.uint64(32)).astype(np.uint32)
+    # exact leading-zero count of the top 32 bits: uint32 -> float64 is
+    # exact, frexp's exponent is exact -> clz = 32 - exponent; zero -> 33
+    f = top.astype(np.float64)
+    _, exp = np.frexp(f)
+    rho = np.where(top == 0, 33, 33 - exp).astype(np.int64)
+    df = pd.DataFrame({"register": reg, "rho": rho})
+    part = df.groupby("register", as_index=False, sort=False)["rho"].max()
+    return pa.Table.from_pandas(part, preserve_index=False)
+
+
+def hll_registers(ds: ray.data.Dataset, col: str,
+                  batch_size: int | None = 65536) -> ray.data.Dataset:
+    """-> (register, rho): global register maxima (<= 2^p rows)."""
+    from ray.data.aggregate import Max
+
+    partials = ds.map_batches(
+        lambda b: _hll_partial(b[col].to_numpy(zero_copy_only=False)),
+        batch_format="pyarrow", batch_size=batch_size,
+    )
+    return partials.groupby("register").aggregate(Max("rho", alias_name="rho"))
+
+
+def hll_estimate_from_registers(reg_df: pd.DataFrame) -> int:
+    """Standard HLL estimate (Flajolet et al. 2007) with the small-range
+    linear-counting correction; registers absent from reg_df are zero."""
+    m = _HLL_M
+    rho = np.zeros(m, dtype=np.int64)
+    rho[reg_df["register"].to_numpy()] = reg_df["rho"].to_numpy()
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-rho.astype(np.float64)))
+    zeros = int((rho == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return int(round(est))
+
+
+def hll_distinct(ds: ray.data.Dataset, col: str) -> pa.Table:
+    """One-row table {approx_distinct: int64} — the driver-facing form."""
+    regs = hll_registers(ds, col).to_pandas()
+    return pa.table({"approx_distinct": pa.array([hll_estimate_from_registers(regs)],
+                                                 pa.int64())})
