@@ -110,15 +110,25 @@ class _PartialTopK:
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         Q = self.qid.shape[0]
+        B = lon.shape[0]
+        # reused scratch slabs: two fresh ~16 MB allocations per chunk pay
+        # kernel page-zeroing on every slab; the scorer lives per worker so
+        # the buffers amortize across batches
+        scr = getattr(self, "_scratch", None)
+        if scr is None or scr[0].shape[0] < B:
+            scr = (np.empty((B, self.Q_CHUNK)), np.empty((B, self.Q_CHUNK)))
+            self._scratch = scr
         parts = []
         for qs in range(0, Q, self.Q_CHUNK):
             qe = min(qs + self.Q_CHUNK, Q)
             # exact oracle expression order:
             # (lon-qlon)*(lon-qlon)+(lat-qlat)*(lat-qlat), computed in-place
             # (identical IEEE result per element)
-            dl = lon[:, None] - self.qlon[None, qs:qe]
+            dl = scr[0][:B, : qe - qs]
+            dt = scr[1][:B, : qe - qs]
+            np.subtract(lon[:, None], self.qlon[None, qs:qe], out=dl)
             np.multiply(dl, dl, out=dl)
-            dt = lat[:, None] - self.qlat[None, qs:qe]
+            np.subtract(lat[:, None], self.qlat[None, qs:qe], out=dt)
             np.multiply(dt, dt, out=dt)
             dl += dt
             parts.append(self._emit(doc_id, dl, np.arange(qs, qe)))
