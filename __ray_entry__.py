@@ -95,6 +95,26 @@ def q_heavy_hitters(sf_dir: str):
     return heavy_hitters(ds, "text_md5", inv_phi=600, count_alias="n_items")
 
 
+def q_vocabulary(sf_dir: str):
+    """Corpus vocabulary above a frequency floor — the canonical word-count:
+    pages flat-mapped to whitespace tokens (Arrow list kernels, zero Python
+    per token), then the exact two-phase heavy-hitters pass (count * 30 >
+    total tokens, integer compare on both sides)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from orthority_ray.stages.sketches import heavy_hitters
+
+    def toks(b):
+        t = pc.list_flatten(pc.utf8_split_whitespace(b["text"].combine_chunks()))
+        t = t.filter(pc.not_equal(t, ""))
+        return pa.table({"token": t})
+
+    tokens = read_pages(sf_dir).map_batches(toks, batch_format="pyarrow",
+                                            batch_size=16384)
+    return heavy_hitters(tokens, "token", inv_phi=30, count_alias="n_tok")
+
+
 def q_hll_distinct(sf_dir: str):
     """HyperLogLog distinct doc_ids (rows-only: ~1.6% sketch, deterministic
     hash so the estimate is parallelism-invariant)."""
@@ -376,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geocode_pinhole": q_geocode_pinhole,
         "exact_dedup": q_exact_dedup,
         "heavy_hitters": q_heavy_hitters,
+        "vocabulary": q_vocabulary,
         "text_features": q_text_features,
         "quality": q_quality,
         "extract_verify": q_extract_verify,
@@ -442,6 +463,18 @@ def oracle_sql() -> dict[str, str]:
                      FROM pages GROUP BY 1) c,
                     (SELECT COUNT(*) AS n FROM pages) t
                WHERE c.n_items * 600 > t.n"""
+        ),
+        "vocabulary": S.with_pages(
+            r"""SELECT c.token, c.n_tok
+               FROM (SELECT token, COUNT(*) AS n_tok
+                     FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token
+                           FROM pages)
+                     WHERE token <> '' GROUP BY 1) c,
+                    (SELECT COUNT(*) AS n
+                     FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token
+                           FROM pages)
+                     WHERE token <> '') t
+               WHERE c.n_tok * 30 > t.n"""
         ),
         "text_features": S.with_pages(T.SQL_TEXT_FEATURES),
         "quality": S.with_pages(T.SQL_QUALITY),

@@ -51,32 +51,45 @@ def heavy_hitters(
     (strict), n = total rows.  EXACT output (see module docstring)."""
     from ..pipelines.relational import combined_groupby_sum
 
-    n_total = ds.count()
+    import pyarrow.compute as pc
 
     def local_candidates(b: pa.Table) -> pa.Table:
-        vc = b.select([col]).to_pandas()[col].value_counts()
-        keep = vc.index[vc.to_numpy() * inv_phi > b.num_rows]
-        return pa.table({col: pa.array(keep.to_numpy(), b[col].type)})
+        """Block-local survivors PLUS one sentinel row carrying the block's
+        row count — total n rides along with the candidate pass instead of
+        costing a separate full pass (3 scans -> 2).  Pure Arrow kernels."""
+        vc = pc.value_counts(b[col].combine_chunks())
+        keep = vc.field("values").filter(
+            pc.greater(pc.multiply(vc.field("counts"), inv_phi), b.num_rows)
+        )
+        vals = pa.concat_arrays([keep, pa.nulls(1, b[col].type)])
+        rows = np.zeros(len(keep) + 1, dtype=np.int64)
+        rows[-1] = b.num_rows
+        return pa.table({col: vals, "__block_rows": pa.array(rows)})
 
-    cand = ds.map_batches(local_candidates, batch_format="pyarrow",
-                          batch_size=batch_size)
+    cand_tbl = pa.concat_tables(
+        ray.get(
+            ds.map_batches(local_candidates, batch_format="pyarrow",
+                           batch_size=batch_size).to_arrow_refs()
+        )
+    )
+    n_total = int(pc.sum(cand_tbl["__block_rows"]).as_py() or 0)
     # candidate union is <= blocks / phi values — bounded, broadcastable
-    cand_vals = set(cand.to_pandas()[col]) if cand.count() else set()
-    if not cand_vals:
+    cand_arr = pc.unique(cand_tbl[col].drop_null().combine_chunks())
+    if len(cand_arr) == 0:
         s = ds.schema()
         typ = dict(zip(s.names, s.types))[col]
         return ray.data.from_arrow(
             pa.table({col: pa.array([], typ),
                       count_alias: pa.array([], pa.int64())})
         )
-    cand_ref = ray.put(cand_vals)
+    cand_ref = ray.put(cand_arr)
 
     def member(b: pa.Table) -> pa.Table:
         from ..sources.pages import cached_get
 
         vals = cached_get(cand_ref)
-        s = b.select([col]).to_pandas()[col]
-        return b.select([col]).filter(pa.array(s.isin(vals).to_numpy()))
+        c = b[col].combine_chunks()
+        return b.select([col]).filter(pc.is_in(c, value_set=vals))
 
     counted = combined_groupby_sum(
         ds.map_batches(member, batch_format="pyarrow", batch_size=batch_size),
