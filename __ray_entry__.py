@@ -15,6 +15,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+
 from orthority_ray.core.geometry import make_tile_rings, sql_pip_predicate
 from orthority_ray.core.hashing import SQL_SITE as _SQL_SITE
 from orthority_ray.pipelines import relational as R
@@ -93,6 +95,42 @@ def q_heavy_hitters(sf_dir: str):
         .select_columns(["text_md5"])
     )
     return heavy_hitters(ds, "text_md5", inv_phi=600, count_alias="n_items")
+
+
+SAMPLE_K = 20
+_SAMPLE_H = "(doc_id * 2654435761) % 4294967296"
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: per lang, the SAMPLE_K distinct
+    doc_ids with the smallest multiplicative hash (tie: doc_id) — sampling
+    as a mergeable per-block top-k (block-local winners are a superset of
+    the global winners), no RNG, parallelism-invariant."""
+    import pandas as pd
+
+    def partial(b):
+        df = b.select(["lang", "doc_id"]).to_pandas().drop_duplicates()
+        df["h"] = (df["doc_id"].to_numpy() * 2654435761) % 4294967296
+        df = df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        return pa.Table.from_pandas(df.groupby("lang").head(SAMPLE_K),
+                                    preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates().sort_values(["h", "doc_id"], kind="mergesort")
+        return g.head(SAMPLE_K)
+
+    parts = read_pages(sf_dir).map_batches(partial, batch_format="pyarrow",
+                                           batch_size=65536)
+    return parts.groupby("lang").map_groups(merge, batch_format="pandas")
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT lang, doc_id, h FROM (
+  SELECT lang, doc_id, h,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+  FROM (SELECT DISTINCT lang, doc_id, {_SAMPLE_H} AS h FROM pages)
+) WHERE rn <= {SAMPLE_K}
+""".strip()
 
 
 def q_vocabulary(sf_dir: str):
@@ -397,6 +435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "heavy_hitters": q_heavy_hitters,
         "vocabulary": q_vocabulary,
+        "stratified_sample": q_stratified_sample,
         "text_features": q_text_features,
         "quality": q_quality,
         "extract_verify": q_extract_verify,
@@ -413,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_sessions": R.q_event_sessions,
         "events_asof": R.q_events_asof,
         "events_window_join": R.q_events_window_join,
+        "customers_no_urgent": R.q_customers_no_urgent,
         "parts_by_brand": R.q_parts_by_brand,
         "priority_revenue": R.q_priority_revenue,
         "remap_checker": q_remap_checker,
@@ -476,6 +516,7 @@ def oracle_sql() -> dict[str, str]:
                      WHERE token <> '') t
                WHERE c.n_tok * 30 > t.n"""
         ),
+        "stratified_sample": S.with_pages(SQL_STRATIFIED_SAMPLE),
         "text_features": S.with_pages(T.SQL_TEXT_FEATURES),
         "quality": S.with_pages(T.SQL_QUALITY),
         "extract_verify": S.with_pages(
@@ -499,6 +540,7 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": R.SQL_EVENT_SESSIONS,
         "events_asof": R.SQL_EVENTS_ASOF,
         "events_window_join": R.SQL_EVENTS_WINDOW_JOIN,
+        "customers_no_urgent": R.SQL_CUSTOMERS_NO_URGENT,
         "parts_by_brand": R.SQL_PARTS_BY_BRAND,
         "priority_revenue": R.SQL_PRIORITY_REVENUE,
         "remap_checker": S.with_pages(_sql_remap_checker()),

@@ -627,3 +627,34 @@ FROM events a LEFT JOIN events b
   ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
 GROUP BY a.event_id
 """.strip()
+
+
+# --- anti join: customers with no urgent orders ------------------------------
+
+
+def q_customers_no_urgent(sf_dir: str) -> ray.data.Dataset:
+    """Customers with NO '1-URGENT' order — the distributed anti join
+    (stages/hashjoin.py how="anti"): both sides bucketed on the key, left
+    rows kept when their bucket holds no matching right row."""
+    from ..stages.hashjoin import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def urgent_keys(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.equal(b["o_orderpriority"], "1-URGENT")
+        return pa.table({"c_custkey": b["o_custkey"].filter(keep)})
+
+    urgent = orders.map_batches(urgent_keys, batch_format="pyarrow")
+    return hash_join(cust, urgent, "c_custkey",
+                     ["c_custkey", "c_nationkey"], ["c_custkey"], how="anti")
+
+
+SQL_CUSTOMERS_NO_URGENT = """
+SELECT c.c_custkey, c.c_nationkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+""".strip()

@@ -48,7 +48,9 @@ def _with_bucket(ds: ray.data.Dataset, key: str, side: int, n_buckets: int,
 def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
               left_cols: list[str], right_cols: list[str],
               n_buckets: int = DEFAULT_BUCKETS, how: str = "inner") -> ray.data.Dataset:
-    """Inner/left join of two large Datasets on an int64 ``key`` column.
+    """Inner/left/semi/anti join of two large Datasets on an int64 ``key``
+    column (``how="semi"``/``"anti"`` return LEFT columns only: rows with
+    at least one / no match).
 
     ``left_cols`` / ``right_cols`` are the OUTPUT columns of each side (must
     include ``key``); non-key column names must not overlap.  The per-bucket
@@ -91,6 +93,9 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
         lo = np.searchsorted(rks, lk, "left")
         hi = np.searchsorted(rks, lk, "right")
         cnt = hi - lo
+        if how in ("semi", "anti"):
+            mask = cnt > 0 if how == "semi" else cnt == 0
+            return l_tbl.take(pa.array(np.nonzero(mask)[0]))
         total = int(cnt.sum())
         li = np.repeat(np.arange(lk.shape[0]), cnt)
         # within-match offsets: ragged ranges [lo_i, hi_i) flattened
