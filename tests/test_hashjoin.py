@@ -58,3 +58,25 @@ def test_left_join_keeps_unmatched(sides):
     truth = left2.merge(right, on="k", how="left")
     assert len(out) == len(truth)
     assert out[out["k"] == 99999]["rv"].isna().all()
+
+def test_semi_and_anti_join(sides):
+    left, right = sides
+    only_left = pd.DataFrame({"k": [99999, 88888], "lv": [1, 2]})
+    left2 = pd.concat([left, only_left], ignore_index=True)
+    semi = hash_join(
+        ray.data.from_pandas(left2), ray.data.from_pandas(right), "k",
+        ["k", "lv"], ["k"], how="semi",
+    ).to_pandas()
+    anti = hash_join(
+        ray.data.from_pandas(left2), ray.data.from_pandas(right), "k",
+        ["k", "lv"], ["k"], how="anti",
+    ).to_pandas()
+    rk = set(right["k"])
+    want_semi = left2[left2["k"].isin(rk)]
+    want_anti = left2[~left2["k"].isin(rk)]
+    assert len(semi) == len(want_semi) and len(anti) == len(want_anti)
+    assert set(semi.columns) == {"k", "lv"} == set(anti.columns)
+    assert (_canon(semi).values == _canon(want_semi).values).all()
+    assert (_canon(anti).values == _canon(want_anti).values).all()
+    # semi + anti partition the left side exactly
+    assert len(semi) + len(anti) == len(left2)
