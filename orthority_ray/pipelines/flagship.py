@@ -131,7 +131,8 @@ def run_flagship(sf_dir: str, out_dir: str, n_parts: int = N_PARTS,
         return pa.Table.from_pylist([man], schema=pa.schema(
             [("partition", pa.int64()), ("rows", pa.int64()),
              ("input_fingerprint", pa.string()), ("checksum", pa.uint64()),
-             ("engine_version", pa.string()), ("path", pa.string())]
+             ("engine_version", pa.string()), ("path", pa.string()),
+             ("bytes", pa.int64()), ("write_s", pa.float64())]
         ))
 
     manifests = finished.groupby("part").map_groups(write_part, batch_format="pyarrow")

@@ -62,6 +62,9 @@ def write_partition(out_dir: str | Path, part: int, tbl: pa.Table,
     if pdir.exists():
         shutil.rmtree(pdir)
     pdir.mkdir(parents=True, exist_ok=True)
+    import time
+
+    t0 = time.perf_counter()
     pq.write_table(tbl, pdir / "data.parquet")
     man = dict(
         partition=part,
@@ -70,6 +73,11 @@ def write_partition(out_dir: str | Path, part: int, tbl: pa.Table,
         checksum=row_checksum(tbl, checksum_cols),
         engine_version=ENGINE_VERSION,
         path=str(pdir),
+        # per-partition metrics (north_rule "lineage + metrics"): size and
+        # write wall time let an operator spot skewed/slow partitions from
+        # the manifest table alone
+        bytes=int(tbl.nbytes),
+        write_s=round(time.perf_counter() - t0, 4),
     )
     mp = manifest_path(out_dir, part)
     mp.parent.mkdir(parents=True, exist_ok=True)
