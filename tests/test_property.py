@@ -90,3 +90,76 @@ def test_md5_matches_duckdb_property(text):
     con.execute("SELECT md5(?)", [text])
     theirs = con.fetchone()[0]
     assert ours == theirs
+
+# --- round-2 operators: pure-kernel properties -------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 30)), max_size=80))
+def test_grouped_pairs_property(rows):
+    import itertools
+
+    import pandas as pd
+
+    from orthority_ray.stages.grouping import grouped_pairs
+
+    df = pd.DataFrame(rows, columns=["k", "id"]).astype(np.int64)
+    got = grouped_pairs(df, ["k"], "id", "a", "b")
+    want = set()
+    for _, g in df.groupby("k"):
+        want |= {
+            p for p in itertools.combinations(sorted(set(g["id"])), 2)
+        }
+    assert set(zip(got["a"], got["b"])) == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=300),
+    st.integers(1, 5),
+)
+def test_hll_register_merge_property(vals, split):
+    """Registers of the whole == elementwise max of per-part registers."""
+    import pandas as pd
+
+    from orthority_ray.stages.sketches import _HLL_M, _hll_partial
+
+    arr = np.array(vals, dtype=np.int64)
+
+    def regs(a):
+        out = np.zeros(_HLL_M, dtype=np.int64)
+        if len(a):
+            t = _hll_partial(a).to_pandas()
+            out[t["register"].to_numpy()] = t["rho"].to_numpy()
+        return out
+
+    whole = regs(arr)
+    merged = np.zeros(_HLL_M, dtype=np.int64)
+    for part in np.array_split(arr, split):
+        merged = np.maximum(merged, regs(part))
+    assert (whole == merged).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(0, 20), min_size=1, max_size=400),
+    st.integers(2, 50),
+    st.integers(1, 6),
+)
+def test_heavy_hitter_local_threshold_bound_property(vals, inv_phi, blocks):
+    """The exactness lemma behind sketches.heavy_hitters: every value with
+    global count * inv_phi > n survives the block-local filter in at least
+    one block, for ANY split of the data."""
+    import collections
+
+    arr = np.array(vals)
+    n = len(arr)
+    global_hh = {
+        v for v, c in collections.Counter(arr.tolist()).items()
+        if c * inv_phi > n
+    }
+    union = set()
+    for part in np.array_split(arr, blocks):
+        cnt = collections.Counter(part.tolist())
+        union |= {v for v, c in cnt.items() if c * inv_phi > len(part)}
+    assert global_hh <= union
