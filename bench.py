@@ -85,11 +85,12 @@ def run_headline() -> dict:
 
     # one untimed pass warms the Ray worker pool (cold spawn of num_cpus
     # python workers costs 10x the pipeline itself) + the OS page cache;
-    # then best-of-2 timed passes (external host load swings single runs)
+    # then best-of-N timed passes (external host load swings single runs)
     run_once()
     sec, join_rows, n_cells = run_once()
-    sec2, _, _ = run_once()
-    sec = min(sec, sec2)
+    for _ in range(int(os.environ.get("GRAFT_BENCH_HEAD_TRIALS", "3")) - 1):
+        s2, _, _ = run_once()
+        sec = min(sec, s2)
     return dict(sec=sec, n_docs=n_docs, join_rows=join_rows,
                 n_cells=n_cells, docs_per_sec=n_docs / sec)
 
@@ -100,7 +101,7 @@ def run_queries() -> dict[str, float]:
     import __ray_entry__ as E
 
     qs = E.queries()
-    trials = int(os.environ.get("GRAFT_BENCH_QUERY_TRIALS", "2"))
+    trials = int(os.environ.get("GRAFT_BENCH_QUERY_TRIALS", "3"))
     out: dict[str, float] = {}
     for _ in range(trials):
         for name in sorted(qs):
