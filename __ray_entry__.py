@@ -205,6 +205,12 @@ def q_embedding_neardup(sf_dir: str):
     return ANN.embedding_neardup(sf_dir, threshold=0.45)
 
 
+def q_embedding_neardup_blockpair(sf_dir: str):
+    """Same exact output via the block-cartesian raw-task pattern (no
+    full-matrix broadcast; per-worker memory O(block), see ann.py)."""
+    return ANN.embedding_neardup_blockpair(sf_dir, threshold=0.45)
+
+
 def q_cell_stats(sf_dir: str):
     """Per-cell count + coordinate sums.  Sums are over the INTEGER milli
     coordinates, so they are order-insensitive and bit-exact on both sides
@@ -441,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_verify": q_extract_verify,
         "ann": q_ann,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_blockpair": q_embedding_neardup_blockpair,
         "cell_stats": q_cell_stats,
         "cell_median": q_cell_median,
         "quantiles_exact": q_quantiles_exact,
@@ -524,6 +531,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann": ANN.SQL_ANN,
         "embedding_neardup": ANN.sql_embedding_neardup(0.45),
+        "embedding_neardup_blockpair": ANN.sql_embedding_neardup(0.45),
         "cell_stats": S.with_geo(
             """SELECT cell, COUNT(*) AS n,
                  CAST(SUM(lon_milli) AS BIGINT) AS sum_lon_milli,

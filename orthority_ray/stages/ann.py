@@ -332,6 +332,49 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95) -> ray.data.Dataset:
     )
 
 
+def embedding_neardup_blockpair(sf_dir: str, threshold: float = 0.95) -> ray.data.Dataset:
+    """Exact all-pairs cosine >= threshold with NO full-matrix broadcast:
+    the block-cartesian pattern.  The Dataset API cannot express a blockwise
+    self-cross-product, so this drops to raw Ray tasks (the brief's
+    documented last resort): the vector table is read once into object-store
+    blocks and each of the B*(B+1)/2 block PAIRS is one task holding exactly
+    two blocks in memory — per-worker memory is O(block), not O(N), while
+    compute stays the same inherent O(N^2) as any exact all-pairs scan.
+    Output identical to :func:`embedding_neardup` (same oracle); pairs
+    dedupe by orientation (a < b) since every unordered pair appears in
+    exactly one bipartite block product.
+    """
+    thresh_key = int(np.floor(threshold * SIM_SCALE + 0.5))
+    refs = read_embeddings(sf_dir).to_arrow_refs()
+
+    @ray.remote
+    def pair_task(ta: pa.Table, tb: pa.Table) -> pa.Table:
+        ids_a, ma = _emb_matrix(ta)
+        ids_b, mb = _emb_matrix(tb)
+        if len(ids_a) == 0 or len(ids_b) == 0:
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64()),
+                             "sim_key": pa.array([], pa.int64())})
+        key = np.floor(_cosine(ma, mb) * SIM_SCALE + 0.5).astype(np.int64)
+        ai, bj = np.nonzero(key >= thresh_key)
+        a, b = ids_a[ai], ids_b[bj]
+        keep = a < b
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep]),
+                "vec_b": pa.array(b[keep]),
+                "sim_key": pa.array(key[ai[keep], bj[keep]]),
+            }
+        )
+
+    out = [
+        pair_task.remote(refs[i], refs[j])
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    return ray.data.from_arrow_refs(out)
+
+
 def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.95,
                           n_buckets_cap: int = 4096) -> ray.data.Dataset:
     """(vec_a, vec_b, sim_key) near-dup pairs via LSH bucketing — the
