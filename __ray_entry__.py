@@ -82,6 +82,12 @@ def q_exact_dedup(sf_dir: str):
     return D.exact_dedup_groups(read_pages(sf_dir))
 
 
+def q_bpe_tokens(sf_dir: str):
+    """BPE-style pre-tokenizer counts over url + text (letter / digit /
+    punct runs; regex compiled once per worker)."""
+    return T.bpe_token_counts(read_pages(sf_dir))
+
+
 def q_heavy_hitters(sf_dir: str):
     """Exact two-phase heavy hitters over the duplicate-text hotspots:
     every text with count * 600 > total rows (local-threshold candidate
@@ -441,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "heavy_hitters": q_heavy_hitters,
         "vocabulary": q_vocabulary,
+        "bpe_tokens": q_bpe_tokens,
         "stratified_sample": q_stratified_sample,
         "text_features": q_text_features,
         "quality": q_quality,
@@ -524,6 +531,7 @@ def oracle_sql() -> dict[str, str]:
                WHERE c.n_tok * 30 > t.n"""
         ),
         "stratified_sample": S.with_pages(SQL_STRATIFIED_SAMPLE),
+        "bpe_tokens": S.with_pages(T.SQL_BPE_TOKENS),
         "text_features": S.with_pages(T.SQL_TEXT_FEATURES),
         "quality": S.with_pages(T.SQL_QUALITY),
         "extract_verify": S.with_pages(

@@ -216,3 +216,49 @@ def lang_id(ds: ray.data.Dataset, *, concurrency: int | None = None) -> ray.data
 
     return ds.map_batches(cached_stage(LangId, "textstats:langid"),
                           batch_format="pyarrow", batch_size=4096)
+
+
+# --- BPE-ish regex token counting (brief: "whitespace + a BPE-ish regex") ---
+
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+class BpeCounter:
+    """Letter-run / digit-run / punct-run token counter — the BPE-style
+    pre-tokenizer split — over url AND text.  The regex compiles ONCE per
+    worker (__init__); the pattern is RE2-compatible so the DuckDB oracle
+    uses the identical expression (`regexp_extract_all`)."""
+
+    def __init__(self):
+        import re
+
+        self.rx = re.compile(BPE_PATTERN)
+
+    def _counts(self, vals: list[str]) -> np.ndarray:
+        findall = self.rx.findall
+        return np.fromiter((len(findall(v)) for v in vals), dtype=np.int64,
+                           count=len(vals))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_url": pa.array(self._counts(batch["url"].to_pylist())),
+                "n_bpe_text": pa.array(self._counts(batch["text"].to_pylist())),
+            }
+        )
+
+
+def bpe_token_counts(ds: ray.data.Dataset) -> ray.data.Dataset:
+    from ..core.config import cached_stage
+
+    return ds.map_batches(cached_stage(BpeCounter, "textstats:bpe"),
+                          batch_format="pyarrow", batch_size=8192)
+
+
+SQL_BPE_TOKENS = r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(url, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_url,
+       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_text
+FROM pages
+""".strip()
