@@ -32,7 +32,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .stats import merge_moments, partial_moments
+from .stats import partial_moments
 
 N_SALTS = 8
 
@@ -106,39 +106,39 @@ def salted_cell_moments(geo_ds: ray.data.Dataset, cols: list[str],
 
     staged = geo_ds.map_batches(partials, batch_format="pyarrow", batch_size=65536)
 
+    from .grouping import bucketed_group_apply
+    from .stats import fold_moment_partials
+
     def merge_level(g: pd.DataFrame) -> pd.DataFrame:
-        acc = (0, np.zeros(d), np.zeros((d, d)))
-        g = g.sort_values(["n"] + [c for c in g.columns if c.startswith(("mean_", "c_"))], kind="mergesort")  # content tie-break: equal-n partials (fixed batch sizes) must merge in a run-independent order
-        for _, row in g.iterrows():
-            mean = np.array([row[f"mean_{j}"] for j in range(d)])
-            c = np.array([row[f"c_{j}"] for j in range(d * d)]).reshape(d, d)
-            acc = merge_moments(acc, (int(row["n"]), mean, c))
-        n, mean, c = acc
-        out = {"cell": [g["cell"].iloc[0]], "salt": [g["salt"].iloc[0]], "n": [n]}
+        # content-ordered lockstep fold across all (cell, salt) groups in
+        # the bucket — same float sequence per group as the old per-group
+        # iterrows fold (stats.fold_moment_partials)
+        gs, starts, acc_n, acc_mean, acc_c = fold_moment_partials(
+            g, ["cell", "salt"], d
+        )
+        out = {"cell": gs["cell"].to_numpy()[starts],
+               "salt": gs["salt"].to_numpy()[starts], "n": acc_n}
         for j in range(d):
-            out[f"mean_{j}"] = [mean[j]]
+            out[f"mean_{j}"] = acc_mean[:, j]
+        flat = acc_c.reshape(len(starts), d * d)
         for j in range(d * d):
-            out[f"c_{j}"] = [c.ravel()[j]]
+            out[f"c_{j}"] = flat[:, j]
         return pd.DataFrame(out)
 
     # level 1: reduce per (cell, salt) — hot cells split across n_salts reducers
-    level1 = staged.groupby(["cell", "salt"]).map_groups(merge_level, batch_format="pandas")
+    level1 = bucketed_group_apply(staged, ["cell", "salt"], merge_level)
 
     def merge_final(g: pd.DataFrame) -> pd.DataFrame:
-        acc = (0, np.zeros(d), np.zeros((d, d)))
-        g = g.sort_values(["n"] + [c for c in g.columns if c.startswith(("mean_", "c_"))], kind="mergesort")  # content tie-break: equal-n partials (fixed batch sizes) must merge in a run-independent order
-        for _, row in g.iterrows():
-            mean = np.array([row[f"mean_{j}"] for j in range(d)])
-            c = np.array([row[f"c_{j}"] for j in range(d * d)]).reshape(d, d)
-            acc = merge_moments(acc, (int(row["n"]), mean, c))
-        n, mean, c = acc
-        out = {"cell": [g["cell"].iloc[0]], "n": [n]}
+        gs, starts, acc_n, acc_mean, acc_c = fold_moment_partials(g, ["cell"], d)
+        out = {"cell": gs["cell"].to_numpy()[starts], "n": acc_n}
         for j, col in enumerate(cols):
-            out[f"mean_{col}"] = [mean[j]]
+            out[f"mean_{col}"] = acc_mean[:, j]
         for a in range(d):
             for b in range(d):
-                out[f"cov_{cols[a]}_{cols[b]}"] = [c[a, b] / max(1, n - 1)]
+                out[f"cov_{cols[a]}_{cols[b]}"] = acc_c[:, a, b] / np.maximum(
+                    1, acc_n - 1
+                )
         return pd.DataFrame(out)
 
     # level 2: un-salt — at most n_salts rows per cell
-    return level1.groupby("cell").map_groups(merge_final, batch_format="pandas")
+    return bucketed_group_apply(level1, ["cell"], merge_final)
