@@ -42,16 +42,23 @@ def grouped_median(ds: ray.data.Dataset, key: str, col: str,
     group (hash-partitioned; per-group data fits a worker)."""
 
     def med(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g[col].to_numpy())
+        # all groups in the bucket at once: one sort, then the per-group
+        # discrete-quantile element picked by segment offset arithmetic
+        g = g.sort_values([key, col], kind="mergesort")
+        k = g[key].to_numpy()
+        v = g[col].to_numpy()
+        starts = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
+        ends = np.concatenate([starts[1:], [len(g)]])
+        n = ends - starts
+        idx = starts + np.floor((n - 1) * q).astype(np.int64)
         return pd.DataFrame(
-            {
-                key: [g[key].iloc[0]],
-                "n": np.array([v.shape[0]], dtype=np.int64),
-                "median": np.array([v[_disc_index(v.shape[0], q)]], dtype=np.int64),
-            }
+            {key: k[starts], "n": n.astype(np.int64),
+             "median": v[idx].astype(np.int64)}
         )
 
-    return ds.groupby(key).map_groups(med, batch_format="pandas")
+    from .grouping import bucketed_group_apply
+
+    return bucketed_group_apply(ds, [key], med)
 
 
 def sql_grouped_median(key: str, col: str, table: str, q: float = 0.5) -> str:
