@@ -99,10 +99,18 @@ class _PartialTopSim:
 
 
 def _merge(g: pd.DataFrame, k: int = K) -> pd.DataFrame:
-    g = g.sort_values(["sim_key", "neighbor_id"], ascending=[False, True], kind="mergesort")
-    g = g.head(k).reset_index(drop=True)
-    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-    return g[["query_id", "neighbor_id", "rank", "sim_key"]]
+    """All queries in the bucket merged at once (see knn._merge_topk)."""
+    g = g.sort_values(["query_id", "sim_key", "neighbor_id"],
+                      ascending=[True, False, True], kind="mergesort")
+    qid = g["query_id"].to_numpy()
+    starts = np.concatenate([[0], np.flatnonzero(qid[1:] != qid[:-1]) + 1])
+    sizes = np.diff(np.concatenate([starts, [len(g)]]))
+    rank = np.arange(len(g)) - np.repeat(starts, sizes)
+    keep = rank < k
+    out = g.loc[keep, ["query_id", "neighbor_id"]].reset_index(drop=True)
+    out["rank"] = rank[keep] + 1
+    out["sim_key"] = g["sim_key"].to_numpy()[keep]
+    return out[["query_id", "neighbor_id", "rank", "sim_key"]]
 
 
 def ann_bruteforce(sf_dir: str, k: int = K, *, concurrency: int | None = None) -> ray.data.Dataset:
@@ -114,7 +122,9 @@ def ann_bruteforce(sf_dir: str, k: int = K, *, concurrency: int | None = None) -
         cached_stage(_PartialTopSim, f"ann:brute:{queries_ref.hex()}:{k}", queries_ref, k),
         batch_format="pyarrow", batch_size=4096,
     )
-    return partials.groupby("query_id").map_groups(lambda g: _merge(g, k), batch_format="pandas")
+    from .grouping import bucketed_group_apply
+
+    return bucketed_group_apply(partials, ["query_id"], lambda g: _merge(g, k))
 
 
 SQL_ANN = f"""
@@ -223,7 +233,9 @@ def ann_ivf(sf_dir: str, k: int = K, nlist: int = N_LIST, nprobe: int = N_PROBE,
                      queries_ref, cent_ref, k, nprobe),
         batch_format="pyarrow", batch_size=4096,
     )
-    return partials.groupby("query_id").map_groups(lambda g: _merge(g, k), batch_format="pandas")
+    from .grouping import bucketed_group_apply
+
+    return bucketed_group_apply(partials, ["query_id"], lambda g: _merge(g, k))
 
 
 # --- LSH bucketing (the 10^12-scale path) -----------------------------------
@@ -289,7 +301,9 @@ def ann_lsh(sf_dir: str, k: int = K, *, concurrency: int | None = None) -> ray.d
         cached_stage(_LshPartial, f"ann:lsh:{queries_ref.hex()}:{k}", queries_ref, k),
         batch_format="pyarrow", batch_size=4096,
     )
-    return partials.groupby("query_id").map_groups(lambda g: _merge(g, k), batch_format="pandas")
+    from .grouping import bucketed_group_apply
+
+    return bucketed_group_apply(partials, ["query_id"], lambda g: _merge(g, k))
 
 
 def embedding_neardup(sf_dir: str, threshold: float = 0.95) -> ray.data.Dataset:

@@ -226,11 +226,21 @@ class _PartialTopKCellRing(_PartialTopK):
 
 
 def _merge_topk(g: pd.DataFrame, k: int = K) -> pd.DataFrame:
-    g = g.sort_values(["dist", "neighbor_id"], kind="mergesort").head(k)
-    g = g.reset_index(drop=True)
-    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-    g["dist_key"] = np.floor(g["dist"].to_numpy() * DIST_SCALE).astype(np.int64)
-    return g[["query_id", "neighbor_id", "rank", "dist_key"]]
+    """All queries in the bucket merged at once: one sort by (query, dist,
+    neighbor), per-query rank by segment offset, keep rank < k — identical
+    output to the old per-query head(k) (one Python call per query)."""
+    g = g.sort_values(["query_id", "dist", "neighbor_id"], kind="mergesort")
+    qid = g["query_id"].to_numpy()
+    starts = np.concatenate([[0], np.flatnonzero(qid[1:] != qid[:-1]) + 1])
+    sizes = np.diff(np.concatenate([starts, [len(g)]]))
+    rank = np.arange(len(g)) - np.repeat(starts, sizes)
+    keep = rank < k
+    out = g.loc[keep, ["query_id", "neighbor_id"]].reset_index(drop=True)
+    out["rank"] = rank[keep] + 1
+    out["dist_key"] = np.floor(
+        g["dist"].to_numpy()[keep] * DIST_SCALE
+    ).astype(np.int64)
+    return out
 
 
 def _run(geo_ds: ray.data.Dataset, cls, k: int, concurrency: int | None) -> ray.data.Dataset:
@@ -249,10 +259,11 @@ def _run(geo_ds: ray.data.Dataset, cls, k: int, concurrency: int | None) -> ray.
             _BROADCAST_CACHE[cache_key] = fn
         return fn(batch)
 
+    from .grouping import bucketed_group_apply
+
     partials = geo_ds.map_batches(score, batch_format="pyarrow", batch_size=16384)
-    return partials.groupby("query_id").map_groups(
-        lambda g: _merge_topk(g, k), batch_format="pandas"
-    )
+    return bucketed_group_apply(partials, ["query_id"],
+                                lambda g: _merge_topk(g, k))
 
 
 def knn_broadcast(geo_ds: ray.data.Dataset, k: int = K, *, concurrency: int | None = None) -> ray.data.Dataset:
