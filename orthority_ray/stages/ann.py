@@ -78,22 +78,18 @@ class _PartialTopSim:
         sim_key = np.floor(sims * SIM_SCALE + 0.5).astype(np.int64)
         B, Q = sim_key.shape
         k = min(self.k, B)
-        out_q, out_n, out_s = [], [], []
-        for c in range(Q):
-            col = sim_key[:, c]
-            part = np.argpartition(-col, k - 1)[:k]
-            kth = col[part].min()
-            cand = np.nonzero(col >= kth)[0]  # keep boundary ties
-            order = np.lexsort((ids[cand], -col[cand]))
-            sel = cand[order[:k]]
-            out_q.append(np.full(sel.shape[0], self.qids[c], dtype=np.int64))
-            out_n.append(ids[sel])
-            out_s.append(col[sel])
+        # fully vectorized: emit EVERY candidate >= the per-query kth best
+        # (boundary ties included, a few extra rows) and let the final
+        # merge truncate under the (sim desc, vec_id) total order — exact,
+        # no per-query Python loop (same pattern as knn._PartialTopK)
+        part = np.argpartition(-sim_key, k - 1, axis=0)[:k]  # (k, Q)
+        kth = sim_key[part, np.arange(Q)[None, :]].min(axis=0)  # (Q,)
+        rows, cols = np.nonzero(sim_key >= kth[None, :])
         return pa.table(
             {
-                "query_id": pa.array(np.concatenate(out_q)),
-                "neighbor_id": pa.array(np.concatenate(out_n)),
-                "sim_key": pa.array(np.concatenate(out_s)),
+                "query_id": pa.array(self.qids[cols]),
+                "neighbor_id": pa.array(ids[rows]),
+                "sim_key": pa.array(sim_key[rows, cols]),
             }
         )
 
