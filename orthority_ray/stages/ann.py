@@ -355,7 +355,12 @@ def embedding_neardup_blockpair(sf_dir: str, threshold: float = 0.95) -> ray.dat
     exactly one bipartite block product.
     """
     thresh_key = int(np.floor(threshold * SIM_SCALE + 0.5))
-    refs = read_embeddings(sf_dir).to_arrow_refs()
+    # split the single-file read: B blocks -> B(B+1)/2 tasks; one unsplit
+    # block would serialize the whole N^2 scan into a single task
+    refs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        override_num_blocks=16,
+    ).to_arrow_refs()
 
     @ray.remote
     def pair_task(ta: pa.Table, tb: pa.Table) -> pa.Table:
