@@ -159,6 +159,19 @@ def q_vocabulary(sf_dir: str):
     return heavy_hitters(tokens, "token", inv_phi=30, count_alias="n_tok")
 
 
+def q_media_features(sf_dir: str):
+    """Rows-only: real multimodal decode + features (ORI1/ORA1/ORV1 raw
+    codecs, stages/multimodal.py) over a deterministic 1/97 page sample."""
+    from orthority_ray.stages.multimodal import media_features
+
+    def sel(b):
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(d % 97 == 0))
+
+    keys = read_page_keys(sf_dir).map_batches(sel, batch_format="pyarrow")
+    return media_features(keys)
+
+
 def q_hll_distinct(sf_dir: str):
     """HyperLogLog distinct doc_ids (rows-only: ~1.6% sketch, deterministic
     hash so the estimate is parallelism-invariant)."""
@@ -490,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q_ann_ivf,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "hll_distinct": q_hll_distinct,
+        "media_features": q_media_features,
         "pan_sharpen": q_pan_sharpen,
     }
 
