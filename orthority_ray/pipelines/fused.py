@@ -27,7 +27,6 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..core.config import read_blocks
 from ..core.geometry import make_tile_rings, points_in_rings, ring_bboxes
 from ..sources.pages import _BROADCAST_CACHE, PageSynth, load_documents
 from ..stages.extract import extract_batch

@@ -15,7 +15,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 
 # The testdata tables are single-file single-row-group parquet -> a serial
@@ -177,8 +177,6 @@ def q_customers_per_region(sf_dir: str) -> ray.data.Dataset:
             nk = b["c_nationkey"].to_numpy(zero_copy_only=False)
             names = [self.r2name[self.n2r[int(k)]] for k in nk]
             return pa.table({"r_name": pa.array(names, pa.string())})
-
-    from ..core.config import pool
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     from ..core.config import cached_stage

@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ..core.config import pool, read_blocks
+from ..core.config import read_blocks
 
 HTML_PREFIX = b"<html><body>"
 HTML_SUFFIX = b"</body></html>"

@@ -24,7 +24,6 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..core.config import pool
 
 K = 10
 QUERY_MOD = 50  # vec_id % 50 == 0 -> 1/50 of vectors are queries

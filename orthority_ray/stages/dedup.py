@@ -24,10 +24,9 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Min
 
 from ..core import texthash as TH
-from ..core.config import pool
 
 # --- exact dedup -----------------------------------------------------------
 

@@ -15,7 +15,6 @@ has no native co-partitioned zip); the per-bucket pandas merge is the probe.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data
 
