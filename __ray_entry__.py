@@ -58,6 +58,32 @@ def q_cell_counts(sf_dir: str):
     return cell_counts(_geo(sf_dir))
 
 
+def q_hot_cells_ranked(sf_dir: str):
+    """Hot-cell detection (SURVEY §2.7 verbatim): per-cell counts ->
+    GLOBAL ``Dataset.sort`` (n_docs desc, cell asc) over the dimension-
+    sized aggregate -> limit(20) -> rank stamped on the bounded result.
+    The rank column makes sort order value-visible to the oracle."""
+    import pandas as pd
+
+    top = (
+        cell_counts(_geo(sf_dir))
+        .sort(["n_docs", "cell"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    top["rank"] = pd.RangeIndex(1, len(top) + 1).astype("int64")
+    return top
+
+
+SQL_HOT_CELLS_RANKED = """
+SELECT cell, n_docs, rank FROM (
+  SELECT cell, n_docs,
+         row_number() OVER (ORDER BY n_docs DESC, cell ASC) AS rank
+  FROM (SELECT cell, COUNT(*) AS n_docs FROM geod GROUP BY cell)
+) WHERE rank <= 20
+""".strip()
+
+
 def q_tile_assign(sf_dir: str):
     return assign_tiles(_geo(sf_dir))
 
@@ -452,6 +478,7 @@ def q_pan_sharpen(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": q_cell_counts,
+        "hot_cells_ranked": q_hot_cells_ranked,
         "tile_assign": q_tile_assign,
         "pip_join": q_pip_join,
         "knn": q_knn,
@@ -519,6 +546,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_counts": S.with_geo(
             "SELECT cell, COUNT(*) AS n_docs FROM geod GROUP BY cell"
         ),
+        "hot_cells_ranked": S.with_geo(SQL_HOT_CELLS_RANKED),
         "tile_assign": S.with_geo(SQL_ASSIGN.format(n_tiles=N_ASSIGN_TILES)),
         "pip_join": S.with_geo(f"SELECT * FROM ({pip_union})"),
         "knn": S.with_geo(KNN.SQL_KNN),
