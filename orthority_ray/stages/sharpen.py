@@ -168,17 +168,20 @@ class SharpenFn:
 
 
 def pan_sharpen(geo_ds: ray.data.Dataset, *, concurrency: int | None = None) -> ray.data.Dataset:
-    """Full two-phase pipeline over a geocoded pages Dataset."""
-    from ..core.config import pool
+    """Full two-phase pipeline over a geocoded pages Dataset.
+
+    Phase 2 runs as STATELESS tasks with the params cached per worker
+    (`cached_stage`): the per-actor state is one small tuple, and spawning
+    a fresh actor pool inside the measured region dominated the stage wall
+    time (same lesson as the other trivial-state stages)."""
+    from ..core.config import cached_stage
 
     banded = geo_ds.map_batches(synth_bands, batch_format="pyarrow", batch_size=65536)
     n, means, c = global_moments(banded)
     params = derive_params(n, means, c)
     params_ref = ray.put(params)
     return banded.map_batches(
-        SharpenFn,
+        cached_stage(SharpenFn, f"sharpen:{params_ref.hex()}", params_ref),
         batch_format="pyarrow",
         batch_size=65536,
-        concurrency=pool(concurrency),
-        fn_constructor_args=(params_ref,),
     )
