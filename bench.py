@@ -96,8 +96,9 @@ def run_headline() -> dict:
 
 
 def run_queries() -> dict[str, float]:
-    """Best-of-N per query (default 2): the sandbox host carries variable
-    external load and single measurements swing several x."""
+    """Best-of-N per query (default GRAFT_BENCH_QUERY_TRIALS=3): the sandbox
+    host carries variable external load and single measurements swing
+    several x."""
     import __ray_entry__ as E
 
     qs = E.queries()

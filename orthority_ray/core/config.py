@@ -52,13 +52,21 @@ def cached_stage(cls, key: str, *args, **kwargs):
 def session_token() -> str:
     """Identifier of the current Ray session/job — caches of materialized
     Datasets or ObjectRefs must be invalidated when it changes (objects die
-    with their session; tests restart Ray mid-process)."""
+    with their session; tests restart Ray mid-process).  When Ray is NOT
+    initialized yet, every call returns a UNIQUE token so nothing caches
+    under it: a constant fallback aliased two different sessions onto one
+    cache key whenever the token was computed before the session's lazy
+    auto-init, serving dead object refs after a restart."""
     try:
+        if not ray.is_initialized():
+            raise RuntimeError("uninitialized")
         # node id is fresh per local session (job ids restart at 01000000
         # in every new cluster, so they collide across restarts)
         return ray.get_runtime_context().get_node_id()
     except Exception:
-        return "none"
+        import uuid
+
+        return f"uninit-{uuid.uuid4().hex}"
 
 
 def read_blocks() -> int:

@@ -115,7 +115,7 @@ def ann_bruteforce(sf_dir: str, k: int = K, *, concurrency: int | None = None) -
 
     partials = ds.map_batches(
         cached_stage(_PartialTopSim, f"ann:brute:{queries_ref.hex()}:{k}", queries_ref, k),
-        batch_format="pyarrow", batch_size=4096,
+        batch_format="pyarrow", batch_size=4096, concurrency=concurrency,
     )
     from .grouping import bucketed_group_apply
 
@@ -182,34 +182,52 @@ class _IvfPartial(_PartialTopSim):
         self.q_lists = order[:, :nprobe]  # (Q, nprobe)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Loop over the nlist CENTROIDS (bounded, 32), not the queries
+        (~N/50): each centroid's rows are scored once against exactly the
+        queries probing that list (same pruned compute and candidate sets
+        as the per-query formulation), then one global sort + segment rank
+        picks each query's per-batch top-k."""
         ids, m = _emb_matrix(batch)
         empty = pa.table({"query_id": pa.array([], pa.int64()),
                           "neighbor_id": pa.array([], pa.int64()),
                           "sim_key": pa.array([], pa.int64())})
-        if len(ids) == 0:
+        if len(ids) == 0 or len(self.qids) == 0:
             return empty
         mn = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
         vlist = np.argmax(mn @ self.cent.T, axis=1)  # (B,)
-        out = []
-        for c in range(len(self.qids)):
-            mask = np.isin(vlist, self.q_lists[c])
-            if not mask.any():
+        Q, nprobe = self.q_lists.shape
+        probe_q = np.repeat(np.arange(Q), nprobe)  # query idx per (q, probe)
+        probe_c = self.q_lists.ravel()
+        cand_q, cand_r, cand_k = [], [], []
+        for c in range(self.cent.shape[0]):
+            rows = np.flatnonzero(vlist == c)
+            qs = probe_q[probe_c == c]
+            if rows.size == 0 or qs.size == 0:
                 continue
-            sims = _cosine(m[mask], self.q[c : c + 1])[:, 0]
+            sims = _cosine(m[rows], self.q[qs])  # (rows, qs)
             key = np.floor(sims * SIM_SCALE + 0.5).astype(np.int64)
-            sub_ids = ids[mask]
-            k = min(self.k, key.shape[0])
-            order = np.lexsort((sub_ids, -key))[:k]
-            out.append(
-                pa.table(
-                    {
-                        "query_id": pa.array(np.full(k, self.qids[c], dtype=np.int64)),
-                        "neighbor_id": pa.array(sub_ids[order]),
-                        "sim_key": pa.array(key[order]),
-                    }
-                )
-            )
-        return pa.concat_tables(out) if out else empty
+            cand_q.append(np.tile(qs, rows.size))
+            cand_r.append(np.repeat(rows, qs.size))
+            cand_k.append(key.ravel())
+        if not cand_q:
+            return empty
+        q_arr = np.concatenate(cand_q)
+        r_arr = np.concatenate(cand_r)
+        k_arr = np.concatenate(cand_k)
+        n_arr = ids[r_arr]
+        order = np.lexsort((n_arr, -k_arr, q_arr))  # (query, -key, id)
+        q_s, k_s, n_s = q_arr[order], k_arr[order], n_arr[order]
+        starts = np.concatenate([[0], np.flatnonzero(q_s[1:] != q_s[:-1]) + 1])
+        sizes = np.diff(np.concatenate([starts, [len(q_s)]]))
+        rank = np.arange(len(q_s)) - np.repeat(starts, sizes)
+        keep = rank < self.k
+        return pa.table(
+            {
+                "query_id": pa.array(self.qids[q_s[keep]]),
+                "neighbor_id": pa.array(n_s[keep]),
+                "sim_key": pa.array(k_s[keep]),
+            }
+        )
 
 
 def ann_ivf(sf_dir: str, k: int = K, nlist: int = N_LIST, nprobe: int = N_PROBE,
@@ -226,7 +244,7 @@ def ann_ivf(sf_dir: str, k: int = K, nlist: int = N_LIST, nprobe: int = N_PROBE,
     partials = ds.map_batches(
         cached_stage(_IvfPartial, f"ann:ivf:{queries_ref.hex()}:{k}:{nprobe}",
                      queries_ref, cent_ref, k, nprobe),
-        batch_format="pyarrow", batch_size=4096,
+        batch_format="pyarrow", batch_size=4096, concurrency=concurrency,
     )
     from .grouping import bucketed_group_apply
 
@@ -294,7 +312,7 @@ def ann_lsh(sf_dir: str, k: int = K, *, concurrency: int | None = None) -> ray.d
 
     partials = ds.map_batches(
         cached_stage(_LshPartial, f"ann:lsh:{queries_ref.hex()}:{k}", queries_ref, k),
-        batch_format="pyarrow", batch_size=4096,
+        batch_format="pyarrow", batch_size=4096, concurrency=concurrency,
     )
     from .grouping import bucketed_group_apply
 
@@ -349,9 +367,12 @@ def embedding_neardup_blockpair(sf_dir: str, threshold: float = 0.95) -> ray.dat
     blocks and each of the B*(B+1)/2 block PAIRS is one task holding exactly
     two blocks in memory — per-worker memory is O(block), not O(N), while
     compute stays the same inherent O(N^2) as any exact all-pairs scan.
-    Output identical to :func:`embedding_neardup` (same oracle); pairs
-    dedupe by orientation (a < b) since every unordered pair appears in
-    exactly one bipartite block product.
+    Output identical to :func:`embedding_neardup` (same oracle).  Pair
+    dedup: every unordered pair appears in exactly ONE block product, so
+    off-diagonal tasks emit (min, max) regardless of which side holds the
+    smaller id (``a < b`` there would silently drop pairs whenever blocks
+    are not globally id-sorted); the diagonal task filters ``a < b`` since
+    its square matrix contains both orientations.
     """
     thresh_key = int(np.floor(threshold * SIM_SCALE + 0.5))
     # split the single-file read: B blocks -> B(B+1)/2 tasks; one unsplit
@@ -362,7 +383,7 @@ def embedding_neardup_blockpair(sf_dir: str, threshold: float = 0.95) -> ray.dat
     ).to_arrow_refs()
 
     @ray.remote
-    def pair_task(ta: pa.Table, tb: pa.Table) -> pa.Table:
+    def pair_task(ta: pa.Table, tb: pa.Table, diagonal: bool) -> pa.Table:
         ids_a, ma = _emb_matrix(ta)
         ids_b, mb = _emb_matrix(tb)
         if len(ids_a) == 0 or len(ids_b) == 0:
@@ -372,17 +393,23 @@ def embedding_neardup_blockpair(sf_dir: str, threshold: float = 0.95) -> ray.dat
         key = np.floor(_cosine(ma, mb) * SIM_SCALE + 0.5).astype(np.int64)
         ai, bj = np.nonzero(key >= thresh_key)
         a, b = ids_a[ai], ids_b[bj]
-        keep = a < b
+        if diagonal:
+            keep = a < b
+            lo, hi = a[keep], b[keep]
+        else:
+            keep = a != b
+            lo = np.minimum(a[keep], b[keep])
+            hi = np.maximum(a[keep], b[keep])
         return pa.table(
             {
-                "vec_a": pa.array(a[keep]),
-                "vec_b": pa.array(b[keep]),
+                "vec_a": pa.array(lo),
+                "vec_b": pa.array(hi),
                 "sim_key": pa.array(key[ai[keep], bj[keep]]),
             }
         )
 
     out = [
-        pair_task.remote(refs[i], refs[j])
+        pair_task.remote(refs[i], refs[j], i == j)
         for i in range(len(refs))
         for j in range(i, len(refs))
     ]

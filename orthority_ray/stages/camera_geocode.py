@@ -139,6 +139,7 @@ def dem_geocode(ds: ray.data.Dataset, datum: str = "ellipsoid",
         lambda b: _cached_dem(datum)(b),
         batch_format="pyarrow",
         batch_size=16384,
+        concurrency=concurrency,
     )
 
 

@@ -244,24 +244,21 @@ def _merge_topk(g: pd.DataFrame, k: int = K) -> pd.DataFrame:
 
 
 def _run(geo_ds: ray.data.Dataset, cls, k: int, concurrency: int | None) -> ray.data.Dataset:
-    """Stateless tasks + per-worker cached scorer (no actor pool: the
-    scorer state is one broadcast matrix, and pool spin-up dominated the
-    stage wall time at this scale — see BASELINE.md perf lessons)."""
-    from ..sources.pages import _BROADCAST_CACHE
+    """Stateless tasks + per-worker cached scorer via ``cached_stage`` (no
+    actor pool: the scorer state is one broadcast matrix, and pool spin-up
+    dominated the stage wall time at this scale; cached_stage also bounds
+    the per-worker instance cache, where a hand-rolled dict accumulated one
+    scorer + scratch slabs per past run — see BASELINE.md perf lessons)."""
+    from ..core.config import cached_stage
+    from .grouping import bucketed_group_apply
 
     queries_ref = ray.put(make_queries(geo_ds))
     cache_key = f"knn:{cls.__name__}:{k}:{queries_ref.hex()}"
 
-    def score(batch: pa.Table) -> pa.Table:
-        fn = _BROADCAST_CACHE.get(cache_key)
-        if fn is None:
-            fn = cls(queries_ref, k)
-            _BROADCAST_CACHE[cache_key] = fn
-        return fn(batch)
-
-    from .grouping import bucketed_group_apply
-
-    partials = geo_ds.map_batches(score, batch_format="pyarrow", batch_size=16384)
+    partials = geo_ds.map_batches(
+        cached_stage(cls, cache_key, queries_ref, k),
+        batch_format="pyarrow", batch_size=16384, concurrency=concurrency,
+    )
     return bucketed_group_apply(partials, ["query_id"],
                                 lambda g: _merge_topk(g, k))
 

@@ -110,21 +110,16 @@ def pip_join(geo_ds: ray.data.Dataset, rings: np.ndarray | None = None,
     an actor pool's process spawns would dominate the stage (see
     sources/pages.cached_get); the actor-pool pattern is reserved for the
     genuinely heavy state (DemGeocoder's grid, text models)."""
-    from ..sources.pages import _BROADCAST_CACHE
+    from ..core.config import cached_stage
 
     if rings is None:
         rings = make_tile_rings()
     rings_ref = ray.put(rings)
 
-    def join(batch: pa.Table) -> pa.Table:
-        key = "pipjoin:" + rings_ref.hex()
-        fn = _BROADCAST_CACHE.get(key)
-        if fn is None:
-            fn = PipJoin(rings_ref)
-            _BROADCAST_CACHE[key] = fn
-        return fn(batch)
-
-    return geo_ds.map_batches(join, batch_format="pyarrow", batch_size=32768)
+    return geo_ds.map_batches(
+        cached_stage(PipJoin, "pipjoin:" + rings_ref.hex(), rings_ref),
+        batch_format="pyarrow", batch_size=32768, concurrency=concurrency,
+    )
 
 
 def pip_join_cell_indexed(geo_ds: ray.data.Dataset, rings: np.ndarray | None = None
@@ -132,18 +127,14 @@ def pip_join_cell_indexed(geo_ds: ray.data.Dataset, rings: np.ndarray | None = N
     """Cell-sharded PIP join (the large-tile-table scale path): candidate
     tiles per point come from the broadcast cell->tiles index instead of a
     scan over every tile.  Identical output to :func:`pip_join`."""
-    from ..sources.pages import _BROADCAST_CACHE
+    from ..core.config import cached_stage
 
     if rings is None:
         rings = make_tile_rings()
     rings_ref = ray.put(rings)
 
-    def join(batch: pa.Table) -> pa.Table:
-        key = "pipjoinc:" + rings_ref.hex()
-        fn = _BROADCAST_CACHE.get(key)
-        if fn is None:
-            fn = PipJoin(rings_ref, use_cell_index=True)
-            _BROADCAST_CACHE[key] = fn
-        return fn(batch)
-
-    return geo_ds.map_batches(join, batch_format="pyarrow", batch_size=32768)
+    return geo_ds.map_batches(
+        cached_stage(PipJoin, "pipjoinc:" + rings_ref.hex(), rings_ref,
+                     use_cell_index=True),
+        batch_format="pyarrow", batch_size=32768,
+    )

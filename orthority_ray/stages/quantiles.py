@@ -101,6 +101,9 @@ def exact_quantiles_int(ds: ray.data.Dataset, col: str, qs: tuple[float, ...],
     )
     cum = hist["n"].cumsum().to_numpy()
     total = int(cum[-1]) if len(cum) else 0
+    if total == 0:  # empty input: no quantiles, not an IndexError
+        return pd.DataFrame({"q_pm": np.array([], np.int64),
+                             "value": np.array([], np.int64)})
     rows = []
     for q in qs:
         idx = _disc_index(total, q)
@@ -158,6 +161,8 @@ class KllSketch:
             i += 1
 
     def quantiles(self, qs: tuple[float, ...]) -> np.ndarray:
+        if not self.levels or not any(lv.shape[0] for lv in self.levels):
+            return np.full(len(qs), np.nan)  # empty sketch: no quantiles
         vals = np.concatenate(self.levels)
         weights = np.concatenate(
             [np.full(lv.shape[0], 1 << i, dtype=np.int64)

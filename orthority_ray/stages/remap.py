@@ -184,7 +184,7 @@ def remap(geo_ds: ray.data.Dataset, interp: str = "nearest",
     return geo_ds.map_batches(
         cached_stage(Remapper, f"remap:{interp}:{out_dtype}",
                      interp=interp, out_dtype=out_dtype),
-        batch_format="pyarrow", batch_size=32768,
+        batch_format="pyarrow", batch_size=32768, concurrency=concurrency,
     )
 
 

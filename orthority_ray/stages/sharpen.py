@@ -184,4 +184,5 @@ def pan_sharpen(geo_ds: ray.data.Dataset, *, concurrency: int | None = None) -> 
         cached_stage(SharpenFn, f"sharpen:{params_ref.hex()}", params_ref),
         batch_format="pyarrow",
         batch_size=65536,
+        concurrency=concurrency,
     )

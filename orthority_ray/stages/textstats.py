@@ -111,7 +111,8 @@ def text_features(ds: ray.data.Dataset, *, concurrency: int | None = None) -> ra
     from ..core.config import cached_stage
 
     return ds.map_batches(cached_stage(TextFeatures, "textstats:features"),
-                          batch_format="pyarrow", batch_size=4096)
+                          batch_format="pyarrow", batch_size=4096,
+                          concurrency=concurrency)
 
 
 # token count via whitespace split — SQL parity with DuckDB:
@@ -125,9 +126,15 @@ FROM pages
 
 
 def _quality_of(texts: list[str]) -> np.ndarray:
-    nt, sum_bytes, n_stop, _ = _word_stats(texts)
+    nt, _, n_stop, _ = _word_stats(texts)
     len_ok = (nt >= 20) & (nt <= 200)
-    mwl10 = (sum_bytes * 10) // np.maximum(1, nt)
+    # mean word length counts CHARACTERS exactly as the oracle's
+    # length(replace(text, ' ', '')) does — the tokenizer's byte spans
+    # diverge on non-ASCII text (UTF-8 multibyte)
+    n_chars = np.fromiter(
+        ((len(t) - t.count(" ")) for t in texts), dtype=np.int64, count=len(texts)
+    )
+    mwl10 = (n_chars * 10) // np.maximum(1, nt)
     wl_ok = (mwl10 >= 25) & (mwl10 <= 90)
     stop_ok = n_stop * 10 >= nt
     score = (
@@ -155,7 +162,8 @@ def quality(ds: ray.data.Dataset, *, concurrency: int | None = None) -> ray.data
     from ..core.config import cached_stage
 
     return ds.map_batches(cached_stage(QualityScorer, "textstats:quality"),
-                          batch_format="pyarrow", batch_size=4096)
+                          batch_format="pyarrow", batch_size=4096,
+                          concurrency=concurrency)
 
 
 SQL_QUALITY = r"""
@@ -215,7 +223,8 @@ def lang_id(ds: ray.data.Dataset, *, concurrency: int | None = None) -> ray.data
     from ..core.config import cached_stage
 
     return ds.map_batches(cached_stage(LangId, "textstats:langid"),
-                          batch_format="pyarrow", batch_size=4096)
+                          batch_format="pyarrow", batch_size=4096,
+                          concurrency=concurrency)
 
 
 # --- BPE-ish regex token counting (brief: "whitespace + a BPE-ish regex") ---

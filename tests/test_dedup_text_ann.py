@@ -410,3 +410,46 @@ def test_connected_components_on_real_pairs(sf_unit):
     n_texts_per_comp = merged.groupby("component")["text"].nunique()
     assert (n_texts_per_comp == 1).all()  # identical-text clusters only
     assert len(comps) > 0
+
+
+def test_blockpair_neardup_unsorted_blocks(tmp_path):
+    """Cross-block pairs must survive when blocks are NOT id-sorted (the
+    off-diagonal task emits (min, max), not a < b by block membership)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from orthority_ray.stages.ann import embedding_neardup, embedding_neardup_blockpair
+
+    rng = np.random.RandomState(9)
+    n, d = 400, 16
+    base = rng.randn(n, d)
+    # plant near-dups between far-apart ids so sorted and unsorted layouts
+    # put them in different blocks
+    for a, b in [(5, 390), (120, 260), (7, 8)]:
+        base[b] = base[a] + 1e-3
+    ids = np.arange(n, dtype=np.int64)
+    perm = rng.permutation(n)  # UNSORTED file order
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids[perm]),
+            "embedding": pa.array(
+                [row.tolist() for row in base[perm]], pa.list_(pa.float32())
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet", row_group_size=25)
+    want = (
+        embedding_neardup(str(tmp_path), threshold=0.95)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    got = (
+        embedding_neardup_blockpair(str(tmp_path), threshold=0.95)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    assert len(want) >= 3  # the planted pairs qualify
+    pd.testing.assert_frame_equal(got, want)
