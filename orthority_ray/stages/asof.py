@@ -54,6 +54,12 @@ def asof_join(
     l_only = [c for c in left_cols if c not in (key, time_col)]
     r_only = [c for c in right_cols if c not in (key, time_col)]
 
+    # NOTE: deliberately NOT shared with hashjoin._with_bucket despite the
+    # similar shape — this tag casts every carried column to int64 (the
+    # operator's contract: int64-only payloads so null-padding can never
+    # lossy-upcast), while hashjoin's tag preserves arbitrary dtypes.  A
+    # shared helper would need both behaviors behind a flag; keep the two
+    # invariants separately owned and separately tested instead.
     def tag(side: int, cols: list[str], pad: list[str]):
         def f(batch: pa.Table) -> pa.Table:
             k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
