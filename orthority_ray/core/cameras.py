@@ -167,11 +167,28 @@ class FrameCamera:
         return ju, iu
 
     def pixel_boundary(self, num_pts: int = 8):
-        """(j, i) ring on the image edge: corners + mid-edges for num_pts=8
-        (`camera.py:200-243` semantics)."""
+        """(j, i) ring on the image edge (`camera.py:200-243` semantics):
+        corners + mid-edges for the default num_pts=8; other counts space
+        points evenly along the perimeter starting at (0, 0) — previously
+        the parameter was silently ignored and 8 points always returned."""
         w, h = self.im_size[0] - 1, self.im_size[1] - 1
-        j = np.array([0, w / 2, w, w, w, w / 2, 0, 0], dtype=np.float64)
-        i = np.array([0, 0, 0, h / 2, h, h, h, h / 2], dtype=np.float64)
+        if num_pts == 8:
+            j = np.array([0, w / 2, w, w, w, w / 2, 0, 0], dtype=np.float64)
+            i = np.array([0, 0, 0, h / 2, h, h, h, h / 2], dtype=np.float64)
+            return j, i
+        per = 2.0 * (w + h)
+        t = np.arange(num_pts, dtype=np.float64) * per / num_pts
+        j = np.empty(num_pts)
+        i = np.empty(num_pts)
+        for n, d in enumerate(t):
+            if d < w:  # top edge, left -> right
+                j[n], i[n] = d, 0.0
+            elif d < w + h:  # right edge, top -> bottom
+                j[n], i[n] = w, d - w
+            elif d < 2 * w + h:  # bottom edge, right -> left
+                j[n], i[n] = w - (d - w - h), h
+            else:  # left edge, bottom -> top
+                j[n], i[n] = 0.0, h - (d - 2 * w - h)
         return j, i
 
     def world_boundary(self, z: float, num_pts: int = 8):
@@ -180,11 +197,17 @@ class FrameCamera:
         return self.pixel_to_world_z(j, i, z)
 
     def horizon_fov(self) -> bool:
-        """True if the FOV touches/exceeds the horizon (`camera.py:722-734`)."""
+        """True if the FOV touches/exceeds the horizon (`camera.py:722-734`).
+
+        Boundary ray directions are the UNDISTORTED normalized coordinates
+        (the same rays ``pixel_to_world_z`` casts) — using raw (j-c)/f under
+        a distorted model mis-estimated corner ray angles (fisheye
+        compresses corners) and let horizon-crossing cameras through."""
         j, i = self.pixel_boundary()
         xn = (j - self.K[0, 2]) / self.K[0, 0]
         yn = (i - self.K[1, 2]) / self.K[1, 1]
-        rz = self.R[2, 0] * xn + self.R[2, 1] * yn + self.R[2, 2]
+        xu, yu = self._undistort_norm(xn, yn)
+        rz = self.R[2, 0] * xu + self.R[2, 1] * yu + self.R[2, 2]
         return bool(np.any(rz >= 0))
 
 
@@ -193,36 +216,29 @@ class PinholeCamera(FrameCamera):
     pass
 
 
-@dataclass
-@register_camera("brown")
-class BrownCamera(FrameCamera):
-    """Brown-Conrady radial + tangential distortion (OpenSfM formulation)."""
-
-    k1: float = 0.0
-    k2: float = 0.0
-    p1: float = 0.0
-    p2: float = 0.0
-    k3: float = 0.0
+class _RadialTangential:
+    """Shared Brown/OpenCV distortion loops; subclasses supply ``_radial``.
+    One body for the fixed-point inversion so a future convergence fix
+    cannot silently miss one of the two models."""
 
     def _distort_norm(self, xn, yn):
         x2, y2 = xn * xn, yn * yn
         xy = xn * yn
         r2 = x2 + y2
-        radial = 1.0 + r2 * (self.k1 + r2 * (self.k2 + r2 * self.k3))
+        radial = self._radial(r2)
         xt = 2.0 * self.p1 * xy + self.p2 * (r2 + 2.0 * x2)
         yt = self.p1 * (r2 + 2.0 * y2) + 2.0 * self.p2 * xy
         return xn * radial + xt, yn * radial + yt
 
     def _undistort_norm(self, xd, yd, iters: int = 25):
         # fixed-point inversion (the public undistortPoints iteration)
-        x, y = xd.copy() if hasattr(xd, "copy") else np.asarray(xd, float), None
         x = np.asarray(xd, dtype=np.float64).copy()
         y = np.asarray(yd, dtype=np.float64).copy()
         for _ in range(iters):
             x2, y2 = x * x, y * y
             xy = x * y
             r2 = x2 + y2
-            radial = 1.0 + r2 * (self.k1 + r2 * (self.k2 + r2 * self.k3))
+            radial = self._radial(r2)
             xt = 2.0 * self.p1 * xy + self.p2 * (r2 + 2.0 * x2)
             yt = self.p1 * (r2 + 2.0 * y2) + 2.0 * self.p2 * xy
             x = (xd - xt) / radial
@@ -231,11 +247,27 @@ class BrownCamera(FrameCamera):
 
 
 @dataclass
+@register_camera("brown")
+class BrownCamera(_RadialTangential, FrameCamera):
+    """Brown-Conrady radial + tangential distortion (OpenSfM formulation)."""
+
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+
+    def _radial(self, r2):
+        return 1.0 + r2 * (self.k1 + r2 * (self.k2 + r2 * self.k3))
+
+
+@dataclass
 @register_camera("opencv")
-class OpenCVCamera(FrameCamera):
+class OpenCVCamera(_RadialTangential, FrameCamera):
     """Full OpenCV rational model (k1..k6, p1, p2) — the 8-coefficient subset
     of the reference's 14 (`camera.py:1143-1230`); s/tau terms are zero in
-    every reference fixture."""
+    every reference fixture.  Distortion loops shared with BrownCamera via
+    ``_RadialTangential``."""
 
     k1: float = 0.0
     k2: float = 0.0
@@ -250,29 +282,6 @@ class OpenCVCamera(FrameCamera):
         num = 1.0 + r2 * (self.k1 + r2 * (self.k2 + r2 * self.k3))
         den = 1.0 + r2 * (self.k4 + r2 * (self.k5 + r2 * self.k6))
         return num / den
-
-    def _distort_norm(self, xn, yn):
-        x2, y2 = xn * xn, yn * yn
-        xy = xn * yn
-        r2 = x2 + y2
-        radial = self._radial(r2)
-        xt = 2.0 * self.p1 * xy + self.p2 * (r2 + 2.0 * x2)
-        yt = self.p1 * (r2 + 2.0 * y2) + 2.0 * self.p2 * xy
-        return xn * radial + xt, yn * radial + yt
-
-    def _undistort_norm(self, xd, yd, iters: int = 25):
-        x = np.asarray(xd, dtype=np.float64).copy()
-        y = np.asarray(yd, dtype=np.float64).copy()
-        for _ in range(iters):
-            x2, y2 = x * x, y * y
-            xy = x * y
-            r2 = x2 + y2
-            radial = self._radial(r2)
-            xt = 2.0 * self.p1 * xy + self.p2 * (r2 + 2.0 * x2)
-            yt = self.p1 * (r2 + 2.0 * y2) + 2.0 * self.p2 * xy
-            x = (xd - xt) / radial
-            y = (yd - yt) / radial
-        return x, y
 
 
 @dataclass

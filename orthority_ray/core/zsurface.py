@@ -210,11 +210,15 @@ class ZSurface:
                 zm = 0.5 * (zh + zl)
                 x, y, _ = camera.pixel_to_world_z(jc, ic, zm)
                 dm = zm - self.sample(x, y)
-                below = dm <= 0  # NaN (left grid) -> treated as above
+                below = np.isfinite(dm) & (dm <= 0)
                 zl = np.where(below, zm, zl)
                 dl = np.where(below, dm, dl)
+                # NaN midpoint (nodata / off-grid at this z): narrow the
+                # high side but KEEP the last finite dh — storing the NaN
+                # poisoned the final interpolation for rays whose coarse
+                # bracket was valid
                 zh = np.where(below, zh, zm)
-                dh = np.where(below, dh, dm)
+                dh = np.where(below | ~np.isfinite(dm), dh, dm)
             denom = dh - dl
             frac = np.where(denom != 0, dh / denom, 0.0)
             hit_z[idx] = zh + (zl - zh) * frac

@@ -53,15 +53,26 @@ class OsfmReader:
             if cam_type is None:
                 continue
             w, h = int(c["width"]), int(c["height"])
+            if "focal" in c:
+                focal_len: float | list[float] = float(c["focal"])
+            else:
+                # brown cameras carry anisotropic focal_x/focal_y — keep
+                # both (FrameCamera accepts a 2-tuple; collapsing to
+                # focal_x scaled fy wrong for focal_y != focal_x)
+                fx = float(c.get("focal_x", 1.0))
+                fy = float(c.get("focal_y", fx))
+                focal_len = fx if fx == fy else [fx, fy]
             params = dict(
                 cam_type=cam_type,
                 im_size=[w, h],
-                focal_len=float(c.get("focal", c.get("focal_x", 1.0))),
+                focal_len=focal_len,
                 sensor_size=[1.0, h / w],
                 cx=float(c.get("c_x", 0.0)),
                 cy=float(c.get("c_y", 0.0)),
             )
-            for k in ("k1", "k2", "k3", "p1", "p2"):
+            # k4: OpenCV-model rational term AND the 4th fisheye theta
+            # coefficient — dropping it silently zeroed fisheye_opencv's k4
+            for k in ("k1", "k2", "k3", "k4", "k5", "k6", "p1", "p2"):
                 if k in c:
                     params[k] = float(c[k])
             out[cam_id] = params

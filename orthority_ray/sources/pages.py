@@ -65,15 +65,20 @@ def load_documents(sf_dir: str) -> pa.Table:
 _BROADCAST_CACHE: dict[str, object] = {}
 
 
-def cached_get(ref):
-    key = ref.hex()
+def cached_instance(key: str, factory):
+    """Bounded per-worker get-or-build — the ONE place the broadcast cache
+    is written, so every entry obeys the same eviction bound."""
     v = _BROADCAST_CACHE.get(key)
     if v is None:
-        v = ray.get(ref)
+        v = factory()
         _BROADCAST_CACHE[key] = v
         if len(_BROADCAST_CACHE) > 64:
             _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
     return v
+
+
+def cached_get(ref):
+    return cached_instance(ref.hex(), lambda: ray.get(ref))
 
 
 class PageSynth:
@@ -141,10 +146,23 @@ def read_page_keys_replicated(sf_dir: str, replicate: int) -> ray.data.Dataset:
         override_num_blocks=read_blocks(),
     )
 
+    if not 1 <= replicate <= 300:
+        # doc_id * H1 in core/hashing must stay under 2^63 (the never-
+        # negative-% invariant numpy and DuckDB share); 300 * 2^24 ids is
+        # comfortably inside that envelope
+        raise ValueError(f"replicate must be in [1, 300], got {replicate}")
+
     def keys(batch: pa.Table) -> pa.Table:
         ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
         base = ok * 8 + ln
+        if base.size and int(base.max()) >= (1 << 24):
+            # replicas are offset by 2^24; a base id past that would alias
+            # the next replica's range (silent duplicate doc_ids at sf >= 2)
+            raise ValueError(
+                f"base doc_id {int(base.max())} >= 2^24; raise the replica "
+                "offset for this scale factor"
+            )
         return pa.table(
             {
                 "doc_id": pa.array(
@@ -169,10 +187,8 @@ def pages_from_keys(keys_ds: ray.data.Dataset, sf_dir: str) -> ray.data.Dataset:
     documents_ref = ray.put(load_documents(sf_dir))
 
     def synth(batch: pa.Table) -> pa.Table:
-        fn = _BROADCAST_CACHE.get("pagesynth:" + documents_ref.hex())
-        if fn is None:
-            fn = PageSynth(documents_ref)
-            _BROADCAST_CACHE["pagesynth:" + documents_ref.hex()] = fn
+        fn = cached_instance("pagesynth:" + documents_ref.hex(),
+                             lambda: PageSynth(documents_ref))
         return fn._synth(batch["doc_id"].to_numpy(zero_copy_only=False))
 
     return keys_ds.map_batches(synth, batch_format="pyarrow", batch_size=16384)

@@ -112,7 +112,13 @@ def validate_collection(template, coll, path="$"):
         for n, item in enumerate(coll):
             validate_collection(template[0], item, f"{path}[{n}]")
     elif isinstance(template, type):
-        if not isinstance(coll, template) or (template is not bool and isinstance(coll, bool)):
+        # JSON has one number type: integer literals are valid where the
+        # schema says float (a third-party GeoJSON with xyz [20000, 30000,
+        # 1000] must load; only our own writer always emits floats)
+        ok = isinstance(coll, template) or (
+            template is float and isinstance(coll, int) and not isinstance(coll, bool)
+        )
+        if not ok or (template is not bool and isinstance(coll, bool)):
             raise ValueError(
                 f"{path}: expected {template.__name__}, got {type(coll).__name__}"
             )

@@ -85,3 +85,50 @@ def test_metadata_matches_oracle(sf_unit):
     # semantic checks
     assert (ours["seq_id"].values == ours["doc_id"].values).all()
     assert (ours["site_id"].values == ours["doc_id"].values % 1000).all()
+
+def test_osfm_fisheye_k4_and_anisotropic_focal(tmp_path):
+    """Review fixes: k4 must survive the copy (fisheye_opencv theta term)
+    and focal_x != focal_y must reach the camera as a 2-element focal."""
+    import json
+
+    from orthority_ray.sources.osfm import OsfmReader
+
+    doc = {
+        "cameras": {
+            "fe": {
+                "projection_type": "fisheye_opencv",
+                "width": 100, "height": 80,
+                "focal": 0.7, "k1": 0.02, "k2": -0.01, "k3": 0.002,
+                "k4": -0.004,
+            },
+            "br": {
+                "projection_type": "brown",
+                "width": 120, "height": 90,
+                "focal_x": 0.8, "focal_y": 0.85,
+                "k1": 0.01, "p1": 0.001,
+            },
+        },
+        "shots": {},
+    }
+    p = tmp_path / "reconstruction.json"
+    p.write_text(json.dumps([doc]))
+    params = OsfmReader(p).read_int_param()
+    assert params["fe"]["k4"] == -0.004
+    assert params["br"]["focal_len"] == [0.8, 0.85]
+    # the anisotropic focal must produce distinct fx/fy in K
+    from orthority_ray.core.cameras import create_camera
+
+    cam = create_camera(**params["br"], xyz=(0, 0, 100), opk=(0, 0, 0))
+    assert cam.K[0, 0] != cam.K[1, 1]
+
+
+def test_validate_collection_accepts_int_for_float():
+    from orthority_ray.sources.param_io import validate_collection
+
+    # integer JSON literals are valid floats (third-party GeoJSON)
+    validate_collection([float], [20000, 30000.5, 1000], "xyz")
+    try:
+        validate_collection([float], [True], "xyz")
+        assert False, "bool must not pass as float"
+    except ValueError:
+        pass

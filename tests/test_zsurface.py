@@ -124,3 +124,25 @@ def test_raymarch_monotone_first_crossing(zsurf):
     zs = zsurf.sample(xs, ys)
     above = ladder - zs
     assert np.all(above[~np.isnan(above)] > -0.5)
+
+
+def test_raymarch_finite_despite_nan_midpoints():
+    """Review fix: a ray whose coarse bracket is valid must never return
+    NaN because a bisection midpoint sampled the nodata region — the last
+    finite high-side diff is kept instead."""
+    import numpy as np
+
+    from orthority_ray.core.cameras import create_camera
+    from orthority_ray.core.zsurface import ZSurface
+    from orthority_ray.sources import param_io as P
+
+    zs = ZSurface.synthetic(partial=True)
+    cam = create_camera(
+        "pinhole", im_size=P.IM_SIZE, focal_len=P.FOCAL, sensor_size=P.SENSOR,
+        xyz=P.XYZ, opk=(0.6, 0.4, 0.1),  # oblique: rays sweep across the grid
+    )
+    w, h = P.IM_SIZE
+    jj, ii = np.meshgrid(np.linspace(0, w - 1, 25), np.linspace(0, h - 1, 25))
+    x, y, z = zs.raymarch(cam, jj.ravel(), ii.ravel())
+    assert np.isfinite(z).all()  # fallback or crossing, never NaN
+    assert np.isfinite(x).all() and np.isfinite(y).all()
