@@ -507,6 +507,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": R.q_events_asof,
         "events_window_join": R.q_events_window_join,
         "customers_no_urgent": R.q_customers_no_urgent,
+        "priority_check": R.q_priority_check,
+        "custdist": R.q_custdist,
+        "brand_suppliers": R.q_brand_suppliers,
+        "lang_chars_median": R.q_lang_chars_median,
         "parts_by_brand": R.q_parts_by_brand,
         "priority_revenue": R.q_priority_revenue,
         "remap_checker": q_remap_checker,
@@ -599,6 +603,10 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": R.SQL_EVENTS_ASOF,
         "events_window_join": R.SQL_EVENTS_WINDOW_JOIN,
         "customers_no_urgent": R.SQL_CUSTOMERS_NO_URGENT,
+        "priority_check": R.SQL_PRIORITY_CHECK,
+        "custdist": R.SQL_CUSTDIST,
+        "brand_suppliers": R.SQL_BRAND_SUPPLIERS,
+        "lang_chars_median": sql_grouped_median("lang", "n_chars", "documents"),
         "parts_by_brand": R.SQL_PARTS_BY_BRAND,
         "priority_revenue": R.SQL_PRIORITY_REVENUE,
         "remap_checker": S.with_pages(_sql_remap_checker()),

@@ -656,3 +656,162 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderpriority = '1-URGENT')
 """.strip()
+
+
+# --- Q4-style: late-shipped order counts by priority -------------------------
+
+
+def q_priority_check(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q4 analog (ref has no relational surface; this is graft breadth):
+    orders with >=1 lineitem shipped strictly AFTER the order date, counted
+    per priority.  The EXISTS with a PER-PAIR predicate can't use the plain
+    semi join (the predicate needs columns from both sides), so the
+    distributed shape is: prune both large sides -> bucketed inner hash join
+    on orderkey -> vectorized predicate filter -> DISTINCT orderkey (bucketed,
+    whole groups per bucket) -> dimension-sized count per priority."""
+    import pyarrow.compute as pc
+
+    from ..stages.grouping import distinct_rows
+    from ..stages.hashjoin import hash_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "odate_us": b["o_orderdate"].cast(pa.int64()),
+                         "o_orderpriority": b["o_orderpriority"]})
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b["l_orderkey"],
+                         "sdate_us": b["l_shipdate"].cast(pa.int64())})
+
+    joined = hash_join(
+        orders.map_batches(ord_prep, batch_format="pyarrow"),
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        "o_orderkey",
+        ["o_orderkey", "odate_us", "o_orderpriority"],
+        ["o_orderkey", "sdate_us"],
+    )
+
+    def late(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b["sdate_us"], b["odate_us"]))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_orderpriority": t["o_orderpriority"]})
+
+    hits = joined.map_batches(late, batch_format="pyarrow")
+    # priority is functionally dependent on orderkey, so dedup on the key
+    # alone keeps one (orderkey, priority) row per qualifying order
+    first = distinct_rows(hits, ["o_orderkey"])
+    return combined_groupby_sum(
+        first.select_columns(["o_orderpriority"]),
+        ["o_orderpriority"], [], count_alias="order_count",
+    )
+
+
+SQL_PRIORITY_CHECK = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""".strip()
+
+
+# --- Q13-style: customer distribution by order count -------------------------
+
+
+def q_custdist(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q13 analog: histogram of customers by how many orders they
+    placed (zero included).  Per-block partial counts (np.unique combiner)
+    -> bucketed sum per custkey -> LEFT hash join customer->counts (missing
+    = 0) -> second, dimension-sized count per c_count."""
+    import pyarrow.compute as pc
+
+    from ..stages.hashjoin import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b["o_custkey"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"c_custkey": pa.array(u.astype(np.int64)),
+                         "c_count": pa.array(c.astype(np.int64))})
+
+    per_cust = bucketed_sum(
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        "c_custkey", "c_count",
+    )
+    joined = hash_join(cust, per_cust, "c_custkey",
+                       ["c_custkey"], ["c_custkey", "c_count"], how="left")
+
+    def fill(b: pa.Table) -> pa.Table:
+        return pa.table({"c_count": pc.fill_null(b["c_count"], 0)})
+
+    filled = joined.map_batches(fill, batch_format="pyarrow")
+    return combined_groupby_sum(filled, ["c_count"], [],
+                                count_alias="custdist")
+
+
+SQL_CUSTDIST = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_custkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) t GROUP BY c_count
+""".strip()
+
+
+# --- Q16-style: exact distinct supplier count per brand -----------------------
+
+
+def q_brand_suppliers(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q16 analog: COUNT(DISTINCT supplier) per part brand — the exact
+    distributed distinct-count: per-block (partkey, suppkey) dedup combiner
+    -> bucketed hash join with part on partkey -> bucketed DISTINCT
+    (p_brand, l_suppkey) -> dimension-sized count per brand."""
+    from ..stages.grouping import distinct_rows
+    from ..stages.hashjoin import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().drop_duplicates()
+        return pa.table({"p_partkey": pa.array(df["l_partkey"].to_numpy()),
+                         "l_suppkey": pa.array(df["l_suppkey"].to_numpy())})
+
+    pairs = li.map_batches(li_prep, batch_format="pyarrow", batch_size=65536)
+    joined = hash_join(pairs, part, "p_partkey",
+                       ["p_partkey", "l_suppkey"], ["p_partkey", "p_brand"])
+    brand_supp = distinct_rows(
+        joined.select_columns(["p_brand", "l_suppkey"]),
+        ["p_brand", "l_suppkey"],
+    )
+    return combined_groupby_sum(
+        brand_supp.select_columns(["p_brand"]),
+        ["p_brand"], [], count_alias="supplier_cnt",
+    )
+
+
+SQL_BRAND_SUPPLIERS = """
+SELECT p_brand, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""".strip()
+
+
+# --- documents: exact per-language median doc length --------------------------
+
+
+def q_lang_chars_median(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-language discrete median of document length — the grouped
+    quantile operator (stages/quantiles.grouped_median) on the documents
+    table (string group key exercises the hash-bucketed path)."""
+    from ..stages.quantiles import grouped_median
+
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return grouped_median(docs, "lang", "n_chars")
