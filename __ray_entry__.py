@@ -506,6 +506,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_sessions": R.q_event_sessions,
         "events_asof": R.q_events_asof,
         "events_window_join": R.q_events_window_join,
+        "events_lag_delta": R.q_events_lag_delta,
+        "events_running_total": R.q_events_running_total,
+        "orders_rank": R.q_orders_rank,
+        "big_orders": R.q_big_orders,
         "customers_no_urgent": R.q_customers_no_urgent,
         "priority_check": R.q_priority_check,
         "custdist": R.q_custdist,
@@ -602,6 +606,10 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": R.SQL_EVENT_SESSIONS,
         "events_asof": R.SQL_EVENTS_ASOF,
         "events_window_join": R.SQL_EVENTS_WINDOW_JOIN,
+        "events_lag_delta": R.SQL_EVENTS_LAG_DELTA,
+        "events_running_total": R.SQL_EVENTS_RUNNING_TOTAL,
+        "orders_rank": R.SQL_ORDERS_RANK,
+        "big_orders": R.SQL_BIG_ORDERS,
         "customers_no_urgent": R.SQL_CUSTOMERS_NO_URGENT,
         "priority_check": R.SQL_PRIORITY_CHECK,
         "custdist": R.SQL_CUSTDIST,

@@ -804,6 +804,159 @@ GROUP BY p_brand
 """.strip()
 
 
+# --- window functions: lag delta / running total / top-N per group -----------
+
+
+def q_events_lag_delta(sf_dir: str) -> ray.data.Dataset:
+    """Per event: microseconds since the user's PREVIOUS event (LAG window;
+    first event of a user = -1) — stages/windows.grouped_lag_delta."""
+    from ..stages.windows import grouped_lag_delta
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"], "user_id": b["user_id"],
+                         "t_us": b["ts"].cast(pa.int64())})
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    return grouped_lag_delta(
+        prepped, key="user_id", order_cols=["t_us", "event_id"], value="t_us",
+        out_cols=["event_id"], delta_name="delta_us",
+    )
+
+
+SQL_EVENTS_LAG_DELTA = """
+SELECT event_id,
+       CAST(COALESCE(epoch_us(ts) - lag(epoch_us(ts))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id), -1) AS BIGINT) AS delta_us
+FROM events
+""".strip()
+
+
+def q_events_running_total(sf_dir: str) -> ray.data.Dataset:
+    """Per event: the user's cumulative value (integer cents) up to and
+    including that event (SUM OVER ROWS UNBOUNDED PRECEDING) —
+    stages/windows.grouped_running_sum."""
+    from ..stages.windows import grouped_running_sum
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        val = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": b["event_id"], "user_id": b["user_id"],
+                         "t_us": b["ts"].cast(pa.int64()),
+                         "val_cents": pa.array(cents(val))})
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    return grouped_running_sum(
+        prepped, key="user_id", order_cols=["t_us", "event_id"],
+        value="val_cents", out_cols=["event_id"], cum_name="cum_cents",
+    )
+
+
+SQL_EVENTS_RUNNING_TOTAL = """
+SELECT event_id,
+       CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM events
+""".strip()
+
+
+ORDERS_RANK_N = 3
+
+
+def q_orders_rank(sf_dir: str) -> ray.data.Dataset:
+    """Top-3 orders per customer by price (ROW_NUMBER <= 3, ties to the
+    smaller orderkey) — stages/windows.grouped_topn."""
+    from ..stages.windows import grouped_topn
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        price = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_custkey": b["o_custkey"], "o_orderkey": b["o_orderkey"],
+                         "price_cents": pa.array(cents(price))})
+
+    prepped = orders.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    return grouped_topn(
+        prepped, key="o_custkey",
+        order_cols=["price_cents", "o_orderkey"], ascending=[False, True],
+        n=ORDERS_RANK_N, out_cols=["o_custkey", "o_orderkey", "price_cents"],
+    )
+
+
+SQL_ORDERS_RANK = f"""
+SELECT o_custkey, o_orderkey, price_cents, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY floor(o_totalprice * 100.0 + 0.5) DESC,
+                                     o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= {ORDERS_RANK_N}
+""".strip()
+
+
+# --- Q18-style: large-volume orders (HAVING over a groupby, then join) --------
+
+BIG_ORDER_QTY = 180
+
+
+def q_big_orders(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q18 analog: orders whose total lineitem quantity exceeds a
+    threshold, with the customer and order price attached.  Shape: per-block
+    quantity combiner (np.unique) -> bucketed sum per orderkey -> vectorized
+    HAVING filter -> bucketed hash join back to orders for (custkey, price)."""
+    from ..stages.hashjoin import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        qty = np.floor(b["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        u, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(u.shape[0], dtype=np.int64)
+        np.add.at(sums, inv, qty)
+        return pa.table({"o_orderkey": pa.array(u.astype(np.int64)),
+                         "total_qty": pa.array(sums)})
+
+    per_order = bucketed_sum(
+        li.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        "o_orderkey", "total_qty",
+    )
+
+    def having(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater(b["total_qty"], BIG_ORDER_QTY))
+
+    big = per_order.map_batches(having, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        price = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderkey": b["o_orderkey"], "o_custkey": b["o_custkey"],
+                         "price_cents": pa.array(cents(price))})
+
+    return hash_join(
+        big, orders.map_batches(ord_prep, batch_format="pyarrow"),
+        "o_orderkey",
+        ["o_orderkey", "total_qty"], ["o_orderkey", "o_custkey", "price_cents"],
+    )
+
+
+SQL_BIG_ORDERS = f"""
+SELECT l.l_orderkey AS o_orderkey,
+       CAST(SUM(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
+       CAST(ANY_VALUE(o.o_custkey) AS BIGINT) AS o_custkey,
+       CAST(ANY_VALUE(floor(o.o_totalprice * 100.0 + 0.5)) AS BIGINT) AS price_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY l.l_orderkey
+HAVING SUM(CAST(floor(l.l_quantity) AS BIGINT)) > {BIG_ORDER_QTY}
+""".strip()
+
+
 # --- documents: exact per-language median doc length --------------------------
 
 

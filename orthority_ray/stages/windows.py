@@ -1,0 +1,142 @@
+"""Per-key ordered window operators: lag/delta, running (cumulative) sum,
+top-N-per-group row_number — the SQL window functions re-expressed on Ray
+Data.
+
+Distributed shape (shared with the sessionizer, `relational.q_event_sessions`):
+one hash-bucket shuffle on the partition key (`grouping.bucketed_group_apply`
+— wide-step group count is a CONSTANT, not the key cardinality), then each
+bucket holds only WHOLE groups and every window is evaluated with ONE
+vectorized sort + segment arithmetic across all groups in the bucket — no
+per-group Python, no per-group DataFrames.
+
+Semantics (matching ``OVER (PARTITION BY key ORDER BY order_cols)`` with a
+fully deterministic order — callers must include a unique tiebreaker in
+``order_cols``):
+
+- :func:`grouped_lag_delta` — LAG(value) delta per key; first row of each
+  partition gets ``fill`` (no NULLs: int64 stays int64 through Arrow).
+- :func:`grouped_running_sum` — SUM(value) OVER (... ROWS UNBOUNDED
+  PRECEDING), exact for int64 values (order-insensitive driver hashing is
+  satisfied because each output ROW is deterministic, not because the sum
+  commutes).
+- :func:`grouped_topn` — ROW_NUMBER() <= n per key, ordering by
+  ``order_cols`` with per-column ascending flags.
+
+The reference engine has no window surface (its per-tile loops are the
+closest analog, `orthority/ortho.py:430-480`); these are graft-breadth
+operators for the event/orders tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from .grouping import bucketed_group_apply
+
+
+def _segment_starts(keys: np.ndarray) -> np.ndarray:
+    """Boolean mask: True where a new key segment starts (input sorted by key)."""
+    new = np.empty(keys.shape[0], dtype=bool)
+    if keys.shape[0]:
+        new[0] = True
+        new[1:] = keys[1:] != keys[:-1]
+    return new
+
+
+def _sorted_by(df: pd.DataFrame, key: str, order_cols: list[str],
+               ascending: list[bool] | None = None) -> pd.DataFrame:
+    cols = [key, *order_cols]
+    asc = [True] + (ascending if ascending is not None else [True] * len(order_cols))
+    return df.sort_values(cols, ascending=asc, kind="mergesort")
+
+
+def grouped_lag_delta(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: list[str],
+    value: str,
+    out_cols: list[str],
+    delta_name: str = "delta",
+    fill: int = -1,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-key delta of ``value`` vs the previous row in ``order_cols`` order
+    (``value - LAG(value)``); first row of each partition gets ``fill``.
+    Output columns: ``out_cols`` + ``delta_name`` (int64)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        d = _sorted_by(g, key, order_cols)
+        k = d[key].to_numpy()
+        v = d[value].to_numpy().astype(np.int64)
+        delta = np.empty(v.shape[0], dtype=np.int64)
+        if v.shape[0]:
+            delta[1:] = v[1:] - v[:-1]
+        delta[_segment_starts(k)] = fill
+        out = d[out_cols].copy()
+        out[delta_name] = delta
+        return out
+
+    return bucketed_group_apply(ds, [key], fn, n_buckets=n_buckets)
+
+
+def grouped_running_sum(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: list[str],
+    value: str,
+    out_cols: list[str],
+    cum_name: str = "cum",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-key cumulative SUM of int64 ``value`` in ``order_cols`` order
+    (``ROWS UNBOUNDED PRECEDING``).  Exact: the whole-bucket cumsum minus the
+    cumsum at each segment start (one subtraction, no per-group loop)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        d = _sorted_by(g, key, order_cols)
+        k = d[key].to_numpy()
+        v = d[value].to_numpy().astype(np.int64)
+        cum = np.cumsum(v)
+        starts = np.flatnonzero(_segment_starts(k))
+        if starts.shape[0]:
+            # value of the running total just BEFORE each segment start
+            base = cum[starts] - v[starts]
+            seg_id = np.cumsum(_segment_starts(k)) - 1
+            cum = cum - base[seg_id]
+        out = d[out_cols].copy()
+        out[cum_name] = cum
+        return out
+
+    return bucketed_group_apply(ds, [key], fn, n_buckets=n_buckets)
+
+
+def grouped_topn(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: list[str],
+    ascending: list[bool],
+    n: int,
+    out_cols: list[str],
+    rank_name: str = "rn",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """ROW_NUMBER() OVER (PARTITION BY key ORDER BY order_cols) <= n.
+    ``order_cols``/``ascending`` must define a total order within each key
+    (include a unique tiebreaker).  Ranks computed for all groups at once:
+    position-in-segment = arange - repeat(segment start)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        d = _sorted_by(g, key, order_cols, ascending)
+        k = d[key].to_numpy()
+        new = _segment_starts(k)
+        starts = np.flatnonzero(new)
+        seg_id = np.cumsum(new) - 1
+        pos = np.arange(k.shape[0], dtype=np.int64) - starts[seg_id]
+        keep = pos < n
+        out = d.loc[keep, out_cols].copy()
+        out[rank_name] = pos[keep] + 1
+        return out
+
+    return bucketed_group_apply(ds, [key], fn, n_buckets=n_buckets)
