@@ -33,6 +33,7 @@ from orthority_ray.stages.camera_geocode import (
     sql_pinhole_geocode,
 )
 from orthority_ray.stages.metadata import SQL_METADATA as _SQL_METADATA
+from orthority_ray.stages.urlstats import SQL_HOST_STATS as _SQL_HOST_STATS
 from orthority_ray.stages.quantiles import sql_exact_quantiles, sql_grouped_median
 from orthority_ray.stages.remap import sql_remap_checker as _sql_remap_checker
 from orthority_ray.stages.geocode import geocode
@@ -450,6 +451,22 @@ def q_simhash_buckets(sf_dir: str):
     return D.simhash_buckets(read_pages(sf_dir))
 
 
+def q_host_stats(sf_dir: str):
+    """Per-host rollup with exact distinct-path counts (stages/urlstats.py:
+    Arrow URL parse -> per-block (host, path) combiner -> one host-bucket
+    shuffle)."""
+    from orthority_ray.stages.urlstats import host_stats
+
+    return host_stats(read_pages(sf_dir).select_columns(["url", "doc_id"]))
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition filter inputs per page (max token
+    multiplicity, duplicate-bigram counts) — stages/textstats.py
+    RepetitionStats, vectorized over the flat token buffer."""
+    return T.repetition_stats(read_pages(sf_dir))
+
+
 def q_lang_id(sf_dir: str):
     return T.lang_id(read_pages(sf_dir)).select_columns(["doc_id", "lang", "lang_pred"])
 
@@ -491,6 +508,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "text_features": q_text_features,
         "quality": q_quality,
+        "host_stats": q_host_stats,
+        "repetition_stats": q_repetition_stats,
         "extract_verify": q_extract_verify,
         "ann": q_ann,
         "embedding_neardup": q_embedding_neardup,
@@ -584,6 +603,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokens": S.with_pages(T.SQL_BPE_TOKENS),
         "text_features": S.with_pages(T.SQL_TEXT_FEATURES),
         "quality": S.with_pages(T.SQL_QUALITY),
+        "host_stats": S.with_pages(_SQL_HOST_STATS),
+        "repetition_stats": S.with_pages(T.SQL_REPETITION),
         "extract_verify": S.with_pages(
             "SELECT COUNT(*) AS n_pages, CAST(0 AS BIGINT) AS n_bad FROM pages"
         ),

@@ -125,6 +125,12 @@ def token_hashes(buf: TokenBuf, *, fnv: bool = True) -> np.ndarray:
     return _fold_spans(buf.flat, buf.tok_starts, buf.tok_lens, fnv=fnv)
 
 
+def span_hashes(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """FNV-1a over arbitrary [start, start+len) spans of a flat byte buffer
+    (public entry for callers that build their own spans, e.g. word bigrams)."""
+    return _fold_spans(flat, starts, lens, fnv=True)
+
+
 def _gram_spans(buf: TokenBuf, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Byte spans of the word n-gram shingles of every doc (round-1 rules:
     < n words -> ONE gram of the whole normalized doc; empty doc -> one

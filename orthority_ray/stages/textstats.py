@@ -227,6 +227,133 @@ def lang_id(ds: ray.data.Dataset, *, concurrency: int | None = None) -> ray.data
                           concurrency=concurrency)
 
 
+# --- Gopher-style repetition statistics -------------------------------------
+
+
+def _repetition_of(texts: list[str]) -> np.ndarray:
+    """Per-text repetition stats, fully vectorized over the flat token
+    buffer: (n_tokens, max_token_count, n_bigrams, n_distinct_bigrams).
+
+    - ``max_token_count`` — multiplicity of the most repeated token (the
+      Gopher top-unigram filter's numerator); 0 for empty texts.
+    - ``n_distinct_bigrams`` vs ``n_bigrams`` — the duplicate-2-gram
+      fraction.  Bigram identity is the FNV-1a hash of the normalized
+      "w1 w2" byte span (two tokens + the single separating space), so
+      distinct-hash count equals distinct-string count barring a 64-bit
+      collision within one doc (p < n²/2⁶⁴; same identity-by-hash contract
+      as the md5 used by exact_dedup/heavy_hitters).
+    """
+    buf = TH.tokenize(texts)
+    cnt = buf.counts
+    n = cnt.shape[0]
+    out = np.zeros((n, 4), dtype=np.int64)
+    out[:, 0] = cnt
+    if buf.tok_starts.size:
+        # max token multiplicity: sort (doc, token-hash), run-length the
+        # equal runs, then a per-doc segmented max over run lengths
+        th = TH.token_hashes(buf, fnv=True)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        order = np.lexsort((th, doc_idx))
+        d, h = doc_idx[order], th[order]
+        new_run = np.empty(d.shape[0], dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        run_len = np.diff(np.append(np.flatnonzero(new_run), d.shape[0]))
+        run_doc = d[new_run]
+        doc_start = np.empty(run_doc.shape[0], dtype=bool)
+        doc_start[0] = True
+        doc_start[1:] = run_doc[1:] != run_doc[:-1]
+        out[run_doc[doc_start], 1] = np.maximum.reduceat(
+            run_len, np.flatnonzero(doc_start)
+        )
+    nb = np.maximum(cnt - 1, 0)
+    out[:, 2] = nb
+    total = int(nb.sum())
+    if total:
+        # bigram spans: tokens i..i+1 of each doc with >= 2 tokens
+        tok_base = np.cumsum(cnt) - cnt
+        goff = np.cumsum(nb) - nb
+        first = np.repeat(tok_base, nb) + (np.arange(total) - np.repeat(goff, nb))
+        g_start = buf.tok_starts[first]
+        g_len = buf.tok_starts[first + 1] + buf.tok_lens[first + 1] - g_start
+        bh = TH.span_hashes(buf.flat, g_start, g_len)
+        bdoc = np.repeat(np.arange(n, dtype=np.int64), nb)
+        order = np.lexsort((bh, bdoc))
+        d, h = bdoc[order], bh[order]
+        new_run = np.empty(d.shape[0], dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        doc_start = np.empty(d.shape[0], dtype=bool)
+        doc_start[0] = True
+        doc_start[1:] = d[1:] != d[:-1]
+        out[d[doc_start], 3] = np.add.reduceat(
+            new_run.astype(np.int64), np.flatnonzero(doc_start)
+        )
+    return out
+
+
+class RepetitionStats:
+    """text -> (n_tokens, max_token_count, n_bigrams, n_distinct_bigrams) —
+    the Gopher repetition-filter inputs, memoised over distinct texts."""
+
+    def __init__(self):
+        self.memo = _DistinctMemo(_repetition_of, 4)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = self.memo.lookup(batch["text"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(rows[:, 0]),
+                "max_token_count": pa.array(rows[:, 1]),
+                "n_bigrams": pa.array(rows[:, 2]),
+                "n_distinct_bigrams": pa.array(rows[:, 3]),
+            }
+        )
+
+
+def repetition_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
+    from ..core.config import cached_stage
+
+    return ds.map_batches(cached_stage(RepetitionStats, "textstats:repetition"),
+                          batch_format="pyarrow", batch_size=4096)
+
+
+# one row PER PAGE (duplicate doc_ids repeat with identical values, like
+# text_features); the per-doc stats are computed over DISTINCT (doc_id, text)
+# so duplicated pages don't double the oracle's token multiset
+# NOTE: continuation CTEs — the body is composed as with_pages(body), i.e.
+# "WITH pages AS (...) <body>", so it opens with ", docs AS"
+SQL_REPETITION = r"""
+, docs AS (SELECT DISTINCT doc_id, text FROM pages),
+toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w,
+         generate_subscripts(list_filter(string_split_regex(text, '\s+'), x -> x <> ''), 1) AS pos
+  FROM docs
+),
+grams AS (
+  SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM toks
+),
+bi AS (
+  SELECT doc_id, CAST(COUNT(w2) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(DISTINCT w || ' ' || w2) AS BIGINT) AS n_distinct_bigrams
+  FROM grams GROUP BY doc_id
+),
+uni AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(MAX(c) AS BIGINT) AS max_token_count
+  FROM (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY doc_id, w)
+  GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(COALESCE(u.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(u.max_token_count, 0) AS BIGINT) AS max_token_count,
+       CAST(COALESCE(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(b.n_distinct_bigrams, 0) AS BIGINT) AS n_distinct_bigrams
+FROM pages p LEFT JOIN uni u ON p.doc_id = u.doc_id LEFT JOIN bi b ON p.doc_id = b.doc_id
+""".strip()
+
+
 # --- BPE-ish regex token counting (brief: "whitespace + a BPE-ish regex") ---
 
 BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"

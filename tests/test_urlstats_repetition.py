@@ -1,0 +1,61 @@
+"""urlstats host rollup + repetition kernel vs brute-force references."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from orthority_ray.stages.textstats import _repetition_of
+from orthority_ray.stages.urlstats import host_stats
+
+
+def _rep_ref(t: str) -> tuple[int, int, int, int]:
+    w = t.split()
+    bi = [f"{a} {b}" for a, b in zip(w, w[1:])]
+    top = max((w.count(x) for x in set(w)), default=0)
+    return len(w), top, len(bi), len(set(bi))
+
+
+@pytest.mark.parametrize(
+    "texts",
+    [
+        ["a b a b a", "x", "", "  ", "q r s q r s q r"],
+        ["same same same same"],
+        ["one two three", "three two one", "\tlead  and   gaps "],
+    ],
+)
+def test_repetition_kernel_matches_bruteforce(texts):
+    got = _repetition_of(texts)
+    want = np.array([_rep_ref(t) for t in texts], dtype=np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_host_stats_matches_pandas(ray_session, nblocks):
+    rng = np.random.RandomState(3)
+    doc = np.arange(400, dtype=np.int64)
+    hostn = rng.randint(0, 23, 400)
+    pathn = rng.randint(0, 37, 400)  # collisions -> duplicate paths per host
+    urls = [f"https://h{h}.example/p{p}" for h, p in zip(hostn, pathn)]
+    df = pd.DataFrame({"url": urls, "doc_id": doc})
+    ds = ray.data.from_pandas(df).repartition(nblocks)
+    out = host_stats(ds).to_pandas().sort_values("host").reset_index(drop=True)
+
+    ref = df.copy()
+    ref["host"] = [u.split("//")[1].split("/")[0] for u in urls]
+    ref["path"] = [u.split("//")[1].split("/", 1)[1] for u in urls]
+    want = (
+        ref.groupby("host")
+        .agg(
+            n_pages=("doc_id", "size"),
+            n_distinct_paths=("path", "nunique"),
+            min_doc=("doc_id", "min"),
+            max_doc=("doc_id", "max"),
+        )
+        .reset_index()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want)
