@@ -34,6 +34,7 @@ from orthority_ray.stages.camera_geocode import (
 )
 from orthority_ray.stages.metadata import SQL_METADATA as _SQL_METADATA
 from orthority_ray.stages.urlstats import SQL_HOST_STATS as _SQL_HOST_STATS
+from orthority_ray.stages.urlstats import SQL_URL_REDACT as _SQL_URL_REDACT
 from orthority_ray.stages.quantiles import sql_exact_quantiles, sql_grouped_median
 from orthority_ray.stages.remap import sql_remap_checker as _sql_remap_checker
 from orthority_ray.stages.geocode import geocode
@@ -467,6 +468,21 @@ def q_repetition_stats(sf_dir: str):
     return T.repetition_stats(read_pages(sf_dir))
 
 
+def q_url_redact(sf_dir: str):
+    """Regex redaction over urls (RE2 on both sides; byte-exact string
+    compare) — stages/urlstats.redact_urls."""
+    from orthority_ray.stages.urlstats import redact_urls
+
+    return redact_urls(read_pages(sf_dir).select_columns(["url", "doc_id"]))
+
+
+def q_doc_typicality(sf_dir: str):
+    """Train-then-score: exact corpus token frequencies fitted in one pass,
+    broadcast, then every page scored (sum + min of its tokens' corpus
+    counts) — stages/textstats.doc_typicality."""
+    return T.doc_typicality(read_pages(sf_dir).select_columns(["text", "doc_id"]))
+
+
 def q_lang_id(sf_dir: str):
     return T.lang_id(read_pages(sf_dir)).select_columns(["doc_id", "lang", "lang_pred"])
 
@@ -510,6 +526,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "host_stats": q_host_stats,
         "repetition_stats": q_repetition_stats,
+        "url_redact": q_url_redact,
+        "doc_typicality": q_doc_typicality,
         "extract_verify": q_extract_verify,
         "ann": q_ann,
         "embedding_neardup": q_embedding_neardup,
@@ -605,6 +623,8 @@ def oracle_sql() -> dict[str, str]:
         "quality": S.with_pages(T.SQL_QUALITY),
         "host_stats": S.with_pages(_SQL_HOST_STATS),
         "repetition_stats": S.with_pages(T.SQL_REPETITION),
+        "url_redact": S.with_pages(_SQL_URL_REDACT),
+        "doc_typicality": S.with_pages(T.SQL_TYPICALITY),
         "extract_verify": S.with_pages(
             "SELECT COUNT(*) AS n_pages, CAST(0 AS BIGINT) AS n_bad FROM pages"
         ),

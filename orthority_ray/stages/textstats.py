@@ -354,6 +354,114 @@ FROM pages p LEFT JOIN uni u ON p.doc_id = u.doc_id LEFT JOIN bi b ON p.doc_id =
 """.strip()
 
 
+# --- corpus-frequency typicality: train-then-score ---------------------------
+
+
+def fit_token_model(pages: ray.data.Dataset) -> tuple[pa.Array, np.ndarray]:
+    """Phase 1 of the train-then-score pattern: EXACT corpus-wide token
+    frequencies.  Per-block ``value_counts`` partials (each bounded by the
+    block's distinct tokens) are combined driver-side into the model — a
+    (vocab, counts) pair whose size is the VOCABULARY, not the corpus, the
+    same boundedness assumption as any broadcast model (a BPE vocab is
+    ~50k).  The combine is a vocab-sized pandas groupby, not a corpus scan."""
+    import pyarrow.compute as pc
+    import ray
+
+    def part(b: pa.Table) -> pa.Table:
+        t = pc.list_flatten(pc.utf8_split_whitespace(b["text"].combine_chunks()))
+        t = t.filter(pc.not_equal(t, ""))
+        vc = pc.value_counts(t)
+        return pa.table({"token": vc.field("values"),
+                         "c": vc.field("counts").cast(pa.int64())})
+
+    tbl = pa.concat_tables(
+        ray.get(pages.map_batches(part, batch_format="pyarrow",
+                                  batch_size=16384).to_arrow_refs())
+    )
+    df = tbl.to_pandas().groupby("token", as_index=False)["c"].sum()
+    df = df.sort_values("token", kind="mergesort")
+    return pa.array(df["token"], pa.string()), df["c"].to_numpy().astype(np.int64)
+
+
+class TypicalityScorer:
+    """Phase 2: per page, the sum and minimum of the corpus frequencies of
+    its tokens (sum = how 'typical' the doc's words are; min = its rarest
+    token — the integer-exact analogs of unigram logprob / surprisal).
+    The model is fetched from the object store once per worker; scoring is
+    an ``index_in`` gather + segmented reduceat, zero Python per token."""
+
+    def __init__(self, model_ref):
+        import ray
+
+        self.vocab, self.counts = ray.get(model_ref)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.utf8_split_whitespace(b["text"].combine_chunks())
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        doc_idx = np.repeat(np.arange(lens.shape[0], dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        doc_idx = doc_idx[keep]
+        n = lens.shape[0]
+        s = np.zeros(n, dtype=np.int64)
+        mn = np.zeros(n, dtype=np.int64)
+        if len(flat):
+            pos = pc.index_in(flat, value_set=self.vocab)
+            assert pos.null_count == 0, "token missing from the fitted model"
+            c = self.counts[pos.to_numpy(zero_copy_only=False)]
+            starts = np.flatnonzero(
+                np.concatenate([[True], doc_idx[1:] != doc_idx[:-1]])
+            )
+            present = doc_idx[starts]
+            s[present] = np.add.reduceat(c, starts)
+            mn[present] = np.minimum.reduceat(c, starts)
+        return pa.table({"doc_id": b["doc_id"], "sum_tok_freq": pa.array(s),
+                         "min_tok_freq": pa.array(mn)})
+
+
+def doc_typicality(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """Train on the corpus, broadcast the model, score every page."""
+    import ray
+
+    from ..core.config import cached_stage
+
+    model_ref = ray.put(fit_token_model(pages))
+    return pages.map_batches(
+        cached_stage(TypicalityScorer, f"textstats:typ:{model_ref.hex()}",
+                     model_ref),
+        batch_format="pyarrow", batch_size=8192,
+    )
+
+
+# model counts come from ALL pages (duplicates included) — exactly what the
+# engine's phase 1 counts; scores are per distinct doc, then joined back to
+# every page row
+SQL_TYPICALITY = r"""
+, toks_all AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+  FROM pages
+),
+model AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks_all GROUP BY w),
+docs AS (SELECT DISTINCT doc_id, text FROM pages),
+toks_d AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+  FROM docs
+),
+score AS (
+  SELECT t.doc_id, CAST(SUM(m.c) AS BIGINT) AS sum_tok_freq,
+         CAST(MIN(m.c) AS BIGINT) AS min_tok_freq
+  FROM toks_d t JOIN model m ON t.w = m.w GROUP BY t.doc_id
+)
+SELECT p.doc_id,
+       CAST(COALESCE(s.sum_tok_freq, 0) AS BIGINT) AS sum_tok_freq,
+       CAST(COALESCE(s.min_tok_freq, 0) AS BIGINT) AS min_tok_freq
+FROM pages p LEFT JOIN score s ON p.doc_id = s.doc_id
+""".strip()
+
+
 # --- BPE-ish regex token counting (brief: "whitespace + a BPE-ish regex") ---
 
 BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"

@@ -87,6 +87,35 @@ def host_stats(ds: ray.data.Dataset, n_buckets: int = 64) -> ray.data.Dataset:
     return bucketed_group_apply(partials, ["host"], per_host, n_buckets=n_buckets)
 
 
+def redact_urls(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """PII-style regex redaction demo over the url column: digit runs are
+    masked and counted (Arrow RE2 kernels; the DuckDB oracle runs the
+    identical RE2 pattern through regexp_replace/regexp_extract_all, so the
+    redacted STRINGS are compared byte-exactly by the driver)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        url = b["url"].combine_chunks()
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "url_redacted": pc.replace_substring_regex(url, "[0-9]+", "#"),
+                "n_digit_runs": pc.cast(
+                    pc.count_substring_regex(url, "[0-9]+"), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+SQL_URL_REDACT = """
+SELECT doc_id,
+       regexp_replace(url, '[0-9]+', '#', 'g') AS url_redacted,
+       CAST(length(regexp_extract_all(url, '[0-9]+')) AS BIGINT) AS n_digit_runs
+FROM pages
+""".strip()
+
+
 SQL_HOST_STATS = """
 SELECT split_part(split_part(url, '//', 2), '/', 1) AS host,
        COUNT(*) AS n_pages,

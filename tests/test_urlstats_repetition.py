@@ -32,6 +32,37 @@ def test_repetition_kernel_matches_bruteforce(texts):
     np.testing.assert_array_equal(got, want)
 
 
+def test_doc_typicality_train_then_score(ray_session):
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ["a b a", "b c", "", "c c c"],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(2)
+    from orthority_ray.stages.textstats import doc_typicality
+
+    out = doc_typicality(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # corpus counts: a=2, b=2, c=4
+    assert out["sum_tok_freq"].tolist() == [2 + 2 + 2, 2 + 4, 0, 12]
+    assert out["min_tok_freq"].tolist() == [2, 2, 0, 4]
+
+
+def test_redact_urls(ray_session):
+    from orthority_ray.stages.urlstats import redact_urls
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(2, dtype=np.int64),
+         "url": ["https://h1.example/p123x9", "https://h.example/"]}
+    )
+    out = (
+        redact_urls(ray.data.from_pandas(df))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["url_redacted"].tolist() == ["https://h#.example/p#x#", "https://h.example/"]
+    assert out["n_digit_runs"].tolist() == [3, 0]
+
+
 @pytest.mark.parametrize("nblocks", [1, 5])
 def test_host_stats_matches_pandas(ray_session, nblocks):
     rng = np.random.RandomState(3)
