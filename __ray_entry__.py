@@ -170,21 +170,26 @@ SELECT lang, doc_id, h FROM (
 def q_vocabulary(sf_dir: str):
     """Corpus vocabulary above a frequency floor — the canonical word-count:
     pages flat-mapped to whitespace tokens (Arrow list kernels, zero Python
-    per token), then the exact two-phase heavy-hitters pass (count * 30 >
-    total tokens, integer compare on both sides)."""
+    per token) pre-counted PER BLOCK, then the exact weighted heavy-hitters
+    pass (count * 30 > total tokens, integer compare on both sides).
+    Tokenization runs ONCE — both phases consume the per-block counts, and
+    the recount shuffle moves (token, count) partials, not raw tokens."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from orthority_ray.stages.sketches import heavy_hitters
+    from orthority_ray.stages.sketches import heavy_hitters_weighted
 
-    def toks(b):
+    def tok_counts(b):
         t = pc.list_flatten(pc.utf8_split_whitespace(b["text"].combine_chunks()))
         t = t.filter(pc.not_equal(t, ""))
-        return pa.table({"token": t})
+        vc = pc.value_counts(t)
+        return pa.table({"token": vc.field("values"),
+                         "c": vc.field("counts").cast(pa.int64())})
 
-    tokens = read_pages(sf_dir).map_batches(toks, batch_format="pyarrow",
-                                            batch_size=16384)
-    return heavy_hitters(tokens, "token", inv_phi=30, count_alias="n_tok")
+    parts = read_pages(sf_dir).map_batches(tok_counts, batch_format="pyarrow",
+                                           batch_size=16384)
+    return heavy_hitters_weighted(parts, "token", "c", inv_phi=30,
+                                  count_alias="n_tok")
 
 
 def q_media_features(sf_dir: str):

@@ -103,6 +103,81 @@ def heavy_hitters(
     return counted.map_batches(threshold, batch_format="pyarrow")
 
 
+def heavy_hitters_weighted(
+    ds: ray.data.Dataset,
+    col: str,
+    weight: str,
+    inv_phi: int,
+    count_alias: str = "n_items",
+    batch_size: int | None = 65536,
+) -> ray.data.Dataset:
+    """Exact heavy hitters over PRE-AGGREGATED (col, weight) partials:
+    every value whose total weight w satisfies ``w * inv_phi > W`` (W = total
+    weight).  The union bound holds for ANY partition of the weighted
+    multiset — if w_b * inv_phi <= W_b in every batch, summing gives
+    w * inv_phi <= W — so expensive upstream extraction (tokenize, decode)
+    runs ONCE: its per-block counts feed both the candidate pass and the
+    recount, and the recount shuffle moves counts, not raw items.
+
+    ``ds`` is materialized (it is consumed twice); callers whose partials
+    are cheap to recompute can pass a lazy ds at the cost of recompute."""
+    import pyarrow.compute as pc
+
+    from ..pipelines.relational import combined_groupby_sum
+
+    parts = ds.materialize()
+
+    def local_candidates(b: pa.Table) -> pa.Table:
+        w = b[weight].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({col: b[col].to_pandas(), "w": w})
+        g = df.groupby(col, as_index=False, sort=False)["w"].sum()
+        tot = int(w.sum())
+        keep = g[g["w"].to_numpy() * inv_phi > tot]
+        vals = pa.concat_arrays(
+            [pa.array(keep[col], b[col].type), pa.nulls(1, b[col].type)]
+        )
+        rows = np.zeros(len(keep) + 1, dtype=np.int64)
+        rows[-1] = tot
+        return pa.table({col: vals, "__block_w": pa.array(rows)})
+
+    cand_tbl = pa.concat_tables(
+        ray.get(
+            parts.map_batches(local_candidates, batch_format="pyarrow",
+                              batch_size=batch_size).to_arrow_refs()
+        )
+    )
+    w_total = int(pc.sum(cand_tbl["__block_w"]).as_py() or 0)
+    cand_arr = pc.unique(cand_tbl[col].drop_null().combine_chunks())
+    if len(cand_arr) == 0:
+        s = parts.schema()
+        typ = dict(zip(s.names, s.types))[col]
+        return ray.data.from_arrow(
+            pa.table({col: pa.array([], typ),
+                      count_alias: pa.array([], pa.int64())})
+        )
+    cand_ref = ray.put(cand_arr)
+
+    def member(b: pa.Table) -> pa.Table:
+        from ..sources.pages import cached_get
+
+        vals = cached_get(cand_ref)
+        t = b.select([col, weight]).filter(
+            pc.is_in(b[col].combine_chunks(), value_set=vals)
+        )
+        return pa.table({col: t[col], count_alias: t[weight]})
+
+    counted = combined_groupby_sum(
+        parts.map_batches(member, batch_format="pyarrow", batch_size=batch_size),
+        [col], [count_alias],
+    )
+
+    def threshold(b: pa.Table) -> pa.Table:
+        n = b[count_alias].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(n * inv_phi > w_total))
+
+    return counted.map_batches(threshold, batch_format="pyarrow")
+
+
 # --- HyperLogLog -------------------------------------------------------------
 
 HLL_P = 12  # 4096 registers, ~1.6% standard error

@@ -36,6 +36,45 @@ def test_heavy_hitters_exact_on_skewed_data(ray_session):
     pd.testing.assert_frame_equal(got[["x", "c"]], want.astype(np.int64))
 
 
+def test_heavy_hitters_weighted_matches_unweighted(ray_session):
+    from orthority_ray.stages.sketches import heavy_hitters_weighted
+
+    vals = np.concatenate([np.full((30 - v) ** 2, v) for v in range(30)])
+    rng = np.random.RandomState(1)
+    rng.shuffle(vals)
+    df = pd.DataFrame({"x": vals.astype(np.int64)})
+    ds = ray.data.from_pandas(df).repartition(5)
+    inv_phi = 25
+    plain = (
+        heavy_hitters(ds, "x", inv_phi, count_alias="c")
+        .to_pandas().sort_values("x").reset_index(drop=True)
+    )
+
+    # pre-aggregated partials: per-block value counts (arbitrary partition
+    # of the weighted multiset — the union bound must hold for any split)
+    def counts(b):
+        u, c = np.unique(b["x"].to_numpy(), return_counts=True)
+        return pd.DataFrame({"x": u.astype(np.int64), "w": c.astype(np.int64)})
+
+    parts = ds.map_batches(counts, batch_format="pandas", batch_size=512)
+    weighted = (
+        heavy_hitters_weighted(parts, "x", "w", inv_phi, count_alias="c")
+        .to_pandas().sort_values("x").reset_index(drop=True)
+    )
+    assert len(plain) > 0
+    pd.testing.assert_frame_equal(plain, weighted)
+
+
+def test_heavy_hitters_weighted_empty(ray_session):
+    from orthority_ray.stages.sketches import heavy_hitters_weighted
+
+    df = pd.DataFrame({"x": np.arange(500, dtype=np.int64),
+                       "w": np.ones(500, dtype=np.int64)})
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = heavy_hitters_weighted(ds, "x", "w", inv_phi=2, count_alias="c").to_pandas()
+    assert len(got) == 0
+
+
 def test_heavy_hitters_empty_result(ray_session):
     # uniform data, threshold unreachable -> empty, schema intact
     df = pd.DataFrame({"x": np.arange(1000, dtype=np.int64)})
