@@ -26,6 +26,8 @@ from orthority_ray.sources.pages import read_pages, read_page_keys
 from orthority_ray.stages import ann as ANN
 from orthority_ray.stages import dedup as D
 from orthority_ray.stages import knn as KNN
+from orthority_ray.pipelines import tpch_extra as TX
+from orthority_ray.stages import ngram as NG
 from orthority_ray.stages import textstats as T
 from orthority_ray.stages.camera_geocode import (
     dem_geocode,
@@ -559,6 +561,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_chars_median": R.q_lang_chars_median,
         "parts_by_brand": R.q_parts_by_brand,
         "priority_revenue": R.q_priority_revenue,
+        "revenue_forecast": TX.q_revenue_forecast,
+        "shipping_priority": TX.q_shipping_priority,
+        "returned_customers": TX.q_returned_customers,
+        "promo_revenue": TX.q_promo_revenue,
+        "top_supplier": TX.q_top_supplier,
+        "small_qty_revenue": TX.q_small_qty_revenue,
+        "brand_volume": TX.q_brand_volume,
+        "sales_opportunity": TX.q_sales_opportunity,
+        "nation_volume": TX.q_nation_volume,
+        "ngram_jaccard": NG.ngram_jaccard_pairs,
         "remap_checker": q_remap_checker,
         "auto_utm": q_auto_utm,
         "metadata": q_metadata,
@@ -663,6 +675,16 @@ def oracle_sql() -> dict[str, str]:
         "lang_chars_median": sql_grouped_median("lang", "n_chars", "documents"),
         "parts_by_brand": R.SQL_PARTS_BY_BRAND,
         "priority_revenue": R.SQL_PRIORITY_REVENUE,
+        "revenue_forecast": TX.SQL_REVENUE_FORECAST,
+        "shipping_priority": TX.SQL_SHIPPING_PRIORITY,
+        "returned_customers": TX.SQL_RETURNED_CUSTOMERS,
+        "promo_revenue": TX.SQL_PROMO_REVENUE,
+        "top_supplier": TX.SQL_TOP_SUPPLIER,
+        "small_qty_revenue": TX.SQL_SMALL_QTY_REVENUE,
+        "brand_volume": TX.SQL_BRAND_VOLUME,
+        "sales_opportunity": TX.SQL_SALES_OPPORTUNITY,
+        "nation_volume": TX.SQL_NATION_VOLUME,
+        "ngram_jaccard": NG.sql_ngram_jaccard(),
         "remap_checker": S.with_pages(_sql_remap_checker()),
         "metadata": S.with_pages(_SQL_METADATA),
         "site_skew": S.with_pages(
