@@ -28,6 +28,7 @@ from orthority_ray.stages import dedup as D
 from orthority_ray.stages import knn as KNN
 from orthority_ray.pipelines import tpch_extra as TX
 from orthority_ray.stages import ngram as NG
+from orthority_ray.stages import spandedup as SD
 from orthority_ray.stages import textstats as T
 from orthority_ray.stages.camera_geocode import (
     dem_geocode,
@@ -571,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sales_opportunity": TX.q_sales_opportunity,
         "nation_volume": TX.q_nation_volume,
         "ngram_jaccard": NG.ngram_jaccard_pairs,
+        "span_dedup": SD.span_dedup,
         "remap_checker": q_remap_checker,
         "auto_utm": q_auto_utm,
         "metadata": q_metadata,
@@ -685,6 +687,7 @@ def oracle_sql() -> dict[str, str]:
         "sales_opportunity": TX.SQL_SALES_OPPORTUNITY,
         "nation_volume": TX.SQL_NATION_VOLUME,
         "ngram_jaccard": NG.sql_ngram_jaccard(),
+        "span_dedup": SD.sql_span_dedup(),
         "remap_checker": S.with_pages(_sql_remap_checker()),
         "metadata": S.with_pages(_SQL_METADATA),
         "site_skew": S.with_pages(

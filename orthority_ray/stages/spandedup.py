@@ -1,0 +1,180 @@
+"""Cross-document duplicated-span detection (exact substring dedup).
+
+The training-data operator behind "remove verbatim-repeated spans" (Lee et
+al., *Deduplicating Training Data Makes Language Models Better*, ACL 2022,
+public): every fixed-width character window of every document is checked
+for appearance in at least one OTHER document, and each document gets its
+exact (n_windows, n_dup) counts.  Unlike the suffix-array formulation this
+uses fixed windows, which makes it a pure groupby problem with an exact
+DuckDB oracle (``__ray_entry__.oracle_sql()['span_dedup']``).
+
+Topology — prune at the exchange, verify exactly:
+
+1. window explosion (block-local): one vectorized ``utf8_slice_codeunits``
+   call PER OFFSET emits (doc_id, window) rows, deduped per doc to
+   (doc_id, w, n_pos) with a 64-bit window hash ``h``;
+2. candidate hashes: per-block (h, cnt) partials -> bucketed int64 sum ->
+   hashes with total row count >= 2.  Rows are globally distinct (doc, w)
+   pairs (each doc lives in exactly one block), so a window shared by two
+   docs ALWAYS has h-count >= 2 — the candidate set is a superset of the
+   truly-shared windows (hash collisions only ADD candidates, never drop
+   one), so recall is exact by construction;
+3. split pass: non-candidate rows fold into per-doc partials locally (no
+   shuffle, no strings shipped); candidate rows — O(shared windows), not
+   O(corpus) — shuffle WITH their strings for exact string-equality
+   verification (count per w >= 2), then fold into per-doc partials;
+4. dimension-sized per-doc sum.
+
+The exchange therefore moves the full corpus only as int64 (h, cnt)
+partials; window STRINGS travel only for the candidate subset, and the
+final equality test is on strings — exactness by construction, not by
+64-bit-hash luck.  The candidate-hash set is driver-collected and
+broadcast (``ray.put``); at crawl scale, where the shared-window set can
+be huge, swap the broadcast for a bucketed semi join on ``h`` — same
+topology, one more exchange of the int64 column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+WINDOW = 32
+
+
+def _explode_windows(b: pa.Table, width: int) -> pa.Table:
+    """(doc_id, w, n_pos, h) for every distinct window per doc — offsets
+    are looped (bounded by max doc length), rows are vectorized."""
+    from ..core.texthash import fnv1a_bulk
+
+    lens = pc.utf8_length(b["text"]).to_numpy(zero_copy_only=False)
+    max_len = int(lens.max()) if len(lens) else 0
+    parts = []
+    for off in range(0, max(0, max_len - width + 1)):
+        keep = lens >= off + width
+        if not keep.any():
+            continue
+        t = b.filter(pa.array(keep))
+        w = pc.utf8_slice_codeunits(t["text"], start=off, stop=off + width)
+        parts.append(pa.table({"doc_id": t["doc_id"], "w": w}))
+    if not parts:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "w": pa.array([], pa.string()),
+                         "n_pos": pa.array([], pa.int64()),
+                         "h": pa.array([], pa.int64())})
+    df = pa.concat_tables(parts).to_pandas()
+    out = df.groupby(["doc_id", "w"], as_index=False, sort=False).size()
+    out = out.rename(columns={"size": "n_pos"})
+    out["n_pos"] = out["n_pos"].astype(np.int64)
+    h = fnv1a_bulk([s.encode("utf-8") for s in out["w"]])
+    out["h"] = h.view(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def span_dedup(sf_dir: str, width: int = WINDOW) -> ray.data.Dataset:
+    """Per document: total window count and the number of window positions
+    whose ``width``-char substring also occurs in >= 1 other document."""
+    from ..pipelines.relational import _read, bucketed_sum
+    from ..sources.pages import cached_get
+    from ..stages.grouping import bucketed_group_apply
+
+    # cached materialized read: the single-file testdata parquet is one
+    # serial read task that would trickle-feed every stage behind it
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    # batch_size=None keeps block granularity — bundling the small doc
+    # blocks to a big batch_size would serialize the whole explode into one
+    # task (measured 2.9 s serial vs 0.4 s at block granularity, sf0.1)
+    wins = docs.map_batches(lambda bb: _explode_windows(bb, width),
+                            batch_format="pyarrow", batch_size=None).materialize()
+
+    def h_partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b["h"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"h": pa.array(u), "cnt": pa.array(c.astype(np.int64))})
+
+    h_counts = bucketed_sum(
+        wins.map_batches(h_partial, batch_format="pyarrow", batch_size=None),
+        "h", "cnt")
+
+    def shared_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["cnt"], 2)).select(["h"])
+
+    cand = np.sort(
+        h_counts.map_batches(shared_only, batch_format="pyarrow")
+        .to_pandas()["h"].to_numpy())
+    cand_ref = ray.put(cand)
+
+    def _is_cand(b: pa.Table) -> np.ndarray:
+        c = cached_get(cand_ref)
+        h = b["h"].to_numpy(zero_copy_only=False)
+        is_cand = np.zeros(h.shape[0], dtype=bool)
+        if c.size:
+            idx = np.searchsorted(c, h)
+            in_range = idx < c.size
+            is_cand[in_range] = c[idx[in_range]] == h[in_range]
+        return is_cand
+
+    def local_partials(b: pa.Table) -> pa.Table:
+        """Definitely-unique rows (no candidate hash) fold into per-doc
+        partials block-locally — no shuffle, no strings shipped."""
+        uniq = b.filter(pa.array(~_is_cand(b)))
+        doc = uniq["doc_id"].to_numpy(zero_copy_only=False)
+        npos = uniq["n_pos"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(doc, return_inverse=True)
+        nw = np.zeros(u.shape[0], np.int64)
+        np.add.at(nw, inv, npos)
+        # pandas block: the union peer (bucketed_group_apply output) emits
+        # pandas blocks, and a union must be block-type-homogeneous
+        return pd.DataFrame({"doc_id": u, "n_windows": nw,
+                             "n_dup": np.zeros(u.shape[0], np.int64)})
+
+    def cand_rows(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(_is_cand(b))).select(["doc_id", "w", "n_pos"])
+
+    locals_ds = wins.map_batches(local_partials, batch_format="pyarrow",
+                                 batch_size=None)
+    cands = wins.map_batches(cand_rows, batch_format="pyarrow",
+                             batch_size=None)
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """Exact string-equality distinct-doc count per candidate window
+        (rows are distinct (doc, w) pairs, so row count per w IS the
+        distinct-doc count), folded straight into per-doc partials."""
+        codes, _ = pd.factorize(g["w"])
+        nd = np.bincount(codes)[codes]
+        npos = g["n_pos"].to_numpy()
+        dup = np.where(nd >= 2, npos, 0)
+        doc = g["doc_id"].to_numpy()
+        u, inv = np.unique(doc, return_inverse=True)
+        nw = np.zeros(u.shape[0], np.int64)
+        np.add.at(nw, inv, npos)
+        ndp = np.zeros(u.shape[0], np.int64)
+        np.add.at(ndp, inv, dup)
+        return pd.DataFrame({"doc_id": u, "n_windows": nw, "n_dup": ndp})
+
+    partials = bucketed_group_apply(cands, ["w"], verify_bucket).union(locals_ds)
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("doc_id", as_index=False).agg(
+            n_windows=("n_windows", "sum"), n_dup=("n_dup", "sum"))
+
+    return bucketed_group_apply(partials, ["doc_id"], per_doc)
+
+
+def sql_span_dedup(width: int = WINDOW) -> str:
+    return f"""
+WITH wins AS (
+  SELECT d.doc_id, substr(d.text, CAST(g.i AS INT), {width}) AS w
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(1, length(d.text) - {width - 1})) AS i) g
+),
+nd AS (SELECT w, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY w)
+SELECT wins.doc_id, COUNT(*) AS n_windows,
+       CAST(SUM(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+FROM wins JOIN nd ON wins.w = nd.w
+GROUP BY wins.doc_id
+""".strip()
