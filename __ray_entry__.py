@@ -29,6 +29,7 @@ from orthority_ray.stages import knn as KNN
 from orthority_ray.pipelines import tpch_extra as TX
 from orthority_ray.stages import ngram as NG
 from orthority_ray.stages import spandedup as SD
+from orthority_ray.stages import tfidf as TF
 from orthority_ray.stages import textstats as T
 from orthority_ray.stages.camera_geocode import (
     dem_geocode,
@@ -193,6 +194,19 @@ def q_vocabulary(sf_dir: str):
                                            batch_size=16384)
     return heavy_hitters_weighted(parts, "token", "c", inv_phi=30,
                                   count_alias="n_tok")
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Per-doc top-3 distinctive tokens by integer tf-idf (stages/tfidf.py:
+    dedup-then-process over distinct texts, bucketed df attach, rep-level
+    top-k expanded to docs via one bucketed hash join on text_md5)."""
+    return TF.tfidf_topk(read_pages(sf_dir))
+
+
+def q_posting_stats(sf_dir: str):
+    """Inverted-index summary per token: document frequency, total term
+    frequency, first posting (min doc_id) — exact, rep-weighted."""
+    return TF.posting_stats(read_pages(sf_dir))
 
 
 def q_media_features(sf_dir: str):
@@ -573,6 +587,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_volume": TX.q_nation_volume,
         "ngram_jaccard": NG.ngram_jaccard_pairs,
         "span_dedup": SD.span_dedup,
+        "tfidf_topk": q_tfidf_topk,
+        "posting_stats": q_posting_stats,
         "remap_checker": q_remap_checker,
         "auto_utm": q_auto_utm,
         "metadata": q_metadata,
@@ -688,6 +704,8 @@ def oracle_sql() -> dict[str, str]:
         "nation_volume": TX.SQL_NATION_VOLUME,
         "ngram_jaccard": NG.sql_ngram_jaccard(),
         "span_dedup": SD.sql_span_dedup(),
+        "tfidf_topk": S.with_pages(TF.sql_tfidf_topk()),
+        "posting_stats": S.with_pages(TF.sql_posting_stats()),
         "remap_checker": S.with_pages(_sql_remap_checker()),
         "metadata": S.with_pages(_SQL_METADATA),
         "site_skew": S.with_pages(

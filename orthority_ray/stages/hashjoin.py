@@ -21,6 +21,25 @@ import ray.data
 DEFAULT_BUCKETS = 64
 
 
+def _bucket_of(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> np.ndarray:
+    """Deterministic bucket id per key.  Integers use the multiplicative
+    hash every bucketed stage shares; string/binary keys use the vectorized
+    FNV-1a fold (core/texthash) — bucketing only co-locates rows, the
+    per-bucket probe compares the actual key values, so a hash collision
+    can never produce a wrong join row."""
+    typ = col.type if isinstance(col, (pa.Array, pa.ChunkedArray)) else None
+    if typ is not None and (pa.types.is_string(typ) or pa.types.is_large_string(typ)
+                            or pa.types.is_binary(typ)):
+        from ..core.texthash import fnv1a_bulk
+
+        vals = col.to_pylist()
+        h = fnv1a_bulk([v if isinstance(v, bytes) else v.encode("utf-8")
+                        for v in vals])
+        return (h % np.uint64(n_buckets)).astype(np.int64)
+    k = col.to_numpy(zero_copy_only=False).astype(np.int64)
+    return ((k * 2654435761) % 4294967296) % n_buckets
+
+
 def _with_bucket(ds: ray.data.Dataset, key: str, side: int, n_buckets: int,
                  columns: list[str], other_cols: list[tuple[str, pa.DataType]]) -> ray.data.Dataset:
     """Tag rows with (bucket, side) AND pad with the other side's columns as
@@ -30,8 +49,7 @@ def _with_bucket(ds: ray.data.Dataset, key: str, side: int, n_buckets: int,
     rows)."""
 
     def tag(batch: pa.Table) -> pa.Table:
-        k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
-        bucket = ((k * 2654435761) % 4294967296) % n_buckets
+        bucket = _bucket_of(batch[key], n_buckets)
         out = {c: batch[c] for c in columns}
         for c, typ in other_cols:
             out[c] = pa.nulls(batch.num_rows, typ)
@@ -46,10 +64,11 @@ def _with_bucket(ds: ray.data.Dataset, key: str, side: int, n_buckets: int,
 
 def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
               left_cols: list[str], right_cols: list[str],
-              n_buckets: int = DEFAULT_BUCKETS, how: str = "inner") -> ray.data.Dataset:
-    """Inner/left/semi/anti join of two large Datasets on an int64 ``key``
-    column (``how="semi"``/``"anti"`` return LEFT columns only: rows with
-    at least one / no match).
+              n_buckets: int = DEFAULT_BUCKETS, how: str = "inner",
+              types: dict[str, pa.DataType] | None = None) -> ray.data.Dataset:
+    """Inner/left/semi/anti join of two large Datasets on an int64 or
+    string ``key`` column (``how="semi"``/``"anti"`` return LEFT columns
+    only: rows with at least one / no match).
 
     ``left_cols`` / ``right_cols`` are the OUTPUT columns of each side (must
     include ``key``); non-key column names must not overlap.  The per-bucket
@@ -57,6 +76,12 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
     it preserves column dtypes exactly (a pandas merge on the unioned group
     would NaN-fill the other side's columns and upcast int64 -> float64,
     which round 1 shipped and the driver's value-hash caught).
+
+    ``types`` (column -> Arrow type for every non-key output column) skips
+    the ``ds.schema()`` probes: on a lazy input whose last op is a shuffle,
+    ``schema()`` EXECUTES the whole upstream chain once just to learn the
+    dtypes, and the join then executes it again (measured 2x on the tfidf
+    expansion join).  Pass it whenever the caller knows its output schema.
     """
     overlap = (set(left_cols) & set(right_cols)) - {key}
     if overlap:
@@ -69,13 +94,22 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
     def _types(ds: ray.data.Dataset, cols: list[str]) -> list[tuple[str, pa.DataType]]:
         s = ds.schema()
         m = dict(zip(s.names, s.types))
-        return [
-            (c, m[c] if isinstance(m[c], pa.DataType) else pa.from_numpy_dtype(m[c]))
-            for c in cols
-        ]
+        def _pa_type(t) -> pa.DataType:
+            if isinstance(t, pa.DataType):
+                return t
+            if np.dtype(t).kind == "O":
+                # pandas-block datasets report strings as numpy object dtype
+                return pa.string()
+            return pa.from_numpy_dtype(t)
 
-    l_types = _types(left, l_only)
-    r_types = _types(right, r_only)
+        return [(c, _pa_type(m[c])) for c in cols]
+
+    if types is not None:
+        l_types = [(c, types[c]) for c in l_only]
+        r_types = [(c, types[c]) for c in r_only]
+    else:
+        l_types = _types(left, l_only)
+        r_types = _types(right, r_only)
     lt = _with_bucket(left.select_columns(left_cols), key, 0, n_buckets, left_cols, r_types)
     rt = _with_bucket(right.select_columns(right_cols), key, 1, n_buckets, right_cols, l_types)
     both = lt.union(rt)

@@ -1,0 +1,231 @@
+"""Per-document TF-IDF top-k distinctive terms + inverted-index statistics.
+
+Two training-data-pipeline operators over the pages corpus, both with
+EXACT DuckDB oracles (integer arithmetic end-to-end):
+
+* ``tfidf_topk`` — for every document, the K whitespace tokens with the
+  highest rational tf-idf score ``(tf * SCALE) // df`` (tf = occurrences
+  in the doc, df = number of documents containing the token).  The score
+  is an int64 on both sides — no float log, no epsilon — and the ranking
+  tie-break (score desc, token asc) is total, so DuckDB's
+  ``row_number()`` reproduces it bit-for-bit.
+* ``posting_stats`` — the inverted-index summary: per token its document
+  frequency, total term frequency and first posting (min doc_id).
+
+Topology — dedup-then-process, the crawl-scale shape (process each
+DISTINCT text once, weight by its multiplicity):
+
+1. representatives: the pages table may repeat doc_ids, and doc-level
+   stats are defined over DISTINCT documents (the oracle's ``dpages``
+   CTE), so block-distinct (md5, doc_id) pairs union per-block (md5, text)
+   rows into ONE md5-bucketed merge producing (md5, text, n_distinct_docs,
+   min_doc) — texts ship once per (block, distinct text), never per doc;
+2. rep-level token counts: ONE vectorized tokenize pass over the
+   representatives (Arrow ``utf8_split_whitespace`` + ``list_parent_indices``,
+   zero Python per token), matching the `vocabulary` oracle's
+   ``string_split_regex(text, '\\s+')`` / ``token <> ''`` contract;
+3. df attach: one bucketed groupby on token — every (rep, token) row of a
+   token lands in one bucket, so ``sum(n_docs)`` is the exact global df;
+4. per-rep top-k (a rep's ranking is identical for every doc sharing its
+   text), then ONE bucketed ``hash_join`` on text_md5 expands rep winners
+   to per-doc rows.  The expansion is the only stage touching all docs and
+   it moves K small rows per doc; with an all-distinct crawl the rep table
+   degrades gracefully to one rep per doc — same plan, no broadcast
+   anywhere.
+
+The reference has no text-ranking operator (this extends the graft's
+training-data surface next to dedup/ANN; see SURVEY.md training-data ops).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+K_TOP = 3
+SCALE = 1_000_000
+
+
+def _doc_pairs(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """Block-locally distinct (doc_id, text_md5) pairs.  The pages table can
+    hold the same doc_id in several rows (the synthetic crawl does); doc-level
+    statistics are defined over DISTINCT documents, so every consumer dedups
+    these pairs globally in whatever bucketed pass it already runs."""
+    from ..stages.dedup import add_text_md5
+
+    def pairs(b: pa.Table) -> pa.Table:
+        t = add_text_md5(b)
+        df = t.select(["doc_id", "text_md5"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return pages.map_batches(pairs, batch_format="pyarrow", batch_size=65536)
+
+
+def _distinct_pairs(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """Globally distinct (doc_id, text_md5) — one bucketed dedup on doc_id."""
+    from ..stages.grouping import bucketed_group_apply
+
+    return bucketed_group_apply(
+        _doc_pairs(pages), ["doc_id"], lambda g: g.drop_duplicates())
+
+
+def _reps(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """(text_md5, text, n_docs, min_doc) — one row per distinct text, with
+    the DISTINCT-doc count.  One md5-bucketed pass over the union of
+    block-distinct (md5, doc_id) pairs and per-block (md5 -> text) rows, so
+    the text payload ships once per (block, distinct text), never per doc."""
+    from ..stages.dedup import add_text_md5
+    from ..stages.grouping import bucketed_group_apply
+
+    def pair_rows(b: pa.Table) -> pa.Table:
+        t = add_text_md5(b)
+        df = t.select(["text_md5", "doc_id"]).to_pandas().drop_duplicates()
+        # typed null text so both union sides share ONE Arrow schema
+        return pa.table({"text_md5": pa.array(df["text_md5"], pa.string()),
+                         "doc_id": pa.array(df["doc_id"].to_numpy()),
+                         "text": pa.nulls(len(df), pa.string())})
+
+    def text_rows(b: pa.Table) -> pa.Table:
+        t = add_text_md5(b)
+        df = t.select(["text_md5", "text"]).to_pandas().drop_duplicates("text_md5")
+        df["doc_id"] = np.int64(-1)
+        return pa.Table.from_pandas(df[["text_md5", "doc_id", "text"]],
+                                    preserve_index=False)
+
+    both = pages.map_batches(pair_rows, batch_format="pyarrow",
+                             batch_size=65536).union(
+        pages.map_batches(text_rows, batch_format="pyarrow", batch_size=65536))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["doc_id"] >= 0]
+        texts = g[g["doc_id"] < 0].drop_duplicates("text_md5")
+        agg = docs.groupby("text_md5", as_index=False).agg(
+            n_docs=("doc_id", "nunique"), min_doc=("doc_id", "min"))
+        agg["n_docs"] = agg["n_docs"].astype(np.int64)
+        out = agg.merge(texts[["text_md5", "text"]], on="text_md5")
+        return out[["text_md5", "text", "n_docs", "min_doc"]]
+
+    return bucketed_group_apply(both, ["text_md5"], merge)
+
+
+def _rep_tf(reps: ray.data.Dataset) -> ray.data.Dataset:
+    """(text_md5, token, tf, n_docs, min_doc) — distinct tokens per rep."""
+
+    def tf(b: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(b["text"].combine_chunks())
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"rep": parent[keep],
+                           "token": flat.to_numpy(zero_copy_only=False)[keep]})
+        g = df.groupby(["rep", "token"], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "tf"})
+        g["tf"] = g["tf"].astype(np.int64)
+        rep = g["rep"].to_numpy()
+        md5 = b["text_md5"].to_numpy(zero_copy_only=False)
+        nd = b["n_docs"].to_numpy(zero_copy_only=False)
+        md = b["min_doc"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "text_md5": pa.array(md5[rep]),
+            "token": pa.array(g["token"], pa.string()),
+            "tf": pa.array(g["tf"].to_numpy()),
+            "n_docs": pa.array(nd[rep]),
+            "min_doc": pa.array(md[rep]),
+        })
+
+    return reps.map_batches(tf, batch_format="pyarrow", batch_size=4096)
+
+
+def _with_df(rep_tf: ray.data.Dataset) -> ray.data.Dataset:
+    """Attach the exact global document frequency to every (rep, token) row."""
+    from ..stages.grouping import bucketed_group_apply
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g["token"], sort=False)
+        df_tok = np.bincount(codes, weights=g["n_docs"].to_numpy()).astype(np.int64)
+        out = g.copy()
+        out["df"] = df_tok[codes]
+        return out
+
+    return bucketed_group_apply(rep_tf, ["token"], attach)
+
+
+def tfidf_topk(pages: ray.data.Dataset, k: int = K_TOP) -> ray.data.Dataset:
+    """Per doc: top-``k`` tokens by ``(tf * SCALE) // df`` (ties: token asc)."""
+    from ..stages.grouping import bucketed_group_apply
+    from ..stages.hashjoin import hash_join
+
+    scored = _with_df(_rep_tf(_reps(pages)))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["score"] = (g["tf"].to_numpy() * SCALE) // g["df"].to_numpy()
+        g = g.sort_values(["text_md5", "score", "token"],
+                          ascending=[True, False, True], kind="mergesort")
+        g["rnk"] = g.groupby("text_md5").cumcount() + 1
+        g = g[g["rnk"] <= k]
+        return g[["text_md5", "token", "tf", "df", "score", "rnk"]]
+
+    rep_topk = bucketed_group_apply(scored, ["text_md5"], topk)
+    joined = hash_join(_distinct_pairs(pages), rep_topk, "text_md5",
+                       ["doc_id", "text_md5"],
+                       ["text_md5", "token", "tf", "df", "score", "rnk"],
+                       types={"doc_id": pa.int64(), "token": pa.string(),
+                              "tf": pa.int64(), "df": pa.int64(),
+                              "score": pa.int64(), "rnk": pa.int64()})
+    return joined.select_columns(["doc_id", "token", "tf", "df", "score", "rnk"])
+
+
+def posting_stats(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """Inverted-index summary: per token (df, total_tf, first_doc)."""
+    from ..stages.grouping import bucketed_group_apply
+
+    rep_tf = _rep_tf(_reps(pages))
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        w = g["tf"].to_numpy() * g["n_docs"].to_numpy()
+        out = g.assign(w=w).groupby("token", as_index=False).agg(
+            df=("n_docs", "sum"), total_tf=("w", "sum"),
+            first_doc=("min_doc", "min"))
+        return out
+
+    return bucketed_group_apply(rep_tf, ["token"], agg)
+
+
+_TOK_CTE = r"""
+dpages AS (SELECT DISTINCT doc_id, text FROM pages),
+tok AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        FROM dpages)
+  WHERE token <> '' GROUP BY doc_id, token
+)
+""".strip()
+
+
+def sql_tfidf_topk(k: int = K_TOP) -> str:
+    return f"""
+, {_TOK_CTE},
+dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY token)
+SELECT doc_id, token, tf, df, score, rnk FROM (
+  SELECT t.doc_id, t.token, t.tf, d.df,
+         (t.tf * {SCALE}) // d.df AS score,
+         CAST(row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY (t.tf * {SCALE}) // d.df DESC, t.token) AS BIGINT) AS rnk
+  FROM tok t JOIN dfreq d USING (token))
+WHERE rnk <= {k}
+""".strip()
+
+
+def sql_posting_stats() -> str:
+    return f"""
+, {_TOK_CTE}
+SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM tok GROUP BY token
+""".strip()

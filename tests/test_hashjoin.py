@@ -80,3 +80,37 @@ def test_semi_and_anti_join(sides):
     assert (_canon(anti).values == _canon(want_anti).values).all()
     # semi + anti partition the left side exactly
     assert len(semi) + len(anti) == len(left2)
+
+
+def test_string_key_join_matches_pandas():
+    """String join keys bucket via FNV and probe on actual values — the
+    tfidf expansion join's path (md5 hex keys)."""
+    rng = np.random.default_rng(7)
+    keys = [f"k{int(v):03d}" for v in rng.integers(0, 60, size=400)]
+    left = pd.DataFrame({"k": keys, "lv": np.arange(400, dtype=np.int64)})
+    right = pd.DataFrame({"k": [f"k{i:03d}" for i in range(0, 60, 2)],
+                          "rv": np.arange(30, dtype=np.int64) * 10})
+    out = hash_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right), "k",
+        ["k", "lv"], ["k", "rv"], n_buckets=8,
+    ).to_pandas()
+    truth = left.merge(right, on="k")
+    assert len(out) == len(truth)
+    assert out["rv"].dtype == np.int64  # no NaN upcast on the string path
+    assert (_canon(out).values == _canon(truth).values).all()
+
+
+def test_explicit_types_skip_schema_probe():
+    left = pd.DataFrame({"k": np.arange(50, dtype=np.int64),
+                         "lv": np.arange(50, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(0, 50, 5, dtype=np.int64),
+                          "rv": np.arange(10, dtype=np.int64)})
+    import pyarrow as pa
+    out = hash_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right), "k",
+        ["k", "lv"], ["k", "rv"],
+        types={"lv": pa.int64(), "rv": pa.int64()},
+    ).to_pandas()
+    truth = left.merge(right, on="k")
+    assert len(out) == len(truth)
+    assert (_canon(out).values == _canon(truth).values).all()
