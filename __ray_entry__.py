@@ -30,6 +30,7 @@ from orthority_ray.pipelines import tpch_extra as TX
 from orthority_ray.stages import ngram as NG
 from orthority_ray.stages import spandedup as SD
 from orthority_ray.stages import tfidf as TF
+from orthority_ray.stages import bloom as BL
 from orthority_ray.stages import textstats as T
 from orthority_ray.stages.camera_geocode import (
     dem_geocode,
@@ -589,6 +590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup": SD.span_dedup,
         "tfidf_topk": q_tfidf_topk,
         "posting_stats": q_posting_stats,
+        "bloom_semijoin": BL.bloom_semijoin,
         "remap_checker": q_remap_checker,
         "auto_utm": q_auto_utm,
         "metadata": q_metadata,
@@ -706,6 +708,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": SD.sql_span_dedup(),
         "tfidf_topk": S.with_pages(TF.sql_tfidf_topk()),
         "posting_stats": S.with_pages(TF.sql_posting_stats()),
+        "bloom_semijoin": BL.sql_bloom_semijoin(),
         "remap_checker": S.with_pages(_sql_remap_checker()),
         "metadata": S.with_pages(_SQL_METADATA),
         "site_skew": S.with_pages(
