@@ -31,6 +31,7 @@ from orthority_ray.stages import ngram as NG
 from orthority_ray.stages import spandedup as SD
 from orthority_ray.stages import tfidf as TF
 from orthority_ray.stages import bloom as BL
+from orthority_ray.stages import kmeans as KM
 from orthority_ray.stages import textstats as T
 from orthority_ray.stages.camera_geocode import (
     dem_geocode,
@@ -591,6 +592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": q_tfidf_topk,
         "posting_stats": q_posting_stats,
         "bloom_semijoin": BL.bloom_semijoin,
+        "embedding_kmeans": KM.embedding_kmeans,
         "remap_checker": q_remap_checker,
         "auto_utm": q_auto_utm,
         "metadata": q_metadata,
