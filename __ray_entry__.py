@@ -587,6 +587,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_volume": TX.q_brand_volume,
         "sales_opportunity": TX.q_sales_opportunity,
         "nation_volume": TX.q_nation_volume,
+        "local_volume": TX.q_local_volume,
+        "market_share": TX.q_market_share,
         "ngram_jaccard": NG.ngram_jaccard_pairs,
         "span_dedup": SD.span_dedup,
         "tfidf_topk": q_tfidf_topk,
@@ -706,6 +708,8 @@ def oracle_sql() -> dict[str, str]:
         "brand_volume": TX.SQL_BRAND_VOLUME,
         "sales_opportunity": TX.SQL_SALES_OPPORTUNITY,
         "nation_volume": TX.SQL_NATION_VOLUME,
+        "local_volume": TX.SQL_LOCAL_VOLUME,
+        "market_share": TX.SQL_MARKET_SHARE,
         "ngram_jaccard": NG.sql_ngram_jaccard(),
         "span_dedup": SD.sql_span_dedup(),
         "tfidf_topk": S.with_pages(TF.sql_tfidf_topk()),

@@ -6,6 +6,9 @@ graft breadth over the driver's TPC-H-ish tables, exercising the engine's
 join/aggregate/top-k primitives in the canonical TPC-H shapes:
 
 - Q3  shipping priority   : semi join + large-large join + grouped sum + top-k
+- Q5  local volume        : 3 chained large joins + dims broadcast + co-nation filter
+- Q8  market share        : broadcast part/supplier dims + join + semi join +
+                            exact integer (numerator, denominator) share
 - Q6  revenue forecast    : pruned-scan filter + global sum (no shuffle at all)
 - Q7  nation volume       : two chained large-large hash joins + 3-key rollup
 - Q10 returned customers  : filtered join + per-customer rollup + dim join + top-k
@@ -780,3 +783,305 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE epoch_us(l.l_shipdate) >= {_us(Q7_LO)} AND epoch_us(l.l_shipdate) < {_us(Q7_HI)}
 GROUP BY 1, 2, 3
 """.strip()
+
+
+# --- Q5 local supplier volume ------------------------------------------------
+
+Q5_REGION = "ASIA"
+Q5_LO, Q5_HI = "1996-01-01", "1997-01-01"
+
+
+def q_local_volume(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q5 analog: revenue per nation where the supplier and the
+    customer share that nation, customers restricted to one region, orders
+    to one year.  Shape: region/nation dims resolved driver-side (tiny),
+    customer PRE-FILTERED to the region's nations before the custkey join
+    (prune before the exchange), two chained large-large bucketed joins,
+    supplier broadcast as a dense suppkey -> nationkey array, the
+    local-supplier predicate applied post-join, dimension-sized rollup."""
+    import pyarrow.parquet as pq
+
+    from ..core.config import cached_stage
+    from ..stages.hashjoin import hash_join
+
+    lo, hi = _us(Q5_LO), _us(Q5_HI)
+
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = region["r_regionkey"].to_numpy()[
+        np.array(region["r_name"].to_pylist()) == Q5_REGION][0]
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nmask = nation["n_regionkey"].to_numpy() == rkey
+    region_nations = nation["n_nationkey"].to_numpy()[nmask].astype(np.int64)
+    names = {int(k): v for k, v in zip(
+        nation["n_nationkey"].to_numpy(), nation["n_name"].to_pylist())}
+    nations_ref = ray.put(frozenset(int(n) for n in region_nations))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array((d >= lo) & (d < hi)))
+        return pa.table({"c_custkey": t["o_custkey"],
+                         "o_orderkey": t["o_orderkey"]})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    class CustPrep:
+        def __init__(self):
+            self.nations = ray.get(nations_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            nk = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = np.isin(nk, np.fromiter(self.nations, np.int64))
+            t = b.filter(pa.array(keep))
+            return pa.table({
+                "c_custkey": t["c_custkey"],
+                "cust_nation": t["c_nationkey"].cast(pa.int64()),
+            })
+
+    ord_cust = hash_join(
+        orders.map_batches(ord_prep, batch_format="pyarrow", batch_size=65536),
+        cust.map_batches(cached_stage(CustPrep, f"q5cust:{nations_ref.hex()}"),
+                         batch_format="pyarrow", batch_size=65536),
+        "c_custkey",
+        ["c_custkey", "o_orderkey"], ["c_custkey", "cust_nation"],
+        types={"o_orderkey": pa.int64(), "cust_nation": pa.int64()},
+    )
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy()
+    snation = np.full(int(sk.max()) + 2, -1, dtype=np.int64)
+    snation[sk] = sup["s_nationkey"].to_numpy().astype(np.int64)
+    sref = ray.put(snation)
+
+    class LiPrep:
+        def __init__(self):
+            self.snation = ray.get(sref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            skey = b["l_suppkey"].to_numpy(zero_copy_only=False)
+            safe = np.where((skey >= 0) & (skey < self.snation.shape[0]),
+                            skey, self.snation.shape[0] - 1)
+            price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = b["l_discount"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "o_orderkey": b["l_orderkey"],
+                "supp_nation": pa.array(self.snation[safe]),
+                "rev_cents": pa.array(cents(price * (1.0 - disc))),
+            })
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    li_prep = li.map_batches(cached_stage(LiPrep, f"q5li:{sref.hex()}"),
+                             batch_format="pyarrow", batch_size=65536)
+
+    joined = hash_join(
+        li_prep, ord_cust.select_columns(["o_orderkey", "cust_nation"]),
+        "o_orderkey",
+        ["o_orderkey", "supp_nation", "rev_cents"],
+        ["o_orderkey", "cust_nation"],
+        types={"supp_nation": pa.int64(), "rev_cents": pa.int64(),
+               "cust_nation": pa.int64()},
+    )
+
+    names_ref = ray.put(names)
+
+    class Local:
+        def __init__(self):
+            self.names = ray.get(names_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            sn = b["supp_nation"].to_numpy(zero_copy_only=False)
+            cn = b["cust_nation"].to_numpy(zero_copy_only=False)
+            t = b.filter(pa.array(sn == cn))
+            sn = sn[sn == cn]
+            name = pd.Series(sn).map(self.names)
+            df = pd.DataFrame({"n_name": name,
+                               "rev_cents": t["rev_cents"].to_numpy(
+                                   zero_copy_only=False)})
+            g = df.groupby("n_name", as_index=False).agg(
+                n_rows=("rev_cents", "size"), rev_cents=("rev_cents", "sum"))
+            g["n_rows"] = g["n_rows"].astype(np.int64)
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("n_name", as_index=False).agg(
+            n_rows=("n_rows", "sum"), rev_cents=("rev_cents", "sum"))
+
+    return (
+        joined.map_batches(cached_stage(Local, f"q5loc:{names_ref.hex()}"),
+                           batch_format="pyarrow", batch_size=65536)
+        .groupby("n_name").map_groups(final, batch_format="pandas")
+    )
+
+
+SQL_LOCAL_VOLUME = f"""
+SELECT n.n_name,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{Q5_REGION}'
+  AND epoch_us(o.o_orderdate) >= {{lo}} AND epoch_us(o.o_orderdate) < {{hi}}
+GROUP BY 1
+""".strip().format(lo=_us(Q5_LO), hi=_us(Q5_HI))
+
+
+# --- Q8 market share ---------------------------------------------------------
+
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_7"
+Q8_TYPE = "PROMO"
+Q8_LO, Q8_HI = "1995-01-01", "1997-01-01"
+
+
+def q_market_share(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q8 analog: per order year, the target nation's share of revenue
+    for one part type sold to customers of one region — kept EXACT as the
+    integer (numerator, denominator) cent pair instead of a float division.
+    Shape: part + supplier + nation/region dims broadcast (dense arrays /
+    key sets), lineitem pre-filtered on the broadcast part set at the scan,
+    one large-large join to date-filtered orders, customer region semi join,
+    per-block combiner to a year-sized rollup."""
+    import pyarrow.parquet as pq
+
+    from ..core.config import cached_stage
+    from ..stages.hashjoin import hash_join
+
+    lo, hi = _us(Q8_LO), _us(Q8_HI)
+
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = region["r_regionkey"].to_numpy()[
+        np.array(region["r_name"].to_pylist()) == Q8_REGION][0]
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region_nations = nation["n_nationkey"].to_numpy()[
+        nation["n_regionkey"].to_numpy() == rkey].astype(np.int64)
+    target = int(nation["n_nationkey"].to_numpy()[
+        np.array(nation["n_name"].to_pylist()) == Q8_NATION][0])
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    pk = part["p_partkey"].to_numpy()
+    promo = np.zeros(int(pk.max()) + 2, dtype=bool)
+    promo[pk[np.array(part["p_type"].to_pylist()) == Q8_TYPE]] = True
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy()
+    snation = np.full(int(sk.max()) + 2, -1, dtype=np.int64)
+    snation[sk] = sup["s_nationkey"].to_numpy().astype(np.int64)
+    dims_ref = ray.put({"promo": promo, "snation": snation})
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey",
+                                    "l_extendedprice", "l_discount"])
+
+    class LiPrep:
+        def __init__(self):
+            d = ray.get(dims_ref)
+            self.promo, self.snation = d["promo"], d["snation"]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            pkey = b["l_partkey"].to_numpy(zero_copy_only=False)
+            safe_p = np.where((pkey >= 0) & (pkey < self.promo.shape[0]),
+                              pkey, self.promo.shape[0] - 1)
+            t = b.filter(pa.array(self.promo[safe_p]))
+            skey = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            safe_s = np.where((skey >= 0) & (skey < self.snation.shape[0]),
+                              skey, self.snation.shape[0] - 1)
+            price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "o_orderkey": t["l_orderkey"],
+                "supp_nation": pa.array(self.snation[safe_s]),
+                "rev_cents": pa.array(cents(price * (1.0 - disc))),
+            })
+
+    li_prep = li.map_batches(cached_stage(LiPrep, f"q8li:{dims_ref.hex()}"),
+                             batch_format="pyarrow", batch_size=65536)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array((d >= lo) & (d < hi)))
+        d = d[(d >= lo) & (d < hi)]
+        yr = d.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "c_custkey": t["o_custkey"],
+                         "yr": pa.array(yr)})
+
+    li_ord = hash_join(
+        li_prep, orders.map_batches(ord_prep, batch_format="pyarrow",
+                                    batch_size=65536),
+        "o_orderkey",
+        ["o_orderkey", "supp_nation", "rev_cents"],
+        ["o_orderkey", "c_custkey", "yr"],
+        types={"supp_nation": pa.int64(), "rev_cents": pa.int64(),
+               "c_custkey": pa.int64(), "yr": pa.int64()},
+    )
+
+    nations_ref = ray.put(region_nations)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    class CustPrep:
+        def __init__(self):
+            self.nations = ray.get(nations_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            nk = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            t = b.filter(pa.array(np.isin(nk, self.nations)))
+            return pa.table({"c_custkey": t["c_custkey"]})
+
+    in_region = hash_join(
+        li_ord.select_columns(["c_custkey", "supp_nation", "yr", "rev_cents"]),
+        cust.map_batches(cached_stage(CustPrep, f"q8cust:{nations_ref.hex()}"),
+                         batch_format="pyarrow", batch_size=65536),
+        "c_custkey",
+        ["c_custkey", "supp_nation", "yr", "rev_cents"], ["c_custkey"],
+        how="semi",
+        types={"supp_nation": pa.int64(), "yr": pa.int64(),
+               "rev_cents": pa.int64()},
+    )
+
+    def combiner(b: pa.Table) -> pa.Table:
+        yr = b["yr"].to_numpy(zero_copy_only=False)
+        sn = b["supp_nation"].to_numpy(zero_copy_only=False)
+        rev = b["rev_cents"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"yr": yr,
+                           "num_cents": np.where(sn == target, rev, 0),
+                           "den_cents": rev})
+        g = df.groupby("yr", as_index=False).agg(
+            num_cents=("num_cents", "sum"), den_cents=("den_cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("yr", as_index=False).agg(
+            num_cents=("num_cents", "sum"), den_cents=("den_cents", "sum"))
+
+    return (
+        in_region.map_batches(combiner, batch_format="pyarrow",
+                              batch_size=65536)
+        .groupby("yr").map_groups(final, batch_format="pandas")
+    )
+
+
+SQL_MARKET_SHARE = f"""
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+       CAST(SUM(CASE WHEN s.s_nationkey = n2.n_nationkey
+                     THEN CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS num_cents,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS den_cents
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = '{Q8_TYPE}'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = '{Q8_REGION}'
+CROSS JOIN (SELECT n_nationkey FROM nation WHERE n_name = '{Q8_NATION}') n2
+WHERE epoch_us(o.o_orderdate) >= {{lo}} AND epoch_us(o.o_orderdate) < {{hi}}
+GROUP BY 1
+""".strip().format(lo=_us(Q8_LO), hi=_us(Q8_HI))
