@@ -32,6 +32,7 @@ from orthority_ray.stages import spandedup as SD
 from orthority_ray.stages import tfidf as TF
 from orthority_ray.stages import bloom as BL
 from orthority_ray.stages import kmeans as KM
+from orthority_ray.stages import dedup_index as DI
 from orthority_ray.stages import textstats as T
 from orthority_ray.stages.camera_geocode import (
     dem_geocode,
@@ -595,6 +596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "posting_stats": q_posting_stats,
         "bloom_semijoin": BL.bloom_semijoin,
         "embedding_kmeans": KM.embedding_kmeans,
+        "incremental_dedup": DI.incremental_dedup,
         "remap_checker": q_remap_checker,
         "auto_utm": q_auto_utm,
         "metadata": q_metadata,
@@ -715,6 +717,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": S.with_pages(TF.sql_tfidf_topk()),
         "posting_stats": S.with_pages(TF.sql_posting_stats()),
         "bloom_semijoin": BL.sql_bloom_semijoin(),
+        "incremental_dedup": S.with_pages(DI.sql_incremental_dedup()),
         "remap_checker": S.with_pages(_sql_remap_checker()),
         "metadata": S.with_pages(_SQL_METADATA),
         "site_skew": S.with_pages(
