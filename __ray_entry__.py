@@ -561,6 +561,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_median": q_cell_median,
         "quantiles_exact": q_quantiles_exact,
         "pricing_summary": R.q_pricing_summary,
+        "rollup_revenue": R.q_rollup_revenue,
+        "value_histogram": R.q_value_histogram,
         "customers_per_region": R.q_customers_per_region,
         "top_orders": R.q_top_orders,
         "events_hourly": R.q_events_hourly,
@@ -683,6 +685,8 @@ def oracle_sql() -> dict[str, str]:
         "cell_median": S.with_geo(sql_grouped_median("cell", "lat_milli", "geod")),
         "quantiles_exact": S.with_geo(sql_exact_quantiles("lon_milli", "geod", QUANTS)),
         "pricing_summary": R.SQL_PRICING,
+        "rollup_revenue": R.SQL_ROLLUP_REVENUE,
+        "value_histogram": R.SQL_VALUE_HISTOGRAM,
         "customers_per_region": R.SQL_CUSTOMERS_PER_REGION,
         "top_orders": R.SQL_TOP_ORDERS,
         "events_hourly": R.SQL_EVENTS_HOURLY,

@@ -968,3 +968,87 @@ def q_lang_chars_median(sf_dir: str) -> ray.data.Dataset:
 
     docs = _read(sf_dir, "documents", ["lang", "n_chars"])
     return grouped_median(docs, "lang", "n_chars")
+
+
+# --- ROLLUP + histogram (aggregate-shape breadth) ----------------------------
+
+
+def q_rollup_revenue(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): the finest level is the
+    usual per-block-combined groupby (dimension-sized); the subtotal and
+    grand-total levels are derived FROM that tiny table in one final task
+    (repartition(1) over ~6 rows) — no second pass over the data, exact
+    integer sums at every level, NULL rollup columns as typed nulls."""
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "rev_cents": pa.array(cents(price * (1.0 - disc))),
+        })
+
+    fine = combined_groupby_sum(
+        li.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        ["l_returnflag", "l_linestatus"], ["rev_cents"],
+        count_alias="n_items")
+
+    def levels(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        sub = df.groupby("l_returnflag", as_index=False).agg(
+            n_items=("n_items", "sum"), rev_cents=("rev_cents", "sum"))
+        sub["l_linestatus"] = None
+        tot = pd.DataFrame({
+            "l_returnflag": [None], "l_linestatus": [None],
+            "n_items": [df["n_items"].sum()],
+            "rev_cents": [df["rev_cents"].sum()]})
+        out = pd.concat([df, sub, tot], ignore_index=True)
+        out = out[["l_returnflag", "l_linestatus", "n_items", "rev_cents"]]
+        return pa.table({
+            "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+            "l_linestatus": pa.array(out["l_linestatus"], pa.string()),
+            "n_items": pa.array(out["n_items"].astype(np.int64)),
+            "rev_cents": pa.array(out["rev_cents"].astype(np.int64)),
+        })
+
+    return fine.repartition(1).map_batches(levels, batch_format="pyarrow",
+                                           batch_size=None)
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""".strip()
+
+
+HIST_BIN_CENTS = 2000  # 20.00-wide value bins
+
+
+def q_value_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Fixed-width histogram of events.value: integer cents // bin width
+    (operands non-negative on both sides, so numpy floor == DuckDB
+    truncation), per-block combined, dimension-sized shuffle."""
+    ev = _read(sf_dir, "events", ["value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = cents(b["value"].to_numpy(zero_copy_only=False))
+        return pa.table({"bin": pa.array(v // HIST_BIN_CENTS),
+                         "v_cents": pa.array(v)})
+
+    return combined_groupby_sum(
+        ev.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        ["bin"], ["v_cents"], count_alias="n_events")
+
+
+SQL_VALUE_HISTOGRAM = f"""
+SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) // {HIST_BIN_CENTS} AS bin,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v_cents
+FROM events
+GROUP BY 1
+""".strip()
