@@ -33,6 +33,7 @@ from orthority_ray.stages import tfidf as TF
 from orthority_ray.stages import bloom as BL
 from orthority_ray.stages import kmeans as KM
 from orthority_ray.stages import dedup_index as DI
+from orthority_ray.stages import bpe as BP
 from orthority_ray.stages import textstats as T
 from orthority_ray.stages.camera_geocode import (
     dem_geocode,
@@ -599,6 +600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semijoin": BL.bloom_semijoin,
         "embedding_kmeans": KM.embedding_kmeans,
         "incremental_dedup": DI.incremental_dedup,
+        "bpe_train": BP.bpe_train,
         "remap_checker": q_remap_checker,
         "auto_utm": q_auto_utm,
         "metadata": q_metadata,

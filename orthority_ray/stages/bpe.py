@@ -1,0 +1,196 @@
+"""Distributed BPE tokenizer training (iterative pair-merge learning).
+
+The tokenizer-training operator of an LLM data pipeline, done the way BPE
+actually scales (Sennrich et al. 2016, public): train on the corpus'
+DISTINCT-WORD HISTOGRAM, not the raw token stream — one exact distributed
+word count up front, then every merge round touches only vocab-sized
+state:
+
+1. word histogram: the corpus tokenizes ONCE (vectorized Arrow kernels,
+   per-block pre-counts) into an exact (word, n) Dataset via a bucketed
+   sum — identical machinery to the `vocabulary` oracle;
+2. each round, a pass over the HISTOGRAM (not the corpus) counts adjacent
+   symbol pairs weighted by word frequency; per-block partials flow into
+   a bucketed sum, each bucket nominates its best pair, and the driver
+   picks among ~n_buckets candidates — the global argmax with the
+   deterministic tie-break (count desc, then pair lexicographic asc);
+3. the winning pair is broadcast and applied to every word's symbol
+   sequence in one map; repeat until ``n_merges`` or no pair repeats.
+
+Determinism: integer counts everywhere and a total tie-break order make
+the learned merge table independent of partitioning and worker count —
+asserted against a plain single-process reference implementation in
+tests/test_bpe.py.  The per-word merge application is a Python loop over
+DISTINCT words (vocab-sized, the standard BPE trainer cost), never over
+the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+N_MERGES = 24
+END_MARK = "</w>"
+
+
+def word_histogram(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact (word, n) over the whitespace-tokenized corpus."""
+    from ..stages.grouping import bucketed_group_apply
+
+    def tok_counts(b: pa.Table) -> pa.Table:
+        t = pc.list_flatten(pc.utf8_split_whitespace(b["text"].combine_chunks()))
+        t = t.filter(pc.not_equal(t, ""))
+        vc = pc.value_counts(t)
+        return pa.table({"word": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    parts = pages.map_batches(tok_counts, batch_format="pyarrow",
+                              batch_size=16384)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("word", as_index=False)["n"].sum()
+
+    return bucketed_group_apply(parts, ["word"], merge)
+
+
+def _initial_sym(hist: ray.data.Dataset) -> ray.data.Dataset:
+    """word -> its character symbol sequence (end-of-word marker last)."""
+
+    def split(b: pa.Table) -> pa.Table:
+        syms = [list(w) + [END_MARK] for w in b["word"].to_pylist()]
+        return pa.table({"n": b["n"],
+                         "syms": pa.array(syms, pa.list_(pa.string()))})
+
+    return hist.map_batches(split, batch_format="pyarrow", batch_size=None)
+
+
+def _pair_counts(sym_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(left, right, cnt) weighted adjacent-pair counts, block-combined."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        agg: dict[tuple[str, str], int] = {}
+        for cnt, syms in zip(n, b["syms"].to_pylist()):
+            for a, bb in zip(syms, syms[1:]):
+                agg[(a, bb)] = agg.get((a, bb), 0) + int(cnt)
+        if not agg:
+            return pa.table({"left": pa.array([], pa.string()),
+                             "right": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        ks = list(agg.keys())
+        return pa.table({"left": pa.array([k[0] for k in ks], pa.string()),
+                         "right": pa.array([k[1] for k in ks], pa.string()),
+                         "cnt": pa.array([agg[k] for k in ks], pa.int64())})
+
+    return sym_ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+
+def _best_pair(sym_ds: ray.data.Dataset) -> tuple[str, str, int] | None:
+    """Global argmax pair: bucketed exact sum, one nominee per bucket, the
+    driver picks among ~n_buckets rows (count desc, pair asc)."""
+    from ..stages.grouping import bucketed_group_apply
+
+    def bucket_best(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["left", "right"], as_index=False)["cnt"].sum()
+        s = s.sort_values(["cnt", "left", "right"],
+                          ascending=[False, True, True], kind="mergesort")
+        return s.head(1)
+
+    rows = bucketed_group_apply(_pair_counts(sym_ds), ["left", "right"],
+                                bucket_best, n_buckets=16).take_all()
+    rows = [r for r in rows if r["cnt"] >= 2]
+    if not rows:
+        return None
+    rows.sort(key=lambda r: (-r["cnt"], r["left"], r["right"]))
+    return rows[0]["left"], rows[0]["right"], int(rows[0]["cnt"])
+
+
+def _apply_merge(sym_ds: ray.data.Dataset, left: str, right: str) -> ray.data.Dataset:
+    joined = left + right
+
+    def apply(b: pa.Table) -> pa.Table:
+        out = []
+        for syms in b["syms"].to_pylist():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    res.append(joined)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            out.append(res)
+        return pa.table({"n": b["n"],
+                         "syms": pa.array(out, pa.list_(pa.string()))})
+
+    return sym_ds.map_batches(apply, batch_format="pyarrow", batch_size=None)
+
+
+def train_bpe(pages: ray.data.Dataset, n_merges: int = N_MERGES) -> pd.DataFrame:
+    """Learn the merge table; returns (rank, left, right, n_pairs)."""
+    hist = word_histogram(pages).materialize()
+    # the bucketed histogram arrives as ~n_buckets near-empty blocks; the
+    # per-round passes would each dispatch that many tiny tasks — reblock
+    # to a DATA-sized count (rows/64k, capped) before iterating
+    blocks = max(1, min(256, hist.count() // 65536 + 1))
+    sym = _initial_sym(hist).repartition(blocks).materialize()
+    merges = []
+    for rank in range(n_merges):
+        best = _best_pair(sym)
+        if best is None:
+            break
+        left, right, cnt = best
+        merges.append((rank, left, right, cnt))
+        sym = _apply_merge(sym, left, right).materialize()
+    return pd.DataFrame(merges, columns=["rank", "left", "right", "n_pairs"]) \
+        .astype({"rank": np.int64, "n_pairs": np.int64})
+
+
+def bpe_train(sf_dir: str, n_merges: int = 12) -> pd.DataFrame:
+    """Rows-only query: the learned merge table over the page corpus.
+    12 merges keeps the (inherently sequential) round count benchmarkable;
+    each round is ~0.25 s of fixed dispatch on this corpus — the histogram
+    passes themselves are vocab-sized, not corpus-sized."""
+    from ..sources.pages import read_pages
+
+    return train_bpe(read_pages(sf_dir), n_merges)
+
+
+def reference_bpe(texts: list[str], n_merges: int = N_MERGES) -> pd.DataFrame:
+    """Single-process reference (same algorithm, no Ray) for tests."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        words.update(w for w in t.split() if w)
+    sym = {w: tuple(list(w) + [END_MARK]) for w in words}
+    merges = []
+    for rank in range(n_merges):
+        pairs: Counter = Counter()
+        for w, cnt in words.items():
+            s = sym[w]
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += cnt
+        cand = [(c, p) for p, c in pairs.items() if c >= 2]
+        if not cand:
+            break
+        cand.sort(key=lambda x: (-x[0], x[1]))
+        cnt, (left, right) = cand[0]
+        merges.append((rank, left, right, cnt))
+        for w in sym:
+            s, res, i = sym[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            sym[w] = tuple(res)
+    return pd.DataFrame(merges, columns=["rank", "left", "right", "n_pairs"]) \
+        .astype({"rank": np.int64, "n_pairs": np.int64})
