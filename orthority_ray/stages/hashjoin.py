@@ -65,7 +65,8 @@ def _with_bucket(ds: ray.data.Dataset, key: str, side: int, n_buckets: int,
 def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
               left_cols: list[str], right_cols: list[str],
               n_buckets: int = DEFAULT_BUCKETS, how: str = "inner",
-              types: dict[str, pa.DataType] | None = None) -> ray.data.Dataset:
+              types: dict[str, pa.DataType] | None = None,
+              left_dedup: str | None = None) -> ray.data.Dataset:
     """Inner/left/semi/anti join of two large Datasets on an int64 or
     string ``key`` column (``how="semi"``/``"anti"`` return LEFT columns
     only: rows with at least one / no match).
@@ -76,6 +77,12 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
     it preserves column dtypes exactly (a pandas merge on the unioned group
     would NaN-fill the other side's columns and upcast int64 -> float64,
     which round 1 shipped and the driver's value-hash caught).
+
+    ``left_dedup`` names an int64 left column whose duplicate rows should be
+    dropped inside each bucket before probing — a free global dedup when
+    that column FUNCTIONALLY DETERMINES the join key (all copies then hash
+    to the same bucket), saving the separate dedup exchange a caller would
+    otherwise need (tfidf's doc_id -> text_md5 expansion uses this).
 
     ``types`` (column -> Arrow type for every non-key output column) skips
     the ``ds.schema()`` probes: on a lazy input whose last op is a shuffle,
@@ -119,6 +126,10 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
         lmask = side == 0
         l_tbl = g.filter(pa.array(lmask)).select(left_cols)
         r_tbl = g.filter(pa.array(~lmask)).select(right_cols)
+        if left_dedup is not None and l_tbl.num_rows:
+            dd = l_tbl[left_dedup].to_numpy(zero_copy_only=False)
+            _, first = np.unique(dd, return_index=True)
+            l_tbl = l_tbl.take(pa.array(np.sort(first)))
         lk = l_tbl[key].to_numpy(zero_copy_only=False)
         rk = r_tbl[key].to_numpy(zero_copy_only=False)
         order = np.argsort(rk, kind="stable")

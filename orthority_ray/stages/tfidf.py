@@ -15,11 +15,12 @@ EXACT DuckDB oracles (integer arithmetic end-to-end):
 Topology — dedup-then-process, the crawl-scale shape (process each
 DISTINCT text once, weight by its multiplicity):
 
-1. representatives: the pages table may repeat doc_ids, and doc-level
-   stats are defined over DISTINCT documents (the oracle's ``dpages``
-   CTE), so block-distinct (md5, doc_id) pairs union per-block (md5, text)
-   rows into ONE md5-bucketed merge producing (md5, text, n_distinct_docs,
-   min_doc) — texts ship once per (block, distinct text), never per doc;
+1. representatives: ONE pass over pages emits block-distinct (md5,
+   doc_id) rows plus per-block (md5, text) rows (materialized, shared by
+   steps 1 and 4); an md5-bucketed merge produces (md5, text,
+   n_distinct_docs, min_doc) — doc-level stats are over DISTINCT docs
+   (the oracle's ``dpages`` CTE; the pages table may repeat doc_ids), and
+   texts ship once per (block, distinct text), never per doc;
 2. rep-level token counts: ONE vectorized tokenize pass over the
    representatives (Arrow ``utf8_split_whitespace`` + ``list_parent_indices``,
    zero Python per token), matching the `vocabulary` oracle's
@@ -28,10 +29,12 @@ DISTINCT text once, weight by its multiplicity):
    token lands in one bucket, so ``sum(n_docs)`` is the exact global df;
 4. per-rep top-k (a rep's ranking is identical for every doc sharing its
    text), then ONE bucketed ``hash_join`` on text_md5 expands rep winners
-   to per-doc rows.  The expansion is the only stage touching all docs and
-   it moves K small rows per doc; with an all-distinct crawl the rep table
-   degrades gracefully to one rep per doc — same plan, no broadcast
-   anywhere.
+   to per-doc rows; the join's in-bucket ``left_dedup`` finishes the
+   global doc dedup inside that same exchange (doc_id determines md5, so
+   duplicates always co-bucket).  The expansion is the only stage touching
+   all docs and it moves K small rows per doc; with an all-distinct crawl
+   the rep table degrades gracefully to one rep per doc — same plan, no
+   broadcast anywhere.
 
 The reference has no text-ranking operator (this extends the graft's
 training-data surface next to dedup/ANN; see SURVEY.md training-data ops).
@@ -49,55 +52,42 @@ K_TOP = 3
 SCALE = 1_000_000
 
 
-def _doc_pairs(pages: ray.data.Dataset) -> ray.data.Dataset:
-    """Block-locally distinct (doc_id, text_md5) pairs.  The pages table can
-    hold the same doc_id in several rows (the synthetic crawl does); doc-level
-    statistics are defined over DISTINCT documents, so every consumer dedups
-    these pairs globally in whatever bucketed pass it already runs."""
+def _doc_text_rows(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """ONE pass over pages producing, per block, block-distinct doc rows
+    (text_md5, doc_id, text=null) plus one text-carrying row per distinct
+    text (doc_id = -1) — the shared input of the rep merge AND the final
+    expansion join, materialized so pages is synthesized exactly once.
+    The pages table can repeat doc_ids; doc-level statistics are over
+    DISTINCT docs, so consumers dedup doc rows in their own bucketed pass
+    (global dups always share an md5 and therefore a bucket)."""
     from ..stages.dedup import add_text_md5
 
-    def pairs(b: pa.Table) -> pa.Table:
-        t = add_text_md5(b)
-        df = t.select(["doc_id", "text_md5"]).to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    return pages.map_batches(pairs, batch_format="pyarrow", batch_size=65536)
-
-
-def _distinct_pairs(pages: ray.data.Dataset) -> ray.data.Dataset:
-    """Globally distinct (doc_id, text_md5) — one bucketed dedup on doc_id."""
-    from ..stages.grouping import bucketed_group_apply
-
-    return bucketed_group_apply(
-        _doc_pairs(pages), ["doc_id"], lambda g: g.drop_duplicates())
-
-
-def _reps(pages: ray.data.Dataset) -> ray.data.Dataset:
-    """(text_md5, text, n_docs, min_doc) — one row per distinct text, with
-    the DISTINCT-doc count.  One md5-bucketed pass over the union of
-    block-distinct (md5, doc_id) pairs and per-block (md5 -> text) rows, so
-    the text payload ships once per (block, distinct text), never per doc."""
-    from ..stages.dedup import add_text_md5
-    from ..stages.grouping import bucketed_group_apply
-
-    def pair_rows(b: pa.Table) -> pa.Table:
+    def rows(b: pa.Table) -> pa.Table:
         t = add_text_md5(b)
         df = t.select(["text_md5", "doc_id"]).to_pandas().drop_duplicates()
-        # typed null text so both union sides share ONE Arrow schema
-        return pa.table({"text_md5": pa.array(df["text_md5"], pa.string()),
-                         "doc_id": pa.array(df["doc_id"].to_numpy()),
-                         "text": pa.nulls(len(df), pa.string())})
+        texts = t.select(["text_md5", "text"]).to_pandas() \
+            .drop_duplicates("text_md5")
+        return pa.table({
+            "text_md5": pa.array(
+                pd.concat([df["text_md5"], texts["text_md5"]]), pa.string()),
+            "doc_id": pa.array(np.concatenate([
+                df["doc_id"].to_numpy(),
+                np.full(len(texts), -1, np.int64)])),
+            "text": pa.concat_arrays([
+                pa.nulls(len(df), pa.string()),
+                pa.array(texts["text"], pa.string())]),
+        })
 
-    def text_rows(b: pa.Table) -> pa.Table:
-        t = add_text_md5(b)
-        df = t.select(["text_md5", "text"]).to_pandas().drop_duplicates("text_md5")
-        df["doc_id"] = np.int64(-1)
-        return pa.Table.from_pandas(df[["text_md5", "doc_id", "text"]],
-                                    preserve_index=False)
+    return pages.map_batches(rows, batch_format="pyarrow",
+                             batch_size=65536).materialize()
 
-    both = pages.map_batches(pair_rows, batch_format="pyarrow",
-                             batch_size=65536).union(
-        pages.map_batches(text_rows, batch_format="pyarrow", batch_size=65536))
+
+def _reps(rows: ray.data.Dataset) -> ray.data.Dataset:
+    """(text_md5, text, n_docs, min_doc) — one row per distinct text, with
+    the DISTINCT-doc count, from one md5-bucketed pass over
+    :func:`_doc_text_rows` output (texts ship once per (block, distinct
+    text), never per doc)."""
+    from ..stages.grouping import bucketed_group_apply
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         docs = g[g["doc_id"] >= 0]
@@ -108,7 +98,7 @@ def _reps(pages: ray.data.Dataset) -> ray.data.Dataset:
         out = agg.merge(texts[["text_md5", "text"]], on="text_md5")
         return out[["text_md5", "text", "n_docs", "min_doc"]]
 
-    return bucketed_group_apply(both, ["text_md5"], merge)
+    return bucketed_group_apply(rows, ["text_md5"], merge)
 
 
 def _rep_tf(reps: ray.data.Dataset) -> ray.data.Dataset:
@@ -158,7 +148,8 @@ def tfidf_topk(pages: ray.data.Dataset, k: int = K_TOP) -> ray.data.Dataset:
     from ..stages.grouping import bucketed_group_apply
     from ..stages.hashjoin import hash_join
 
-    scored = _with_df(_rep_tf(_reps(pages)))
+    rows = _doc_text_rows(pages)
+    scored = _with_df(_rep_tf(_reps(rows)))
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
@@ -170,9 +161,20 @@ def tfidf_topk(pages: ray.data.Dataset, k: int = K_TOP) -> ray.data.Dataset:
         return g[["text_md5", "token", "tf", "df", "score", "rnk"]]
 
     rep_topk = bucketed_group_apply(scored, ["text_md5"], topk)
-    joined = hash_join(_distinct_pairs(pages), rep_topk, "text_md5",
+
+    def doc_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["doc_id"], 0))
+        return t.select(["doc_id", "text_md5"])
+
+    left = rows.map_batches(doc_rows, batch_format="pyarrow",
+                            batch_size=65536)
+    # left rows are only block-distinct; doc_id determines text_md5, so the
+    # join's in-bucket dedup (left_dedup) finishes the global dedup inside
+    # the ONE exchange the join already makes — no separate dedup shuffle
+    joined = hash_join(left, rep_topk, "text_md5",
                        ["doc_id", "text_md5"],
                        ["text_md5", "token", "tf", "df", "score", "rnk"],
+                       left_dedup="doc_id",
                        types={"doc_id": pa.int64(), "token": pa.string(),
                               "tf": pa.int64(), "df": pa.int64(),
                               "score": pa.int64(), "rnk": pa.int64()})
@@ -183,7 +185,7 @@ def posting_stats(pages: ray.data.Dataset) -> ray.data.Dataset:
     """Inverted-index summary: per token (df, total_tf, first_doc)."""
     from ..stages.grouping import bucketed_group_apply
 
-    rep_tf = _rep_tf(_reps(pages))
+    rep_tf = _rep_tf(_reps(_doc_text_rows(pages)))
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
         w = g["tf"].to_numpy() * g["n_docs"].to_numpy()
