@@ -593,6 +593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_volume": TX.q_nation_volume,
         "local_volume": TX.q_local_volume,
         "market_share": TX.q_market_share,
+        "pushdown_revenue": TX.q_pushdown_revenue,
         "ngram_jaccard": NG.ngram_jaccard_pairs,
         "span_dedup": SD.span_dedup,
         "tfidf_topk": q_tfidf_topk,
@@ -718,6 +719,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_volume": TX.SQL_NATION_VOLUME,
         "local_volume": TX.SQL_LOCAL_VOLUME,
         "market_share": TX.SQL_MARKET_SHARE,
+        "pushdown_revenue": TX.SQL_PUSHDOWN_REVENUE,
         "ngram_jaccard": NG.sql_ngram_jaccard(),
         "span_dedup": SD.sql_span_dedup(),
         "tfidf_topk": S.with_pages(TF.sql_tfidf_topk()),

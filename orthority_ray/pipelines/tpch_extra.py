@@ -1085,3 +1085,49 @@ CROSS JOIN (SELECT n_nationkey FROM nation WHERE n_name = '{Q8_NATION}') n2
 WHERE epoch_us(o.o_orderdate) >= {{lo}} AND epoch_us(o.o_orderdate) < {{hi}}
 GROUP BY 1
 """.strip().format(lo=_us(Q8_LO), hi=_us(Q8_HI))
+
+
+# --- predicate-pushdown scan -------------------------------------------------
+
+PUSHDOWN_QTY = 45.0
+
+
+def q_pushdown_revenue(sf_dir: str) -> pd.DataFrame:
+    """Scan-level predicate pushdown: the quantity filter is handed to
+    ``read_parquet(filter=...)`` as a pyarrow dataset expression, so row
+    groups that cannot match are never decoded and non-matching rows never
+    enter the object store — on a real lake (many files / row groups with
+    statistics) this prunes at the STORAGE layer, before any Ray task sees
+    a byte.  Downstream is the Q6 shape: per-block cents partials, driver
+    add.  (The sibling `revenue_forecast` filters post-read in the map —
+    the two queries document both placements.)"""
+    import pyarrow.dataset as pds
+
+    from ..core.config import read_blocks
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+        filter=(pds.field("l_quantity") >= PUSHDOWN_QTY),
+        override_num_blocks=read_blocks(),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        rev = cents(price * (1.0 - disc))
+        return pa.table({"n_items": pa.array([b.num_rows], pa.int64()),
+                         "rev_cents": pa.array([int(rev.sum())], pa.int64())})
+
+    sums = _driver_sum(ds.map_batches(partial, batch_format="pyarrow",
+                                      batch_size=65536),
+                       ["n_items", "rev_cents"])
+    return pd.DataFrame({"n_items": [sums["n_items"]],
+                         "rev_cents": [sums["rev_cents"]]})
+
+
+SQL_PUSHDOWN_REVENUE = f"""
+SELECT COUNT(*) AS n_items,
+       CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM lineitem WHERE l_quantity >= {PUSHDOWN_QTY}
+""".strip()
