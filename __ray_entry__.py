@@ -213,6 +213,20 @@ def q_posting_stats(sf_dir: str):
     return TF.posting_stats(read_pages(sf_dir))
 
 
+def q_image_phash_dup(sf_dir: str):
+    """Rows-only: perceptual-hash near-dup groups over REAL decoded synth
+    images (byte-distinct re-renders collapse to one phash;
+    stages/multimodal.image_phash_groups)."""
+    from orthority_ray.stages.multimodal import image_phash_groups
+
+    def sel(b):
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(d % 97 == 0))
+
+    keys = read_page_keys(sf_dir).map_batches(sel, batch_format="pyarrow")
+    return image_phash_groups(keys)
+
+
 def q_media_features(sf_dir: str):
     """Rows-only: real multimodal decode + features (ORI1/ORA1/ORV1 raw
     codecs, stages/multimodal.py) over a deterministic 1/97 page sample."""
@@ -602,6 +616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": KM.embedding_kmeans,
         "incremental_dedup": DI.incremental_dedup,
         "bpe_train": BP.bpe_train,
+        "image_phash_dup": q_image_phash_dup,
         "remap_checker": q_remap_checker,
         "auto_utm": q_auto_utm,
         "metadata": q_metadata,

@@ -333,3 +333,59 @@ def media_features(keys_ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return keys_ds.map_batches(feats, batch_format="pyarrow", batch_size=2048)
+
+
+# --- perceptual image hash (near-dup across re-encodes) ----------------------
+
+
+def ahash64(px: np.ndarray) -> int:
+    """64-bit average hash: grayscale -> REAL bilinear 8x8 downsample ->
+    brighter-than-mean bitmap.  Byte-identical files are not required —
+    re-encoded / rescaled copies of the same picture collapse to the same
+    (or Hamming-close) hash, which exact md5 dedup can never do."""
+    gray = px.astype(np.float64).mean(axis=2, keepdims=True).astype(np.uint8)
+    g = _bilinear_resize(gray, 8, 8)[..., 0].astype(np.float64)
+    bits = (g > g.mean()).ravel()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class ImagePhash:
+    """Actor stage: ORI1 payload -> (media_id, phash int64)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for mid, kind, p in zip(batch["media_id"].to_pylist(),
+                                batch["kind"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            if kind != "image":
+                continue
+            ids.append(mid)
+            hashes.append(np.int64(np.uint64(ahash64(decode_image(p)))))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "phash": pa.array(hashes, pa.int64())})
+
+
+def image_phash_groups(keys_ds: ray.data.Dataset,
+                       *, concurrency: int | None = None) -> ray.data.Dataset:
+    """Rows-only query: synth -> decode -> perceptual hash -> bucketed
+    group sizes.  The synthetic corpus renders the SAME gradient+checker
+    picture at many resolutions (byte-distinct ORI1 payloads), so the
+    perceptual groups are genuinely multi-member where exact dedup finds
+    nothing — (phash, n_images, min_media_id) per group."""
+    import pandas as pd
+
+    from ..stages.grouping import bucketed_group_apply
+
+    def to_hash(batch: pa.Table) -> pa.Table:
+        return ImagePhash()(synth_media(batch))
+
+    hashes = keys_ds.map_batches(to_hash, batch_format="pyarrow",
+                                 batch_size=512)
+
+    def groups(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("phash", as_index=False).agg(
+            n_images=("media_id", "size"), min_media_id=("media_id", "min"))
+        out["n_images"] = out["n_images"].astype(np.int64)
+        return out
+
+    return bucketed_group_apply(hashes, ["phash"], groups)

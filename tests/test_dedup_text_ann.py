@@ -453,3 +453,42 @@ def test_blockpair_neardup_unsorted_blocks(tmp_path):
     )
     assert len(want) >= 3  # the planted pairs qualify
     pd.testing.assert_frame_equal(got, want)
+
+
+# --- perceptual image hash ----------------------------------------------------
+
+
+def test_ahash_invariant_under_rescale():
+    import numpy as np
+
+    from orthority_ray.stages.multimodal import _bilinear_resize, ahash64
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    px = np.stack([(xx * 255 // 47).astype(np.uint8),
+                   (yy * 255 // 31).astype(np.uint8),
+                   np.zeros_like(xx, np.uint8)], axis=2)
+    big = _bilinear_resize(px, 96, 64)  # byte-different re-encode
+    a, b = ahash64(px), ahash64(big)
+    assert bin(a ^ b).count("1") <= 4  # Hamming-close under rescale
+    # a different picture must not collide
+    other = 255 - px
+    assert bin(a ^ ahash64(other)).count("1") > 16
+
+
+def test_image_phash_groups_finds_multi_member_groups(ray_session, sf_unit):
+    import pyarrow as pa
+    import ray.data
+
+    from orthority_ray.sources.pages import read_page_keys
+    from orthority_ray.stages.multimodal import image_phash_groups
+
+    def sel(b):
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(d % 97 == 0))
+
+    keys = read_page_keys(sf_unit).map_batches(sel, batch_format="pyarrow")
+    out = image_phash_groups(keys).to_pandas()
+    assert (out["n_images"] >= 1).all()
+    # the synthetic corpus re-renders the same picture at many sizes:
+    # perceptual grouping must find multi-member groups (exact dedup: none)
+    assert (out["n_images"] >= 2).any()
