@@ -617,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": DI.incremental_dedup,
         "bpe_train": BP.bpe_train,
         "image_phash_dup": q_image_phash_dup,
+        "ann_int8": ANN.ann_int8,
         "remap_checker": q_remap_checker,
         "auto_utm": q_auto_utm,
         "metadata": q_metadata,

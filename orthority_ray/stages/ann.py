@@ -493,3 +493,98 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       CAST(b.embedding AS DOUBLE[])) * {SIM_SCALE} + 0.5) AS BIGINT) >= {thresh_key}
 """.strip()
+
+
+# --- int8-quantized ANN (the memory-reduction scale path) --------------------
+
+
+def _dim_scales(ds: ray.data.Dataset) -> np.ndarray:
+    """Max-|x| of the NORMALIZED corpus per dimension — the distributed
+    calibration aggregate.  Per-block partial max vectors fold on the
+    driver; max is exact and order-free, so the result is
+    parallelism-invariant by construction.  NOTE: consumers quantizing
+    BOTH sides must collapse this to its scalar max — a per-dim scale is
+    a diagonal transform that would turn the dot product into a weighted
+    inner product and corrupt the cosine ranking."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, m = _emb_matrix(b)
+        mn = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+        mx = np.abs(mn).max(axis=0) if mn.shape[0] else np.zeros(m.shape[1])
+        return pa.table({"mx": pa.array([mx.tobytes()], pa.large_binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=4096).take_all()
+    mats = np.stack([np.frombuffer(r["mx"], np.float64) for r in rows])
+    out = mats.max(axis=0)
+    return np.where(out == 0.0, 1.0, out)
+
+
+def _quantize(m: np.ndarray, scales: np.ndarray, bits: int = 8) -> np.ndarray:
+    """Symmetric per-dim quantization of the normalized vectors.  8 bits
+    (int8, 8x smaller than float64) is the standard memory path; 16 bits
+    trades half the saving for ~256x finer resolution when the corpus has
+    dense similarity ties (random vectors are the worst case)."""
+    lim = 127.0 if bits == 8 else 32767.0
+    mn = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+    # SCALAR scale (see _dim_scales note): preserves directions exactly
+    q = np.clip(np.round(mn / float(np.max(scales)) * lim), -lim, lim)
+    return q.astype(np.int8 if bits == 8 else np.int16)
+
+
+class _PartialTopSimInt8(_PartialTopSim):
+    """Partial top-k over int8-quantized vectors: the dot product is an
+    exact small-integer sum (|q|,|v| <= 127, 64 dims -> < 2^21, safely
+    exact in the float32 matmul), so sim_key is a deterministic integer
+    and the whole ANN is bit-stable — while vectors cost 8x less memory
+    and bandwidth than float64.  Recall vs the exact float path is
+    measured in tests/test_dedup_text_ann.py."""
+
+    def __init__(self, queries_ref, scales_ref, k: int = K, bits: int = 8):
+        self.qids, q = ray.get(queries_ref)
+        self.scales = ray.get(scales_ref)
+        self.bits = bits
+        self.q8 = _quantize(q, self.scales, bits) if len(self.qids) else q
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(batch)
+        if len(ids) == 0 or len(self.qids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim_key": pa.array([], pa.int64())})
+        m8 = _quantize(m, self.scales, self.bits)
+        # integer-valued matmul: float32 partial sums stay exact below 2^24
+        # (int8: 127^2 * 64 dims), float64 below 2^53 (int16) — any summation
+        # order yields the same integers, so sim_key is bit-stable
+        acc = np.float32 if self.bits == 8 else np.float64
+        sim_key = (m8.astype(acc) @ self.q8.T.astype(acc)).astype(np.int64)
+        B, Q = sim_key.shape
+        k = min(self.k, B)
+        part = np.argpartition(-sim_key, k - 1, axis=0)[:k]
+        kth = sim_key[part, np.arange(Q)[None, :]].min(axis=0)
+        rows, cols = np.nonzero(sim_key >= kth[None, :])
+        return pa.table({
+            "query_id": pa.array(self.qids[cols]),
+            "neighbor_id": pa.array(ids[rows]),
+            "sim_key": pa.array(sim_key[rows, cols]),
+        })
+
+
+def ann_int8(sf_dir: str, k: int = K, bits: int = 8,
+             *, concurrency: int | None = None) -> ray.data.Dataset:
+    """Rows-only query: brute-force top-k over quantized embeddings
+    (per-dim distributed calibration, integer similarity keys)."""
+    from ..core.config import cached_stage
+    from .grouping import bucketed_group_apply
+
+    ds = read_embeddings(sf_dir)
+    scales_ref = ray.put(_dim_scales(ds))
+    queries_ref = ray.put(load_queries(sf_dir))
+    partials = ds.map_batches(
+        cached_stage(_PartialTopSimInt8,
+                     f"ann:q{bits}:{queries_ref.hex()}:{k}",
+                     queries_ref, scales_ref, k, bits),
+        batch_format="pyarrow", batch_size=4096, concurrency=concurrency,
+    )
+    return bucketed_group_apply(partials, ["query_id"], lambda g: _merge(g, k))

@@ -492,3 +492,26 @@ def test_image_phash_groups_finds_multi_member_groups(ray_session, sf_unit):
     # the synthetic corpus re-renders the same picture at many sizes:
     # perceptual grouping must find multi-member groups (exact dedup: none)
     assert (out["n_images"] >= 2).any()
+
+
+def test_ann_int8_recall_vs_exact(ray_session, sf_unit):
+    from orthority_ray.stages.ann import K, ann_bruteforce, ann_int8
+
+    exact = ann_bruteforce(sf_unit).to_pandas()
+    quant = ann_int8(sf_unit).to_pandas()
+    assert set(quant.columns) == set(exact.columns)
+    # per-query recall@K of the quantized path against the exact float path
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    q = quant.groupby("query_id")["neighbor_id"].apply(set)
+    recall = np.mean([len(e[i] & q[i]) / K for i in e.index])
+    # 8x memory saving holds ~all of the exact ranking (measured 0.98);
+    # int16 (4x saving, 256x resolution) recovers it fully (measured 1.0)
+    assert recall >= 0.9, recall
+    q16 = ann_int8(sf_unit, bits=16).to_pandas().groupby("query_id")["neighbor_id"].apply(set)
+    recall16 = np.mean([len(e[i] & q16[i]) / K for i in e.index])
+    assert recall16 >= 0.99, recall16
+    # integer sim keys -> bit-stable rerun
+    rerun = ann_int8(sf_unit).to_pandas()
+    a = quant.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = rerun.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
