@@ -578,6 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": R.q_pricing_summary,
         "rollup_revenue": R.q_rollup_revenue,
         "value_histogram": R.q_value_histogram,
+        "funnel": R.q_funnel,
         "customers_per_region": R.q_customers_per_region,
         "top_orders": R.q_top_orders,
         "events_hourly": R.q_events_hourly,
@@ -706,6 +707,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": R.SQL_PRICING,
         "rollup_revenue": R.SQL_ROLLUP_REVENUE,
         "value_histogram": R.SQL_VALUE_HISTOGRAM,
+        "funnel": R.SQL_FUNNEL,
         "customers_per_region": R.SQL_CUSTOMERS_PER_REGION,
         "top_orders": R.SQL_TOP_ORDERS,
         "events_hourly": R.SQL_EVENTS_HOURLY,

@@ -1052,3 +1052,83 @@ SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) // {HIST_BIN_CENTS} AS bin,
 FROM events
 GROUP BY 1
 """.strip()
+
+
+# --- funnel analysis ---------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered-funnel conversion (view -> click -> purchase by FIRST
+    occurrence per user): per-block (user, first-ts-per-step) partials,
+    one bucketed min-merge on user_id, then the step predicates collapse
+    to a single global row — the per-user state is 3 int64s regardless of
+    event volume, and the wide step is user-dimension-sized."""
+    from ..stages.grouping import bucketed_group_apply
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    MISSING = np.int64(2**62)
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": b["event_type"].to_pylist(),
+            "t": b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+        })
+        piv = []
+        for s in FUNNEL_STEPS:
+            g = df[df["event_type"] == s].groupby("user_id", as_index=False)[
+                "t"].min().rename(columns={"t": f"t_{s}"})
+            piv.append(g)
+        users = pd.DataFrame({"user_id": df["user_id"].unique()})
+        for g in piv:
+            users = users.merge(g, on="user_id", how="left")
+        for s in FUNNEL_STEPS:
+            users[f"t_{s}"] = users[f"t_{s}"].fillna(MISSING).astype(np.int64)
+        return pa.Table.from_pandas(users, preserve_index=False)
+
+    parts = ev.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", as_index=False).min()
+
+    per_user = bucketed_group_apply(parts, ["user_id"], merge)
+
+    def steps(b: pa.Table) -> pa.Table:
+        tv, tc, tp = (b[f"t_{s}"].to_numpy(zero_copy_only=False)
+                      for s in FUNNEL_STEPS)
+        s1 = tv < MISSING
+        s2 = s1 & (tc < MISSING) & (tc > tv)
+        s3 = s2 & (tp < MISSING) & (tp > tc)
+        return pa.table({
+            "n_users": pa.array([b.num_rows], pa.int64()),
+            "step1_view": pa.array([int(s1.sum())], pa.int64()),
+            "step2_click": pa.array([int(s2.sum())], pa.int64()),
+            "step3_purchase": pa.array([int(s3.sum())], pa.int64()),
+        })
+
+    # per-bucket 1-row partials -> driver add (bounded by bucket count,
+    # not user count)
+    parts_df = per_user.map_batches(steps, batch_format="pyarrow",
+                                    batch_size=None).to_pandas()
+    return pd.DataFrame({c: [np.int64(parts_df[c].sum())]
+                         for c in parts_df.columns})
+
+
+SQL_FUNNEL = """
+WITH u AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+  FROM events GROUP BY user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step1_view,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                      AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS step2_click,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                      AND t_click > t_view AND t_purchase IS NOT NULL
+                      AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS step3_purchase
+FROM u
+""".strip()
