@@ -34,6 +34,7 @@ from orthority_ray.stages import bloom as BL
 from orthority_ray.stages import kmeans as KM
 from orthority_ray.stages import dedup_index as DI
 from orthority_ray.stages import bpe as BP
+from orthority_ray.stages import tablediff as TD
 from orthority_ray.stages import textstats as T
 from orthority_ray.stages.camera_geocode import (
     dem_geocode,
@@ -579,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_revenue": R.q_rollup_revenue,
         "value_histogram": R.q_value_histogram,
         "funnel": R.q_funnel,
+        "table_diff": TD.table_diff,
         "customers_per_region": R.q_customers_per_region,
         "top_orders": R.q_top_orders,
         "events_hourly": R.q_events_hourly,
@@ -708,6 +710,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_revenue": R.SQL_ROLLUP_REVENUE,
         "value_histogram": R.SQL_VALUE_HISTOGRAM,
         "funnel": R.SQL_FUNNEL,
+        "table_diff": TD.sql_table_diff(),
         "customers_per_region": R.SQL_CUSTOMERS_PER_REGION,
         "top_orders": R.SQL_TOP_ORDERS,
         "events_hourly": R.SQL_EVENTS_HOURLY,
