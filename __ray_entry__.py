@@ -228,6 +228,12 @@ def q_image_phash_dup(sf_dir: str):
     return image_phash_groups(keys)
 
 
+def q_token_cooccurrence(sf_dir: str):
+    """Token pairs co-occurring in >= 2% of distinct docs (stages/tfidf.py:
+    rep-level pair explosion weighted by doc count, one bucketed sum)."""
+    return TF.token_cooccurrence(read_pages(sf_dir))
+
+
 def q_media_features(sf_dir: str):
     """Rows-only: real multimodal decode + features (ORI1/ORA1/ORV1 raw
     codecs, stages/multimodal.py) over a deterministic 1/97 page sample."""
@@ -615,6 +621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup": SD.span_dedup,
         "tfidf_topk": q_tfidf_topk,
         "posting_stats": q_posting_stats,
+        "token_cooccurrence": q_token_cooccurrence,
         "bloom_semijoin": BL.bloom_semijoin,
         "embedding_kmeans": KM.embedding_kmeans,
         "incremental_dedup": DI.incremental_dedup,
@@ -745,6 +752,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": SD.sql_span_dedup(),
         "tfidf_topk": S.with_pages(TF.sql_tfidf_topk()),
         "posting_stats": S.with_pages(TF.sql_posting_stats()),
+        "token_cooccurrence": S.with_pages(TF.sql_token_cooccurrence()),
         "bloom_semijoin": BL.sql_bloom_semijoin(),
         "incremental_dedup": S.with_pages(DI.sql_incremental_dedup()),
         "remap_checker": S.with_pages(_sql_remap_checker()),

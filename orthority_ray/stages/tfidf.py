@@ -231,3 +231,72 @@ SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
        CAST(MIN(doc_id) AS BIGINT) AS first_doc
 FROM tok GROUP BY token
 """.strip()
+
+
+# --- token co-occurrence mining ----------------------------------------------
+
+COOC_PCT = 50  # keep pairs present in >= total_docs/COOC_PCT distinct docs
+
+
+def token_cooccurrence(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """Distinct-token pairs co-occurring in >= 2% of distinct documents
+    (integer threshold ``n_docs * COOC_PCT >= total_docs``).  The pair
+    explosion — the classic co-occurrence cost — runs per REPRESENTATIVE
+    (each distinct text once, weighted by its doc count), and the pair
+    rows shuffle once into a bucketed sum; the total-docs scalar is a
+    dimension-sized aggregate of the rep table."""
+    from ..stages.grouping import bucketed_group_apply
+
+    rows = _doc_text_rows(pages)
+    rep_tf = _rep_tf(_reps(rows)).materialize()
+
+    total_docs = int(sum(
+        r["n"] for r in rep_tf.map_batches(
+            lambda b: pa.table({"n": pa.array(
+                [int(pd.DataFrame({"m": b["text_md5"].to_pylist(),
+                                   "n": b["n_docs"].to_numpy(zero_copy_only=False)})
+                     .drop_duplicates("m")["n"].sum())], pa.int64())}),
+            batch_format="pyarrow", batch_size=None).take_all()))
+
+    def pairs(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "md5": b["text_md5"].to_pylist(),
+            "token": b["token"].to_pylist(),
+            "n_docs": b["n_docs"].to_numpy(zero_copy_only=False),
+        }).sort_values(["md5", "token"], kind="mergesort")
+        out_a, out_b, out_n = [], [], []
+        for (_, n), g in df.groupby(["md5", "n_docs"], sort=False):
+            toks = g["token"].tolist()
+            for i in range(len(toks)):
+                for j in range(i + 1, len(toks)):
+                    out_a.append(toks[i])
+                    out_b.append(toks[j])
+                    out_n.append(n)
+        return pa.table({"tok_a": pa.array(out_a, pa.string()),
+                         "tok_b": pa.array(out_b, pa.string()),
+                         "n": pa.array(np.asarray(out_n, np.int64))})
+
+    # batch_size=None: a rep's token rows never straddle a BLOCK (each
+    # _rep_tf call emits whole reps), but a sliced batch_size batch could
+    # split one and silently undercount its within-rep pairs
+    pair_rows = rep_tf.map_batches(pairs, batch_format="pyarrow",
+                                   batch_size=None)
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["tok_a", "tok_b"], as_index=False)["n"].sum()
+        out = out[out["n"] * COOC_PCT >= total_docs]
+        return out.rename(columns={"n": "n_docs"})
+
+    return bucketed_group_apply(pair_rows, ["tok_a", "tok_b"], agg)
+
+
+def sql_token_cooccurrence() -> str:
+    return f"""
+, {_TOK_CTE},
+tot AS (SELECT COUNT(*) AS n FROM dpages)
+SELECT a.token AS tok_a, b.token AS tok_b,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.token < b.token
+GROUP BY 1, 2
+HAVING CAST(COUNT(*) AS BIGINT) * {COOC_PCT} >= (SELECT n FROM tot)
+""".strip()
