@@ -619,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pushdown_revenue": TX.q_pushdown_revenue,
         "ngram_jaccard": NG.ngram_jaccard_pairs,
         "span_dedup": SD.span_dedup,
+        "contamination": SD.contamination,
         "tfidf_topk": q_tfidf_topk,
         "posting_stats": q_posting_stats,
         "token_cooccurrence": q_token_cooccurrence,
@@ -750,6 +751,7 @@ def oracle_sql() -> dict[str, str]:
         "pushdown_revenue": TX.SQL_PUSHDOWN_REVENUE,
         "ngram_jaccard": NG.sql_ngram_jaccard(),
         "span_dedup": SD.sql_span_dedup(),
+        "contamination": SD.sql_contamination(),
         "tfidf_topk": S.with_pages(TF.sql_tfidf_topk()),
         "posting_stats": S.with_pages(TF.sql_posting_stats()),
         "token_cooccurrence": S.with_pages(TF.sql_token_cooccurrence()),
