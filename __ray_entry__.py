@@ -35,6 +35,7 @@ from orthority_ray.stages import kmeans as KM
 from orthority_ray.stages import dedup_index as DI
 from orthority_ray.stages import bpe as BP
 from orthority_ray.stages import tablediff as TD
+from orthority_ray.stages import packing as PK
 from orthority_ray.stages import textstats as T
 from orthority_ray.stages.camera_geocode import (
     dem_geocode,
@@ -627,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": KM.embedding_kmeans,
         "incremental_dedup": DI.incremental_dedup,
         "bpe_train": BP.bpe_train,
+        "sequence_pack": PK.sequence_pack,
         "image_phash_dup": q_image_phash_dup,
         "ann_int8": ANN.ann_int8,
         "remap_checker": q_remap_checker,
