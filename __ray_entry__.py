@@ -235,6 +235,29 @@ def q_token_cooccurrence(sf_dir: str):
     return TF.token_cooccurrence(read_pages(sf_dir))
 
 
+_WS_HASH = "(doc_id * 2654435761) % 4294967296"
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic quality-weighted Bernoulli sample (importance sampling
+    for data mixing): keep a page iff hash(doc_id) * 1e6 < quality * 2^32 —
+    inclusion probability = quality/1e6, no RNG, exact integer compare on
+    both sides, mergeable across any partitioning."""
+    import numpy as np
+
+    def keep(b):
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        q = b["quality"].to_numpy(zero_copy_only=False)
+        h = (d * 2654435761) % 4294967296
+        return b.filter(pa.array(h * 1_000_000 < q * 4294967296))
+
+    return (
+        T.quality(read_pages(sf_dir))
+        .select_columns(["doc_id", "quality"])
+        .map_batches(keep, batch_format="pyarrow", batch_size=65536)
+    )
+
+
 def q_media_features(sf_dir: str):
     """Rows-only: real multimodal decode + features (ORI1/ORA1/ORV1 raw
     codecs, stages/multimodal.py) over a deterministic 1/97 page sample."""
@@ -246,6 +269,16 @@ def q_media_features(sf_dir: str):
 
     keys = read_page_keys(sf_dir).map_batches(sel, batch_format="pyarrow")
     return media_features(keys)
+
+
+def q_hll_by_lang(sf_dir: str):
+    """Rows-only: per-lang approximate distinct doc_ids (grouped HLL —
+    mergeable (group, register) maxima; deterministic hash, estimate
+    within ~2% of exact, asserted in tests/test_sketches.py)."""
+    from orthority_ray.stages.sketches import hll_grouped
+
+    return hll_grouped(
+        read_pages(sf_dir).select_columns(["lang", "doc_id"]), "lang", "doc_id")
 
 
 def q_hll_distinct(sf_dir: str):
@@ -624,6 +657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": q_tfidf_topk,
         "posting_stats": q_posting_stats,
         "token_cooccurrence": q_token_cooccurrence,
+        "weighted_sample": q_weighted_sample,
         "bloom_semijoin": BL.bloom_semijoin,
         "embedding_kmeans": KM.embedding_kmeans,
         "incremental_dedup": DI.incremental_dedup,
@@ -652,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q_ann_ivf,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "hll_distinct": q_hll_distinct,
+        "hll_by_lang": q_hll_by_lang,
         "media_features": q_media_features,
         "pan_sharpen": q_pan_sharpen,
     }
@@ -757,6 +792,10 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": S.with_pages(TF.sql_tfidf_topk()),
         "posting_stats": S.with_pages(TF.sql_posting_stats()),
         "token_cooccurrence": S.with_pages(TF.sql_token_cooccurrence()),
+        "weighted_sample": S.with_pages(
+            f"""SELECT doc_id, quality FROM ({T.SQL_QUALITY})
+                WHERE {_WS_HASH} * 1000000 < quality * 4294967296"""
+        ),
         "bloom_semijoin": BL.sql_bloom_semijoin(),
         "incremental_dedup": S.with_pages(DI.sql_incremental_dedup()),
         "remap_checker": S.with_pages(_sql_remap_checker()),

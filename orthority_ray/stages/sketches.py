@@ -230,3 +230,39 @@ def hll_distinct(ds: ray.data.Dataset, col: str) -> pa.Table:
     regs = hll_registers(ds, col).to_pandas()
     return pa.table({"approx_distinct": pa.array([hll_estimate_from_registers(regs)],
                                                  pa.int64())})
+
+
+def hll_grouped(ds: ray.data.Dataset, group_col: str, col: str,
+                batch_size: int | None = 65536) -> pa.Table:
+    """Per-group approximate distinct: (group, approx_distinct).  Same
+    mergeable register maxima as :func:`hll_registers`, keyed by
+    (group, register) — the per-group sketch is 2^p ints regardless of
+    group size, the wide step is groups x registers rows, and the final
+    estimate runs over the dimension-sized register table."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": b[group_col].to_pylist(),
+            "v": b[col].to_numpy(zero_copy_only=False),
+        })
+        outs = []
+        for g, sub in df.groupby("g", sort=False):
+            part = _hll_partial(sub["v"].to_numpy()).to_pandas()
+            part[group_col] = g
+            outs.append(part)
+        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
+                                    preserve_index=False)
+
+    from ..stages.grouping import bucketed_group_apply
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby([group_col, "register"], as_index=False)["rho"].max()
+
+    regs = bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size),
+        [group_col], merge).to_pandas()
+    rows = [(g, hll_estimate_from_registers(sub))
+            for g, sub in regs.groupby(group_col, sort=True)]
+    return pa.table({group_col: pa.array([r[0] for r in rows], pa.string()),
+                     "approx_distinct": pa.array([r[1] for r in rows],
+                                                 pa.int64())})

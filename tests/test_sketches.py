@@ -105,3 +105,25 @@ def test_hll_registers_merge_is_max(ray_session):
     twice = twice.sort_values("register").reset_index(drop=True)
     pd.testing.assert_frame_equal(once, twice)
     assert hll_estimate_from_registers(once) == hll_estimate_from_registers(twice)
+
+
+def test_hll_grouped_close_to_exact(ray_session, sf_unit):
+    import duckdb
+
+    from orthority_ray.sources.pages import read_pages
+    from orthority_ray.sources.sql import with_pages
+    from orthority_ray.stages.sketches import hll_grouped
+
+    out = hll_grouped(
+        read_pages(sf_unit).select_columns(["lang", "doc_id"]),
+        "lang", "doc_id").to_pandas()
+    con = duckdb.connect()
+    for t in ("lineitem", "documents"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_unit}/{t}.parquet'")
+    truth = con.sql(with_pages(
+        "SELECT lang, COUNT(DISTINCT doc_id) AS n FROM pages GROUP BY lang"
+    )).df()
+    m = out.merge(truth, on="lang")
+    assert len(m) == len(truth)
+    rel = (m["approx_distinct"] - m["n"]).abs() / m["n"]
+    assert (rel < 0.05).all(), rel.max()
