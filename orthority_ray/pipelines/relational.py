@@ -746,7 +746,8 @@ def q_custdist(sf_dir: str) -> ray.data.Dataset:
         "c_custkey", "c_count",
     )
     joined = hash_join(cust, per_cust, "c_custkey",
-                       ["c_custkey"], ["c_custkey", "c_count"], how="left")
+                       ["c_custkey"], ["c_custkey", "c_count"], how="left",
+                       types={"c_count": pa.int64()})
 
     def fill(b: pa.Table) -> pa.Table:
         return pa.table({"c_count": pc.fill_null(b["c_count"], 0)})
@@ -943,6 +944,8 @@ def q_big_orders(sf_dir: str) -> ray.data.Dataset:
         big, orders.map_batches(ord_prep, batch_format="pyarrow"),
         "o_orderkey",
         ["o_orderkey", "total_qty"], ["o_orderkey", "o_custkey", "price_cents"],
+        types={"total_qty": pa.int64(), "o_custkey": pa.int64(),
+               "price_cents": pa.int64()},
     )
 
 

@@ -180,6 +180,9 @@ def q_shipping_priority(sf_dir: str) -> ray.data.Dataset:
         li.map_batches(li_prep, batch_format="pyarrow"),
         "o_orderkey",
         ["o_orderkey", "odate_us"], ["o_orderkey", "rev_cents"],
+        # left is the semi join's shuffle output: explicit types skip the
+        # schema() probe that would execute it twice
+        types={"odate_us": pa.int64(), "rev_cents": pa.int64()},
     )
 
     def partial(b: pa.Table) -> pa.Table:
@@ -278,7 +281,8 @@ def q_returned_customers(sf_dir: str) -> ray.data.Dataset:
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     with_nation = hash_join(per_cust, cust, "c_custkey",
                             ["c_custkey", "rev_cents"],
-                            ["c_custkey", "c_nationkey"])
+                            ["c_custkey", "c_nationkey"],
+                            types={"rev_cents": pa.int64()})
 
     import pyarrow.parquet as pq
 
@@ -514,7 +518,8 @@ def q_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
 
     joined = hash_join(rows, per_part, "l_partkey",
                        ["l_partkey", "qty", "price_cents"],
-                       ["l_partkey", "sum_qty", "n_li"])
+                       ["l_partkey", "sum_qty", "n_li"],
+                       types={"sum_qty": pa.int64(), "n_li": pa.int64()})
 
     def small(b: pa.Table) -> pa.Table:
         qty = b["qty"].to_numpy(zero_copy_only=False)
@@ -763,6 +768,7 @@ def q_nation_volume(sf_dir: str) -> ray.data.Dataset:
         "o_orderkey",
         ["o_orderkey", "supp_nation", "yr", "rev_cents"],
         ["o_orderkey", "cust_nation"],
+        types={"cust_nation": pa.int64()},
     )
     return combined_groupby_sum(
         joined.select_columns(["supp_nation", "cust_nation", "yr", "rev_cents"]),

@@ -322,8 +322,15 @@ def verify_pairs(pairs: ray.data.Dataset, reps: ray.data.Dataset,
 
     reps_a = reps.map_batches(_rename("doc_a", "text_a"), batch_format="pyarrow")
     reps_b = reps.map_batches(_rename("doc_b", "text_b"), batch_format="pyarrow")
-    j1 = hash_join(pairs, reps_a, "doc_a", ["doc_a", "doc_b"], ["doc_a", "text_a"])
-    j2 = hash_join(j1, reps_b, "doc_b", ["doc_b", "doc_a", "text_a"], ["doc_b", "text_b"])
+    # explicit types: both inputs are shuffle outputs, and hash_join's
+    # schema() probe would otherwise EXECUTE each upstream chain once just
+    # to learn dtypes (j2 probing j1 re-runs the whole first join)
+    _t = {"doc_a": pa.int64(), "doc_b": pa.int64(),
+          "text_a": pa.string(), "text_b": pa.string()}
+    j1 = hash_join(pairs, reps_a, "doc_a", ["doc_a", "doc_b"], ["doc_a", "text_a"],
+                   types=_t)
+    j2 = hash_join(j1, reps_b, "doc_b", ["doc_b", "doc_a", "text_a"], ["doc_b", "text_b"],
+                   types=_t)
     threshold_pm = int(round(threshold * 1_000_000))
 
     def jacc(b: pa.Table) -> pa.Table:
@@ -454,7 +461,8 @@ def connected_components(pairs: ray.data.Dataset, max_rounds: int = 64) -> ray.d
             batch_format="pyarrow",
         )
         # label(b) flows to a across each edge (a, b); union keeps own label
-        pushed = hash_join(edges, lab_b, "b", ["b", "a"], ["b", "label"]).map_batches(
+        pushed = hash_join(edges, lab_b, "b", ["b", "a"], ["b", "label"],
+                           types={"a": pa.int64(), "label": pa.int64()}).map_batches(
             lambda t: pa.table({"node": t["a"], "label": t["label"]}),
             batch_format="pyarrow",
         )

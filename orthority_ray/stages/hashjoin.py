@@ -111,11 +111,16 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
 
         return [(c, _pa_type(m[c])) for c in cols]
 
-    if types is not None:
+    # per-side: use caller types when they cover the side, else probe its
+    # schema — so a caller can pass ONLY the expensive (shuffle-output)
+    # side's columns and let the cheap map/read side resolve itself
+    if types is not None and all(c in types for c in l_only):
         l_types = [(c, types[c]) for c in l_only]
-        r_types = [(c, types[c]) for c in r_only]
     else:
         l_types = _types(left, l_only)
+    if types is not None and all(c in types for c in r_only):
+        r_types = [(c, types[c]) for c in r_only]
+    else:
         r_types = _types(right, r_only)
     lt = _with_bucket(left.select_columns(left_cols), key, 0, n_buckets, left_cols, r_types)
     rt = _with_bucket(right.select_columns(right_cols), key, 1, n_buckets, right_cols, l_types)
