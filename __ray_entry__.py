@@ -238,6 +238,25 @@ def q_token_cooccurrence(sf_dir: str):
 _WS_HASH = "(doc_id * 2654435761) % 4294967296"
 
 
+def q_event_p95(sf_dir: str):
+    """Exact p95 of event value cents per event type (grouped discrete
+    quantile, stages/quantiles.grouped_median at q=0.95)."""
+    from orthority_ray.pipelines.relational import _read, cents
+    from orthority_ray.stages.quantiles import grouped_median
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b):
+        import numpy as np
+
+        v = cents(b["value"].to_numpy(zero_copy_only=False))
+        return pa.table({"event_type": b["event_type"], "v_cents": pa.array(v)})
+
+    return grouped_median(
+        ev.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        "event_type", "v_cents", q=0.95)
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic quality-weighted Bernoulli sample (importance sampling
     for data mixing): keep a page iff hash(doc_id) * 1e6 < quality * 2^32 —
@@ -658,6 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "posting_stats": q_posting_stats,
         "token_cooccurrence": q_token_cooccurrence,
         "weighted_sample": q_weighted_sample,
+        "event_p95": q_event_p95,
         "bloom_semijoin": BL.bloom_semijoin,
         "embedding_kmeans": KM.embedding_kmeans,
         "incremental_dedup": DI.incremental_dedup,
@@ -792,6 +812,10 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": S.with_pages(TF.sql_tfidf_topk()),
         "posting_stats": S.with_pages(TF.sql_posting_stats()),
         "token_cooccurrence": S.with_pages(TF.sql_token_cooccurrence()),
+        "event_p95": __import__("orthority_ray.stages.quantiles", fromlist=["sql_grouped_median"]).sql_grouped_median(
+            "event_type", "v_cents",
+            "(SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_cents FROM events)",
+            0.95),
         "weighted_sample": S.with_pages(
             f"""SELECT doc_id, quality FROM ({T.SQL_QUALITY})
                 WHERE {_WS_HASH} * 1000000 < quality * 4294967296"""

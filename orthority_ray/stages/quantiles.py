@@ -50,7 +50,10 @@ def grouped_median(ds: ray.data.Dataset, key: str, col: str,
         starts = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
         ends = np.concatenate([starts[1:], [len(g)]])
         n = ends - starts
-        idx = starts + np.floor((n - 1) * q).astype(np.int64)
+        # DuckDB quantile_disc picks the smallest element with CDF >= q:
+        # index ceil(n*q) - 1 (verified against all fractional cases;
+        # identical to floor((n-1)*q) at q=0.5, so median oracles stand)
+        idx = starts + np.ceil(n * q).astype(np.int64) - 1
         return pd.DataFrame(
             {key: k[starts], "n": n.astype(np.int64),
              "median": v[idx].astype(np.int64)}
