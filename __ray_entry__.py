@@ -238,6 +238,12 @@ def q_token_cooccurrence(sf_dir: str):
 _WS_HASH = "(doc_id * 2654435761) % 4294967296"
 
 
+def q_boolean_search(sf_dir: str):
+    """Conjunctive keyword search: docs containing ALL of three terms
+    (posting-list intersection at rep level + md5 expansion join)."""
+    return TF.boolean_search(read_pages(sf_dir))
+
+
 def q_event_p95(sf_dir: str):
     """Exact p95 of event value cents per event type (grouped discrete
     quantile, stages/quantiles.grouped_median at q=0.95)."""
@@ -676,6 +682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": q_tfidf_topk,
         "posting_stats": q_posting_stats,
         "token_cooccurrence": q_token_cooccurrence,
+        "boolean_search": q_boolean_search,
         "weighted_sample": q_weighted_sample,
         "event_p95": q_event_p95,
         "bloom_semijoin": BL.bloom_semijoin,
@@ -812,6 +819,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": S.with_pages(TF.sql_tfidf_topk()),
         "posting_stats": S.with_pages(TF.sql_posting_stats()),
         "token_cooccurrence": S.with_pages(TF.sql_token_cooccurrence()),
+        "boolean_search": S.with_pages(TF.sql_boolean_search()),
         "event_p95": __import__("orthority_ray.stages.quantiles", fromlist=["sql_grouped_median"]).sql_grouped_median(
             "event_type", "v_cents",
             "(SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_cents FROM events)",

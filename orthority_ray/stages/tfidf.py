@@ -300,3 +300,60 @@ FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.token < b.token
 GROUP BY 1, 2
 HAVING CAST(COUNT(*) AS BIGINT) * {COOC_PCT} >= (SELECT n FROM tot)
 """.strip()
+
+
+# --- boolean AND search ------------------------------------------------------
+
+SEARCH_TERMS = ("data", "batch", "filter")
+
+
+def boolean_search(pages: ray.data.Dataset,
+                   terms: tuple[str, ...] = SEARCH_TERMS) -> ray.data.Dataset:
+    """Posting-list intersection: documents containing ALL ``terms``
+    (conjunctive keyword search).  Rep-level: a text matches iff its
+    distinct-token rows cover every term — the match test touches only the
+    term-filtered slice of the rep-token table, then the usual md5
+    expansion join emits (doc_id, tf_total)."""
+    from ..stages.grouping import bucketed_group_apply
+    from ..stages.hashjoin import hash_join
+
+    rows = _doc_text_rows(pages)
+    rep_tf = _rep_tf(_reps(rows))
+    term_set = set(terms)
+
+    def only_terms(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["token"], value_set=pa.array(sorted(term_set)))
+        return b.filter(keep).select(["text_md5", "token", "tf"])
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("text_md5", as_index=False).agg(
+            n_terms=("token", "nunique"), tf_total=("tf", "sum"))
+        agg = agg[agg["n_terms"] == len(term_set)]
+        return agg[["text_md5", "tf_total"]]
+
+    rep_hits = bucketed_group_apply(
+        rep_tf.map_batches(only_terms, batch_format="pyarrow",
+                           batch_size=None),
+        ["text_md5"], match)
+
+    def doc_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["doc_id"], 0))
+        return t.select(["doc_id", "text_md5"])
+
+    left = rows.map_batches(doc_rows, batch_format="pyarrow",
+                            batch_size=65536)
+    joined = hash_join(left, rep_hits, "text_md5",
+                       ["doc_id", "text_md5"], ["text_md5", "tf_total"],
+                       left_dedup="doc_id",
+                       types={"doc_id": pa.int64(), "tf_total": pa.int64()})
+    return joined.select_columns(["doc_id", "tf_total"])
+
+
+def sql_boolean_search(terms: tuple[str, ...] = SEARCH_TERMS) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+, {_TOK_CTE}
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf_total
+FROM tok WHERE token IN ({in_list})
+GROUP BY doc_id HAVING COUNT(*) = {len(terms)}
+""".strip()
