@@ -244,6 +244,12 @@ def q_boolean_search(sf_dir: str):
     return TF.boolean_search(read_pages(sf_dir))
 
 
+def q_phrase_search(sf_dir: str):
+    """Exact phrase occurrence counts per doc (rep-level count_substring +
+    md5 expansion join)."""
+    return TF.phrase_search(read_pages(sf_dir))
+
+
 def q_event_p95(sf_dir: str):
     """Exact p95 of event value cents per event type (grouped discrete
     quantile, stages/quantiles.grouped_median at q=0.95)."""
@@ -683,6 +689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "posting_stats": q_posting_stats,
         "token_cooccurrence": q_token_cooccurrence,
         "boolean_search": q_boolean_search,
+        "phrase_search": q_phrase_search,
         "weighted_sample": q_weighted_sample,
         "event_p95": q_event_p95,
         "bloom_semijoin": BL.bloom_semijoin,
@@ -820,6 +827,7 @@ def oracle_sql() -> dict[str, str]:
         "posting_stats": S.with_pages(TF.sql_posting_stats()),
         "token_cooccurrence": S.with_pages(TF.sql_token_cooccurrence()),
         "boolean_search": S.with_pages(TF.sql_boolean_search()),
+        "phrase_search": S.with_pages(TF.sql_phrase_search()),
         "event_p95": __import__("orthority_ray.stages.quantiles", fromlist=["sql_grouped_median"]).sql_grouped_median(
             "event_type", "v_cents",
             "(SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_cents FROM events)",

@@ -357,3 +357,53 @@ SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf_total
 FROM tok WHERE token IN ({in_list})
 GROUP BY doc_id HAVING COUNT(*) = {len(terms)}
 """.strip()
+
+
+# --- exact phrase search -----------------------------------------------------
+
+PHRASE = "data batch"
+
+
+def phrase_search(pages: ray.data.Dataset,
+                  phrase: str = PHRASE) -> ray.data.Dataset:
+    """Exact phrase search: (doc_id, n_hits) for documents whose text
+    contains the phrase, with the non-overlapping occurrence count
+    (Arrow ``count_substring`` == DuckDB's replace-length arithmetic for a
+    non-self-overlapping phrase).  Counting runs once per DISTINCT text
+    (rep level), then the md5 expansion join labels the docs."""
+    from ..stages.hashjoin import hash_join
+
+    rows = _doc_text_rows(pages)
+    reps = _reps(rows)
+
+    def hits(b: pa.Table) -> pa.Table:
+        n = pc.count_substring(b["text"], phrase)
+        t = pa.table({"text_md5": b["text_md5"],
+                      "n_hits": n.cast(pa.int64())})
+        return t.filter(pc.greater(t["n_hits"], 0))
+
+    rep_hits = reps.map_batches(hits, batch_format="pyarrow",
+                                batch_size=None)
+
+    def doc_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["doc_id"], 0))
+        return t.select(["doc_id", "text_md5"])
+
+    left = rows.map_batches(doc_rows, batch_format="pyarrow",
+                            batch_size=65536)
+    joined = hash_join(left, rep_hits, "text_md5",
+                       ["doc_id", "text_md5"], ["text_md5", "n_hits"],
+                       left_dedup="doc_id",
+                       types={"doc_id": pa.int64(), "n_hits": pa.int64()})
+    return joined.select_columns(["doc_id", "n_hits"])
+
+
+def sql_phrase_search(phrase: str = PHRASE) -> str:
+    return f"""
+, dpages AS (SELECT DISTINCT doc_id, text FROM pages)
+SELECT doc_id,
+       CAST((length(text) - length(replace(text, '{phrase}', '')))
+            // {len(phrase)} AS BIGINT) AS n_hits
+FROM dpages
+WHERE contains(text, '{phrase}')
+""".strip()
