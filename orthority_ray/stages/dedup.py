@@ -568,3 +568,65 @@ def simhash_buckets(ds: ray.data.Dataset) -> ray.data.Dataset:
         hashed.map_batches(explode, batch_format="pyarrow").select_columns(["band", "value"]),
         ["band", "value"], [], count_alias="n_docs",
     )
+
+
+def write_dedup_layout(sf_dir: str, out_dir: str, n_parts: int = 16,
+                       resume: bool = True) -> pd.DataFrame:
+    """Resumable deduplicated-corpus output: the exact-dedup representative
+    set written as hash-partitioned parquet with per-partition lineage
+    manifests + metrics, and crash recovery by manifest anti-join — the
+    SECOND consumer of ``state/lineage`` (after the flagship write),
+    showing the write-then-manifest commit protocol is a generic primitive,
+    not a flagship special.  Returns the manifest table."""
+    from ..pipelines.flagship import input_fingerprint
+    from ..sources.pages import read_pages
+    from ..state import lineage
+
+    fp = "dedup:" + input_fingerprint(sf_dir)
+    planned = list(range(n_parts))
+    missing = lineage.plan_missing(out_dir, planned, fp) if resume else planned
+    if not missing:
+        return lineage.load_manifest_table(out_dir)
+    missing_set = frozenset(missing)
+
+    reps = exact_dedup(read_pages(sf_dir))
+
+    out_cols = ["doc_id", "url", "warc_ts", "lang", "text_md5", "text"]
+
+    def with_part(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        part = ((d * 2654435761) % 4294967296) % n_parts
+        # canonical column set (html payload dropped: the dedup layout is
+        # the text corpus); EVERY partition — including empty ones below —
+        # must carry exactly this schema (ADVICE r1: mixed part schemas
+        # break any read over part=*/data.parquet)
+        t = b.select(out_cols).append_column("part", pa.array(part))
+        return t.filter(pa.array(np.isin(part, list(missing_set))))
+
+    staged = reps.map_batches(with_part, batch_format="pyarrow",
+                              batch_size=65536)
+
+    def write_part(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        part = int(g["part"][0].as_py())
+        tbl = g.take(pc.sort_indices(g, sort_keys=[("doc_id", "ascending")]))
+        man = lineage.write_partition(out_dir, part, tbl,
+                                      checksum_cols=["doc_id"],
+                                      input_fingerprint=fp)
+        return pa.Table.from_pylist([{"partition": man["partition"],
+                                      "rows": man["rows"]}])
+
+    staged.groupby("part").map_groups(
+        write_part, batch_format="pyarrow").materialize()
+    for p in lineage.plan_missing(out_dir, planned, fp):
+        # planned partitions with zero representatives still commit (schema
+        # from a completed sibling is unnecessary: fixed rep schema)
+        empty = pa.schema([("doc_id", pa.int64()), ("url", pa.string()),
+                           ("warc_ts", pa.timestamp("us")),
+                           ("lang", pa.string()), ("text_md5", pa.string()),
+                           ("text", pa.string()),
+                           ("part", pa.int64())]).empty_table()
+        lineage.write_partition(out_dir, p, empty, checksum_cols=["doc_id"],
+                                input_fingerprint=fp)
+    return lineage.load_manifest_table(out_dir)

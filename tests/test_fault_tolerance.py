@@ -57,3 +57,37 @@ def test_partition_write_idempotent(tmp_path):
     assert len(files) == 1  # overwrite, not append
     assert pq.read_table(files[0]).num_rows == 100
     assert lineage.completed_partitions(tmp_path)[3]["rows"] == 100
+
+def test_dedup_layout_resume_recomputes_only_missing(ray_session, sf_unit, tmp_path):
+    """Second lineage consumer: the dedup layout commits per-partition
+    manifests, survives losing partitions, and resume recomputes ONLY the
+    missing ones with identical content and ONE consistent schema."""
+    import pyarrow.parquet as pq
+    import shutil
+
+    from orthority_ray.stages.dedup import write_dedup_layout
+
+    out = str(tmp_path / "dedup_out")
+    m1 = write_dedup_layout(sf_unit, out)
+    assert len(m1) == 16 and m1["rows"].sum() == 500
+    schemas = {tuple(pq.read_schema(p).names)
+               for p in (tmp_path / "dedup_out").glob("part=*/data.parquet")}
+    assert len(schemas) == 1  # every partition, empty or not, one schema
+
+    victims = [p for p in m1.sort_values("rows", ascending=False)
+               ["partition"].tolist()[:2]]
+    before = {int(r["partition"]): int(r["checksum"])
+              for _, r in m1.iterrows()}
+    for v in victims:
+        shutil.rmtree(tmp_path / "dedup_out" / f"part={v:05d}")
+        (tmp_path / "dedup_out" / "_manifests" / f"part-{v:05d}.json").unlink()
+    untouched_mtime = {
+        p.parent.name: p.stat().st_mtime_ns
+        for p in (tmp_path / "dedup_out").glob("part=*/data.parquet")}
+
+    m2 = write_dedup_layout(sf_unit, out)  # resume
+    after = {int(r["partition"]): int(r["checksum"]) for _, r in m2.iterrows()}
+    assert after == before  # identical content restored
+    for p in (tmp_path / "dedup_out").glob("part=*/data.parquet"):
+        if p.parent.name in untouched_mtime:
+            assert p.stat().st_mtime_ns == untouched_mtime[p.parent.name]
