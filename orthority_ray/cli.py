@@ -34,6 +34,16 @@ def cmd_flagship(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    _ray_session()
+    from .stages.dedup import write_dedup_layout
+
+    man = write_dedup_layout(args.sf_dir, args.out, n_parts=args.parts,
+                             resume=not args.no_resume)
+    print(man.to_string(index=False))
+    return 0
+
+
 def cmd_query(args) -> int:
     _ray_session()
     import pandas as pd
@@ -145,6 +155,13 @@ def main(argv=None) -> int:
     f.add_argument("--parts", type=int, default=16)
     f.add_argument("--no-resume", action="store_true")
     f.set_defaults(fn=cmd_flagship)
+
+    d = sub.add_parser("dedup", help="run/resume the dedup-corpus layout")
+    d.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    d.add_argument("--out", required=True)
+    d.add_argument("--parts", type=int, default=16)
+    d.add_argument("--no-resume", action="store_true")
+    d.set_defaults(fn=cmd_dedup)
 
     q = sub.add_parser("query", help="run a named query")
     q.add_argument("name")
