@@ -1135,3 +1135,49 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
                       AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS step3_purchase
 FROM u
 """.strip()
+
+
+# --- JSON property extraction ------------------------------------------------
+
+
+def q_props_stats(sf_dir: str) -> ray.data.Dataset:
+    """Semi-structured payload extraction: parse the integer ``k`` out of
+    the events' JSON ``props`` with ONE vectorized Arrow regex per batch
+    (no per-row json.loads), then the usual per-block-combined rollup per
+    event type.  DuckDB verifies through its real JSON reader, so the
+    regex fast path is proven equivalent to full JSON parsing on this
+    data."""
+    import pyarrow.compute as pc
+
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"].combine_chunks(),
+                             r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        if k.null_count:
+            raise ValueError("unparseable props row")  # fast path must cover all
+        df = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                           "k": k.to_numpy(zero_copy_only=False)})
+        g = df.groupby("event_type", as_index=False).agg(
+            n_events=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max"))
+        g["n_events"] = g["n_events"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("event_type", as_index=False).agg(
+            n_events=("n_events", "sum"), sum_k=("sum_k", "sum"),
+            max_k=("max_k", "max"))
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby("event_type").map_groups(final, batch_format="pandas")
+    )
+
+
+SQL_PROPS_STATS = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+""".strip()
