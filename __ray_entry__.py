@@ -652,6 +652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": R.q_value_histogram,
         "funnel": R.q_funnel,
         "props_stats": R.q_props_stats,
+        "retention": R.q_retention,
         "table_diff": TD.table_diff,
         "customers_per_region": R.q_customers_per_region,
         "top_orders": R.q_top_orders,
@@ -791,6 +792,7 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": R.SQL_VALUE_HISTOGRAM,
         "funnel": R.SQL_FUNNEL,
         "props_stats": R.SQL_PROPS_STATS,
+        "retention": R.SQL_RETENTION,
         "table_diff": TD.sql_table_diff(),
         "customers_per_region": R.SQL_CUSTOMERS_PER_REGION,
         "top_orders": R.SQL_TOP_ORDERS,

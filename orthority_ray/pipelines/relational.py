@@ -1181,3 +1181,65 @@ SELECT event_type, COUNT(*) AS n_events,
        CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type
 """.strip()
+
+
+# --- cohort retention --------------------------------------------------------
+
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def q_retention(sf_dir: str) -> ray.data.Dataset:
+    """Cohort retention: users grouped by first-event week (cohort), counted
+    as active in each later week — (cohort_week, week_offset, n_users).
+    Shape: per-block distinct (user, week) + per-user min-week partials,
+    one user-bucketed merge attaches the cohort to every activity row, and
+    the final rollup is (weeks x offsets)-sized.  All integer epoch-week
+    arithmetic (non-negative, floor == truncation)."""
+    from ..stages.grouping import bucketed_group_apply
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        week = t // WEEK_US
+        df = pd.DataFrame({"user_id": b["user_id"].to_numpy(zero_copy_only=False),
+                           "week": week}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        cohort = g.groupby("user_id")["week"].transform("min")
+        out = pd.DataFrame({"cohort_week": cohort.to_numpy(),
+                            "week_offset": (g["week"] - cohort).to_numpy()})
+        # combiner: collapse to per-(cohort, offset) partial counts — every
+        # (user, week) is globally unique after the per-user bucket dedup,
+        # so partial counts sum exactly
+        c = out.groupby(["cohort_week", "week_offset"], as_index=False).size()
+        c = c.rename(columns={"size": "n_users"})
+        c["n_users"] = c["n_users"].astype(np.int64)
+        return c
+
+    partials = bucketed_group_apply(
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["user_id"], merge)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["cohort_week", "week_offset"], as_index=False).agg(
+            n_users=("n_users", "sum"))
+
+    return (
+        partials.groupby(["cohort_week", "week_offset"])
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+SQL_RETENTION = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {WEEK_US} AS week FROM events),
+coh AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id)
+SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+       CAST(u.week - c.cohort_week AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM uw u JOIN coh c USING (user_id)
+GROUP BY 1, 2
+""".strip()
