@@ -638,8 +638,12 @@ def q_sales_opportunity(sf_dir: str) -> ray.data.Dataset:
 
     def prep(b: pa.Table) -> pa.Table:
         bal = cents(b["c_acctbal"].to_numpy(zero_copy_only=False))
+        # int64 up front: the final pandas rollup upcasts int32 anyway,
+        # but only on NON-EMPTY frames — a scale-dependent dtype (0 rows at
+        # sf0.01 stayed int32; 1 row at sf0.1 became int64).  Cast both
+        # sides unconditionally (SQL casts to BIGINT).
         return pa.table({"c_custkey": b["c_custkey"],
-                         "c_nationkey": b["c_nationkey"],
+                         "c_nationkey": b["c_nationkey"].cast(pa.int64()),
                          "bal_cents": pa.array(bal)})
 
     orders = _read(sf_dir, "orders", ["o_custkey"])
@@ -665,14 +669,14 @@ def q_sales_opportunity(sf_dir: str) -> ray.data.Dataset:
     if out.empty:
         # an empty Dataset drops its schema through the aggregate; the
         # result is nation-dimension-sized either way, so return it typed
-        out = pd.DataFrame({"c_nationkey": pd.array([], dtype="int32"),
+        out = pd.DataFrame({"c_nationkey": pd.array([], dtype="int64"),
                             "n_cust": pd.array([], dtype="int64"),
                             "bal_cents": pd.array([], dtype="int64")})
     return out
 
 
 SQL_SALES_OPPORTUNITY = """
-SELECT c_nationkey, COUNT(*) AS n_cust,
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, COUNT(*) AS n_cust,
        CAST(SUM(bal_cents) AS BIGINT) AS bal_cents
 FROM (
   SELECT c.c_nationkey,
