@@ -10,10 +10,10 @@ state:
    per-block pre-counts) into an exact (word, n) Dataset via a bucketed
    sum — identical machinery to the `vocabulary` oracle;
 2. each round, a pass over the HISTOGRAM (not the corpus) counts adjacent
-   symbol pairs weighted by word frequency; per-block partials flow into
-   a bucketed sum, each bucket nominates its best pair, and the driver
-   picks among ~n_buckets candidates — the global argmax with the
-   deterministic tie-break (count desc, then pair lexicographic asc);
+   symbol pairs weighted by word frequency; the global argmax (count desc,
+   then pair lexicographic asc) comes from a driver fold of the bounded
+   per-block partials when the histogram is a few blocks, else a bucketed
+   exact sum with one nominee per bucket (see ``_best_pair``);
 3. the winning pair is broadcast and applied to every word's symbol
    sequence in one map; repeat until ``n_merges`` or no pair repeats.
 
@@ -90,9 +90,27 @@ def _pair_counts(sym_ds: ray.data.Dataset) -> ray.data.Dataset:
     return sym_ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
 
 
-def _best_pair(sym_ds: ray.data.Dataset) -> tuple[str, str, int] | None:
-    """Global argmax pair: bucketed exact sum, one nominee per bucket, the
-    driver picks among ~n_buckets rows (count desc, pair asc)."""
+def _best_pair(sym_ds: ray.data.Dataset,
+               small_blocks: int = 8) -> tuple[str, str, int] | None:
+    """Global argmax pair (count desc, then pair lexicographic asc).
+
+    Two exact paths with identical results: when the histogram spans only
+    a few blocks, the per-block pair partials are bounded and fold on the
+    driver (no shuffle — the per-round cost that dominates small-corpus
+    training); at scale, a bucketed exact sum nominates one pair per
+    bucket and the driver picks among ~n_buckets rows."""
+    parts = _pair_counts(sym_ds)
+    if sym_ds.num_blocks() <= small_blocks:
+        agg: dict[tuple[str, str], int] = {}
+        for r in parts.take_all():
+            k = (r["left"], r["right"])
+            agg[k] = agg.get(k, 0) + int(r["cnt"])
+        cand = [(c, p) for p, c in agg.items() if c >= 2]
+        if not cand:
+            return None
+        cand.sort(key=lambda x: (-x[0], x[1]))
+        return cand[0][1][0], cand[0][1][1], cand[0][0]
+
     from ..stages.grouping import bucketed_group_apply
 
     def bucket_best(g: pd.DataFrame) -> pd.DataFrame:
@@ -101,7 +119,7 @@ def _best_pair(sym_ds: ray.data.Dataset) -> tuple[str, str, int] | None:
                           ascending=[False, True, True], kind="mergesort")
         return s.head(1)
 
-    rows = bucketed_group_apply(_pair_counts(sym_ds), ["left", "right"],
+    rows = bucketed_group_apply(parts, ["left", "right"],
                                 bucket_best, n_buckets=16).take_all()
     rows = [r for r in rows if r["cnt"] >= 2]
     if not rows:
@@ -154,7 +172,7 @@ def train_bpe(pages: ray.data.Dataset, n_merges: int = N_MERGES) -> pd.DataFrame
 def bpe_train(sf_dir: str, n_merges: int = 12) -> pd.DataFrame:
     """Rows-only query: the learned merge table over the page corpus.
     12 merges keeps the (inherently sequential) round count benchmarkable;
-    each round is ~0.25 s of fixed dispatch on this corpus — the histogram
+    each round is ~0.1 s of fixed dispatch on this corpus — the histogram
     passes themselves are vocab-sized, not corpus-sized."""
     from ..sources.pages import read_pages
 
