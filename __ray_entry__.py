@@ -653,6 +653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": R.q_funnel,
         "props_stats": R.q_props_stats,
         "retention": R.q_retention,
+        "event_outliers": R.q_event_outliers,
         "table_diff": TD.table_diff,
         "customers_per_region": R.q_customers_per_region,
         "top_orders": R.q_top_orders,
@@ -793,6 +794,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": R.SQL_FUNNEL,
         "props_stats": R.SQL_PROPS_STATS,
         "retention": R.SQL_RETENTION,
+        "event_outliers": R.SQL_EVENT_OUTLIERS,
         "table_diff": TD.sql_table_diff(),
         "customers_per_region": R.SQL_CUSTOMERS_PER_REGION,
         "top_orders": R.SQL_TOP_ORDERS,

@@ -1243,3 +1243,74 @@ SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
 FROM uw u JOIN coh c USING (user_id)
 GROUP BY 1, 2
 """.strip()
+
+
+# --- integer-exact outlier detection -----------------------------------------
+
+ANOM_K = 3  # flag events more than K sigma from the user's mean
+
+
+def q_event_outliers(sf_dir: str) -> ray.data.Dataset:
+    """Per-user outlier events — the z-score test |v - mean| > K*sigma kept
+    EXACT by integer cross-multiplication: with per-user n, s = sum(v),
+    ss = sum(v^2) in cents,
+
+        (v*n - s)^2  >  K^2 * (n*ss - s^2)
+
+    (both sides are the test scaled by n^2 * sigma^2; no float mean/std on
+    either side).  Shape: per-block (user, n, s, ss) partials -> bucketed
+    sum -> broadcast per-user moments -> stateless flag pass.  int64
+    envelope asserted: |v*n - s| < 3e9 and n*ss < 2^60 hold up to cents
+    ~33k x per-user n ~1e5."""
+    from ..stages.grouping import bucketed_group_apply
+    from ..sources.pages import cached_get
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = cents(b["value"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({"user_id": b["user_id"].to_numpy(zero_copy_only=False),
+                           "n": np.ones(len(v), np.int64), "s": v, "ss": v * v})
+        g = df.groupby("user_id", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    moments = bucketed_group_apply(
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["user_id"], lambda g: g.groupby("user_id", as_index=False).sum()
+    ).to_pandas()
+    # per-user moment table is user-dimension-sized; broadcast as sorted
+    # parallel arrays for a vectorized searchsorted probe
+    moments = moments.sort_values("user_id")
+    mom_ref = ray.put((moments["user_id"].to_numpy(), moments["n"].to_numpy(),
+                       moments["s"].to_numpy(), moments["ss"].to_numpy()))
+
+    def flag(b: pa.Table) -> pa.Table:
+        users, n, s, ss = cached_get(mom_ref)
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        v = cents(b["value"].to_numpy(zero_copy_only=False))
+        idx = np.searchsorted(users, u)
+        ni, si, ssi = n[idx], s[idx], ss[idx]
+        var_n2 = ni * ssi - si * si        # n^2 * variance (biased)
+        dev = v * ni - si                  # n * (v - mean)
+        assert int(np.abs(dev).max(initial=0)) < 3_000_000_000  # dev^2 < 2^63
+        lhs = dev * dev
+        rhs = ANOM_K * ANOM_K * var_n2
+        t = b.filter(pa.array(lhs > rhs))
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "v_cents": pa.array(v[lhs > rhs])})
+
+    return ev.map_batches(flag, batch_format="pyarrow", batch_size=65536)
+
+
+SQL_EVENT_OUTLIERS = f"""
+WITH c AS (SELECT event_id, user_id,
+                  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v FROM events),
+m AS (SELECT user_id, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s,
+             CAST(SUM(v * v) AS BIGINT) AS ss
+      FROM c GROUP BY user_id)
+SELECT c.event_id, c.user_id, c.v AS v_cents
+FROM c JOIN m USING (user_id)
+WHERE (c.v * m.n - m.s) * (c.v * m.n - m.s)
+      > {ANOM_K * ANOM_K} * (m.n * m.ss - m.s * m.s)
+""".strip()
