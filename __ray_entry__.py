@@ -654,6 +654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_stats": R.q_props_stats,
         "retention": R.q_retention,
         "event_outliers": R.q_event_outliers,
+        "top_supplier_by_nation": R.q_top_supplier_by_nation,
         "table_diff": TD.table_diff,
         "customers_per_region": R.q_customers_per_region,
         "top_orders": R.q_top_orders,
@@ -795,6 +796,7 @@ def oracle_sql() -> dict[str, str]:
         "props_stats": R.SQL_PROPS_STATS,
         "retention": R.SQL_RETENTION,
         "event_outliers": R.SQL_EVENT_OUTLIERS,
+        "top_supplier_by_nation": R.SQL_TOP_SUPPLIER_BY_NATION,
         "table_diff": TD.sql_table_diff(),
         "customers_per_region": R.SQL_CUSTOMERS_PER_REGION,
         "top_orders": R.SQL_TOP_ORDERS,

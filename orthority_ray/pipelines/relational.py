@@ -1314,3 +1314,47 @@ FROM c JOIN m USING (user_id)
 WHERE (c.v * m.n - m.s) * (c.v * m.n - m.s)
       > {ANOM_K * ANOM_K} * (m.n * m.ss - m.s * m.s)
 """.strip()
+
+
+# --- per-group argmax --------------------------------------------------------
+
+
+def q_top_supplier_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """Argmax-per-group: each nation's highest-balance supplier (ties to the
+    smallest suppkey).  Per-block partial winners are a superset of the
+    global winners (max is mergeable), so the shuffle carries <= one row
+    per (block, nation) — the dimension-sized argmax pattern."""
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        bal = cents(b["s_acctbal"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "s_nationkey": b["s_nationkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "s_suppkey": b["s_suppkey"].to_numpy(zero_copy_only=False),
+            "bal_cents": bal,
+        }).sort_values(["s_nationkey", "bal_cents", "s_suppkey"],
+                       ascending=[True, False, True], kind="mergesort")
+        return pa.Table.from_pandas(df.groupby("s_nationkey").head(1),
+                                    preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["s_nationkey", "bal_cents", "s_suppkey"],
+                          ascending=[True, False, True], kind="mergesort")
+        return g.groupby("s_nationkey", as_index=False).head(1)
+
+    return (
+        sup.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("s_nationkey").map_groups(final, batch_format="pandas")
+    )
+
+
+SQL_TOP_SUPPLIER_BY_NATION = """
+SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, s_suppkey, bal_cents FROM (
+  SELECT s_nationkey, s_suppkey,
+         CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents,
+         row_number() OVER (PARTITION BY s_nationkey
+                            ORDER BY CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT) DESC,
+                                     s_suppkey ASC) AS rn
+  FROM supplier) WHERE rn = 1
+""".strip()
