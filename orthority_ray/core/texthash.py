@@ -117,6 +117,42 @@ def word131_bulk(grams: list[bytes]) -> np.ndarray:
     return _fold_spans(flat, starts, lens, fnv=False)
 
 
+def hash_arrow_strings(col) -> np.ndarray:
+    """FNV-1a per value of an Arrow string/large_string/binary column,
+    hashed STRAIGHT OFF the Arrow offsets+data buffers — no ``to_pylist()``
+    round-trip, no per-value ``.encode()`` (Arrow strings are already
+    utf-8, so the buffer bytes equal the round-1 encode bytes and the
+    output is bit-identical to ``fnv1a_bulk([v.encode() for v in ...])``,
+    pinned by tests/test_texthash.py).
+
+    Null values are rejected with a descriptive error: every caller is a
+    join/bucket key path where a null key has no defined bucket (and the
+    legacy path raised an opaque AttributeError deep inside the tag stage).
+    """
+    import pyarrow as pa
+
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    outs = []
+    for arr in chunks:
+        if arr.null_count:
+            raise ValueError(
+                "null join/bucket keys are not supported; filter nulls "
+                "before hash-partitioning (column type %s)" % arr.type)
+        if len(arr) == 0:
+            continue
+        wide = (pa.types.is_large_string(arr.type)
+                or pa.types.is_large_binary(arr.type))
+        bufs = arr.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int64 if wide else np.int32)
+        offs = offs[arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+        flat = (np.frombuffer(bufs[2], dtype=np.uint8)
+                if bufs[2] is not None else np.empty(0, dtype=np.uint8))
+        outs.append(_fold_spans(flat, offs[:-1], offs[1:] - offs[:-1], fnv=True))
+    if not outs:
+        return np.empty(0, dtype=np.uint64)
+    return outs[0] if len(outs) == 1 else np.concatenate(outs)
+
+
 # --- token/shingle kernels over the normalized buffer -----------------------
 
 

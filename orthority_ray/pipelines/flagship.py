@@ -44,8 +44,9 @@ def part_of(doc_id: np.ndarray, n_parts: int) -> np.ndarray:
 
 
 def input_fingerprint(sf_dir: str) -> str:
-    p = Path(sf_dir) / "lineitem.parquet"
-    return f"{sf_dir}:{p.stat().st_size}"
+    from ..core.config import parquet_bytes, table_path
+
+    return f"{sf_dir}:{parquet_bytes(table_path(sf_dir, 'lineitem'))}"
 
 
 def run_flagship(sf_dir: str, out_dir: str, n_parts: int = N_PARTS,

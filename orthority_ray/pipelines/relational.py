@@ -17,6 +17,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
+from ..core.config import table_path
+
 
 # The testdata tables are single-file single-row-group parquet -> a serial
 # one-task read that throttles every streamed stage behind it (see
@@ -28,19 +30,24 @@ _TABLE_CACHE: dict[tuple, ray.data.Dataset] = {}
 
 
 def _read(sf_dir: str, table: str, columns: list[str]) -> ray.data.Dataset:
-    from ..core.config import read_blocks, session_token
+    from ..core.config import (count_materialized_read, parquet_bytes,
+                               read_blocks, session_token, should_materialize,
+                               table_path)
 
+    path = table_path(sf_dir, table)
+    if not should_materialize(path):
+        # enough fragments to feed the cluster: the native parallel read
+        # streams with backpressure — no object-store copy, no cache
+        return ray.data.read_parquet(path, columns=columns)
     key = (sf_dir, table, tuple(columns), session_token())
     ds = _TABLE_CACHE.get(key)
     if ds is None:
-        from pathlib import Path
-
         # block count scaled to the file: splitting a 1000-row dim table
         # 128 ways just buys 128 trivial task dispatches downstream
-        size = Path(f"{sf_dir}/{table}.parquet").stat().st_size
-        nb = read_blocks() if size > 4_000_000 else 8
+        nb = read_blocks() if parquet_bytes(path) > 4_000_000 else 8
+        count_materialized_read()
         ds = ray.data.read_parquet(
-            f"{sf_dir}/{table}.parquet", columns=columns,
+            path, columns=columns,
             override_num_blocks=nb,
         ).materialize()
         while len(_TABLE_CACHE) >= 12:
@@ -163,8 +170,8 @@ def q_customers_per_region(sf_dir: str) -> ray.data.Dataset:
     """customer ⋈ nation ⋈ region via two broadcast lookups (small dims)."""
     import pyarrow.parquet as pq
 
-    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
-    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    nation = pq.read_table(table_path(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(table_path(sf_dir, "region"), columns=["r_regionkey", "r_name"])
     n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
     r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
     lookup_ref = ray.put((n2r, r2name))
@@ -317,7 +324,7 @@ GROUP BY o.o_orderpriority
 def q_supplier_balance(sf_dir: str) -> ray.data.Dataset:
     import pyarrow.parquet as pq
 
-    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nation = pq.read_table(table_path(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
     n2name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
     ref = ray.put(n2name)
 
@@ -499,7 +506,7 @@ def q_parts_by_brand(sf_dir: str) -> ray.data.Dataset:
     expressed as broadcast lookup (part table is the small side here)."""
     import pyarrow.parquet as pq
 
-    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    part = pq.read_table(table_path(sf_dir, "part"), columns=["p_partkey", "p_brand"])
     # dictionary-encode the broadcast side: partkey -> small int brand CODE
     # (dense array indexed by key), so only int64 codes travel through the
     # map + combiner + shuffle; the 25-row final result decodes to strings.

@@ -34,6 +34,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..core.config import table_path
+
 from .relational import _read, bucketed_sum, cents, combined_groupby_sum
 
 
@@ -286,7 +288,7 @@ def q_returned_customers(sf_dir: str) -> ray.data.Dataset:
 
     import pyarrow.parquet as pq
 
-    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+    nation = pq.read_table(table_path(sf_dir, "nation"),
                            columns=["n_nationkey", "n_name"])
     names = np.empty(int(pc.max(nation["n_nationkey"]).as_py()) + 1, dtype=object)
     names[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_pylist()
@@ -330,7 +332,7 @@ def _brand_codes(sf_dir: str, col: str) -> tuple[np.ndarray, list[str]]:
     small dim side here; the codes array ships once via ray.put)."""
     import pyarrow.parquet as pq
 
-    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", col])
+    part = pq.read_table(table_path(sf_dir, "part"), columns=["p_partkey", col])
     vals = sorted(set(part[col].to_pylist())) + ["NONE"]
     code_of = {v: i for i, v in enumerate(vals)}
     keys = part["p_partkey"].to_numpy()
@@ -428,7 +430,7 @@ def q_top_supplier(sf_dir: str) -> ray.data.Dataset:
 
     import pyarrow.parquet as pq
 
-    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+    sup = pq.read_table(table_path(sf_dir, "supplier"),
                         columns=["s_suppkey", "s_name"])
     names = np.empty(int(pc.max(sup["s_suppkey"]).as_py()) + 1, dtype=object)
     names[sup["s_suppkey"].to_numpy()] = sup["s_name"].to_pylist()
@@ -733,7 +735,7 @@ def q_nation_volume(sf_dir: str) -> ray.data.Dataset:
 
     import pyarrow.parquet as pq
 
-    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+    sup = pq.read_table(table_path(sf_dir, "supplier"),
                         columns=["s_suppkey", "s_nationkey"])
     sk = sup["s_suppkey"].to_numpy()
     snation = np.full(int(sk.max()) + 2, -1, dtype=np.int64)
@@ -816,10 +818,10 @@ def q_local_volume(sf_dir: str) -> ray.data.Dataset:
 
     lo, hi = _us(Q5_LO), _us(Q5_HI)
 
-    region = pq.read_table(f"{sf_dir}/region.parquet")
+    region = pq.read_table(table_path(sf_dir, "region"))
     rkey = region["r_regionkey"].to_numpy()[
         np.array(region["r_name"].to_pylist()) == Q5_REGION][0]
-    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nation = pq.read_table(table_path(sf_dir, "nation"))
     nmask = nation["n_regionkey"].to_numpy() == rkey
     region_nations = nation["n_nationkey"].to_numpy()[nmask].astype(np.int64)
     names = {int(k): v for k, v in zip(
@@ -858,7 +860,7 @@ def q_local_volume(sf_dir: str) -> ray.data.Dataset:
         types={"o_orderkey": pa.int64(), "cust_nation": pa.int64()},
     )
 
-    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+    sup = pq.read_table(table_path(sf_dir, "supplier"),
                         columns=["s_suppkey", "s_nationkey"])
     sk = sup["s_suppkey"].to_numpy()
     snation = np.full(int(sk.max()) + 2, -1, dtype=np.int64)
@@ -965,20 +967,20 @@ def q_market_share(sf_dir: str) -> ray.data.Dataset:
 
     lo, hi = _us(Q8_LO), _us(Q8_HI)
 
-    region = pq.read_table(f"{sf_dir}/region.parquet")
+    region = pq.read_table(table_path(sf_dir, "region"))
     rkey = region["r_regionkey"].to_numpy()[
         np.array(region["r_name"].to_pylist()) == Q8_REGION][0]
-    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nation = pq.read_table(table_path(sf_dir, "nation"))
     region_nations = nation["n_nationkey"].to_numpy()[
         nation["n_regionkey"].to_numpy() == rkey].astype(np.int64)
     target = int(nation["n_nationkey"].to_numpy()[
         np.array(nation["n_name"].to_pylist()) == Q8_NATION][0])
 
-    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    part = pq.read_table(table_path(sf_dir, "part"), columns=["p_partkey", "p_type"])
     pk = part["p_partkey"].to_numpy()
     promo = np.zeros(int(pk.max()) + 2, dtype=bool)
     promo[pk[np.array(part["p_type"].to_pylist()) == Q8_TYPE]] = True
-    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+    sup = pq.read_table(table_path(sf_dir, "supplier"),
                         columns=["s_suppkey", "s_nationkey"])
     sk = sup["s_suppkey"].to_numpy()
     snation = np.full(int(sk.max()) + 2, -1, dtype=np.int64)
@@ -1116,7 +1118,7 @@ def q_pushdown_revenue(sf_dir: str) -> pd.DataFrame:
     from ..core.config import read_blocks
 
     ds = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
+        table_path(sf_dir, "lineitem"),
         columns=["l_quantity", "l_extendedprice", "l_discount"],
         filter=(pds.field("l_quantity") >= PUSHDOWN_QTY),
         override_num_blocks=read_blocks(),

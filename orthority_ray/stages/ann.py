@@ -24,6 +24,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..core.config import table_path
+
 
 K = 10
 QUERY_MOD = 50  # vec_id % 50 == 0 -> 1/50 of vectors are queries
@@ -34,7 +36,7 @@ N_PLANES = 4  # LSH hyperplanes -> 16 buckets + 1-bit probes; tune up as the
 
 
 def read_embeddings(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ray.data.read_parquet(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
 
 
 def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -49,7 +51,7 @@ def load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """(qids, Q x d unit matrix) — the broadcast side (vec_id % QUERY_MOD == 0)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = pq.read_table(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     ids, m = _emb_matrix(t)
     sel = ids % QUERY_MOD == 0
     return ids[sel], m[sel]
@@ -153,7 +155,7 @@ def train_centroids(sf_dir: str, nlist: int = N_LIST, iters: int = 5,
     aggregate, but the centroid table stays nlist x dim either way."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = pq.read_table(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     ids, m = _emb_matrix(t)
     s = m[ids % sample_mod == 0]
     sn = s / np.sqrt((s * s).sum(axis=1, keepdims=True))
@@ -328,7 +330,7 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95) -> ray.data.Dataset:
     """
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = pq.read_table(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     all_ref = ray.put(_emb_matrix(t))
     thresh_key = int(np.floor(threshold * SIM_SCALE + 0.5))
 
@@ -378,7 +380,7 @@ def embedding_neardup_blockpair(sf_dir: str, threshold: float = 0.95) -> ray.dat
     # split the single-file read: B blocks -> B(B+1)/2 tasks; one unsplit
     # block would serialize the whole N^2 scan into a single task
     refs = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"],
         override_num_blocks=16,
     ).to_arrow_refs()
 

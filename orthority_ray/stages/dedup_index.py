@@ -35,6 +35,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..core.config import table_path
+
 N_SHARDS = 8
 _MUT_MOD = 7
 _MUT_SUFFIX = " v2"
@@ -147,7 +149,7 @@ def incremental_dedup(sf_dir: str) -> ray.data.Dataset:
     every page row (with the %7 mutation applied) against it."""
     from ..sources.pages import read_pages
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = ray.data.read_parquet(table_path(sf_dir, "documents"),
                                  columns=["text"])
     index = DedupIndex.create()
     build_index(docs, index)

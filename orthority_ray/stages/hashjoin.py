@@ -30,11 +30,9 @@ def _bucket_of(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> np.ndarray:
     typ = col.type if isinstance(col, (pa.Array, pa.ChunkedArray)) else None
     if typ is not None and (pa.types.is_string(typ) or pa.types.is_large_string(typ)
                             or pa.types.is_binary(typ)):
-        from ..core.texthash import fnv1a_bulk
+        from ..core.texthash import hash_arrow_strings
 
-        vals = col.to_pylist()
-        h = fnv1a_bulk([v if isinstance(v, bytes) else v.encode("utf-8")
-                        for v in vals])
+        h = hash_arrow_strings(col)  # zero-copy off the Arrow buffers
         return (h % np.uint64(n_buckets)).astype(np.int64)
     k = col.to_numpy(zero_copy_only=False).astype(np.int64)
     return ((k * 2654435761) % 4294967296) % n_buckets

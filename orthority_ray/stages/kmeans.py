@@ -36,6 +36,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..core.config import table_path
+
 K_CLUSTERS = 10
 ITERS = 12
 
@@ -48,18 +50,16 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 def read_embeddings_blocks(sf_dir: str) -> ray.data.Dataset:
     """Embeddings materialized with a fixed block count (the single-file
     testdata parquet is otherwise ONE serial block; see sources/pages.py)."""
-    import pyarrow.parquet as pq
-
-    from ..core.config import read_blocks
+    from ..core.config import parquet_num_rows, read_blocks
 
     # block count is DATA-derived (rows / 1024, capped), never CPU-derived —
     # partial boundaries must not depend on the worker count (invariance),
     # and 12 Lloyd rounds over hundreds of near-empty blocks would be pure
     # dispatch overhead at test scale
-    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    n_rows = parquet_num_rows(table_path(sf_dir, "embeddings"))
     blocks = max(1, min(read_blocks(), (n_rows + 1023) // 1024))
     return ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"],
         override_num_blocks=blocks,
     ).materialize()
 

@@ -32,6 +32,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..core.config import table_path
+
 THRESH_NUM, THRESH_DEN = 7, 10  # Jaccard >= 0.7
 N_BLOCKS = 8
 
@@ -114,7 +116,7 @@ def ngram_jaccard_pairs(sf_dir: str, num: int = THRESH_NUM,
     intersection/union sizes."""
     from .grouping import bucketed_group_apply
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = ray.data.read_parquet(table_path(sf_dir, "documents"),
                                  columns=["doc_id", "text"],
                                  override_num_blocks=N_BLOCKS)
 

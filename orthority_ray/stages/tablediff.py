@@ -32,6 +32,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..core.config import table_path
+
 N_BUCKETS = 256
 
 
@@ -132,7 +134,7 @@ MUT_MOD, DEL_MOD, ADD_MOD, ADD_OFFSET = 7, 31, 41, 10000
 def table_diff(sf_dir: str) -> ray.data.Dataset:
     """Oracle query: documents vs a deterministically mutated snapshot
     (every %7 text edited, every %31 dropped, a new doc per %41)."""
-    left = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    left = ray.data.read_parquet(table_path(sf_dir, "documents"),
                                  columns=["doc_id", "text"])
 
     def mutate(b: pa.Table) -> pa.Table:

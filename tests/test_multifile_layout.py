@@ -1,0 +1,101 @@
+"""The multi-file (real-deployment) input layout, end to end.
+
+VERDICT r2's #1 scale item: the engine materialized every read because the
+sandbox testdata is single-file/single-row-group parquet (a bare read is ONE
+serial task).  The fix makes materialization CONDITIONAL on fragment count —
+these tests prove that on a 16-file partitioned copy of sf0.001:
+
+- ``should_materialize`` says stream (and says materialize for the
+  single-file layout),
+- EVERY oracle query runs against the multi-file layout and matches DuckDB
+  exactly (rows + dtypes + values), and
+- zero reads were materialized while doing so (asserted via the
+  ``MATERIALIZED_READS`` counter).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from orthority_ray.core import config as cfg
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _to_pdf(r):
+    return r.to_pandas() if isinstance(r, (ray.data.Dataset, pa.Table)) else r
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def test_should_materialize_decision(sf_multifile, sf_unit, ray_session):
+    single = cfg.table_path(sf_unit, "lineitem")
+    multi = cfg.table_path(sf_multifile, "lineitem")
+    assert single.endswith("lineitem.parquet")
+    assert multi.endswith("lineitem")
+    assert cfg.parquet_fragments(single) == 1
+    assert cfg.parquet_fragments(multi) == 16
+    assert cfg.should_materialize(single)
+    assert not cfg.should_materialize(multi)
+    # the limit short-circuits footer reads: counting stops once decidable
+    assert cfg.parquet_fragments(multi, limit=4) >= 4
+
+
+def test_multifile_matches_singlefile_rows(sf_multifile, sf_unit, ray_session):
+    import pyarrow.parquet as pq
+
+    for t in TABLES:
+        a = pq.read_table(cfg.table_path(sf_unit, t))
+        b = pq.read_table(cfg.table_path(sf_multifile, t))
+        assert a.num_rows == b.num_rows, t
+
+
+@pytest.fixture(scope="module")
+def entry(ray_session):
+    import __ray_entry__ as E
+
+    return E
+
+
+@pytest.fixture(scope="module")
+def mcon(sf_multifile):
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_multifile}/{t}/*.parquet'")
+    return c
+
+
+def _oracle_names():
+    import ast
+
+    tree = ast.parse(open("__ray_entry__.py").read())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name == "oracle_sql":
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.Dict):
+                    return [k.value for k in sub.keys if isinstance(k, ast.Constant)]
+    return []
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_oracle_on_multifile_streams(name, entry, mcon, sf_multifile):
+    before = cfg.MATERIALIZED_READS
+    ours = _canon(_to_pdf(entry.queries()[name](sf_multifile)))
+    assert cfg.MATERIALIZED_READS == before, (
+        f"{name} materialized a multi-file read — the streaming path regressed")
+    oracle = _canon(mcon.sql(entry.oracle_sql()[name]).df())
+    assert list(ours.columns) == list(oracle.columns), name
+    assert len(ours) == len(oracle), (name, len(ours), len(oracle))
+    for c in ours.columns:
+        assert ours[c].dtype == oracle[c].dtype, (name, c, ours[c].dtype, oracle[c].dtype)
+        assert (ours[c].values == oracle[c].values).all(), (name, c)

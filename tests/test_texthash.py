@@ -121,3 +121,34 @@ def test_trigram16_sets_matches_python_sets():
         assert got == want, t
         assert c == len(want)
         pos += c
+
+
+def test_hash_arrow_strings_matches_fnv1a_bulk():
+    import pyarrow as pa
+
+    vals = ["", "a", "héllo wörld", "x" * 300, "tab\tsep", "byte\x00s"]
+    want = TH.fnv1a_bulk([v.encode("utf-8") for v in vals])
+    for typ in (pa.string(), pa.large_string()):
+        got = TH.hash_arrow_strings(pa.array(vals, type=typ))
+        assert (got == want).all(), typ
+    # binary column with raw bytes
+    bvals = [v.encode("utf-8") for v in vals]
+    got = TH.hash_arrow_strings(pa.array(bvals, type=pa.binary()))
+    assert (got == want).all()
+    # sliced array (non-zero Arrow offset) and chunked column
+    arr = pa.array(vals)
+    assert (TH.hash_arrow_strings(arr.slice(2, 3)) == want[2:5]).all()
+    chunked = pa.chunked_array([vals[:2], vals[2:]])
+    assert (TH.hash_arrow_strings(chunked) == want).all()
+    # empty + all-empty-strings (no data buffer edge case)
+    assert TH.hash_arrow_strings(pa.array([], type=pa.string())).shape == (0,)
+    got = TH.hash_arrow_strings(pa.array(["", ""]))
+    assert (got == TH.fnv1a_bulk([b"", b""])).all()
+
+
+def test_hash_arrow_strings_rejects_nulls():
+    import pyarrow as pa
+    import pytest
+
+    with pytest.raises(ValueError, match="null join/bucket keys"):
+        TH.hash_arrow_strings(pa.array(["a", None, "b"]))
