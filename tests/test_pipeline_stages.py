@@ -169,3 +169,70 @@ def test_pip_cell_indexed_equals_scan(sf_unit):
         )
         assert len(a) == len(b) > 0
         assert (a[["doc_id", "tile_id", "cell"]].values == b[["doc_id", "tile_id", "cell"]].values).all()
+
+
+def test_cellring_scorer_many_queries_exact_and_sublinear():
+    """Scorer-level probe for the vectorized ring expansion: 10^4 queries on
+    one batch must (a) emit the exact same candidate set as the brute
+    scorer and (b) stay sub-linear in Q (the old per-query Python ring loop
+    was ~linear with a large constant)."""
+    import time
+
+    import pyarrow as pa
+    import ray
+
+    from orthority_ray.core import cells as C
+    from orthority_ray.stages.knn import _PartialTopK, _PartialTopKCellRing
+
+    rng = np.random.default_rng(7)
+    B = 40_000
+    lon = rng.uniform(-179.0, 179.0, B)
+    lat = rng.uniform(-84.0, 84.0, B)
+    doc_id = np.arange(B, dtype=np.int64)
+    kcell = C.encode(
+        ((lon + 180.0) * 1000.0).astype(np.int64),
+        ((lat + 85.0) * 1000.0).astype(np.int64),
+        C.KNN_CELL_SIZE,
+    )
+    batch = pa.table({"doc_id": doc_id, "lon": lon, "lat": lat, "knn_cell": kcell})
+
+    def queries(nq):
+        qlon = rng.uniform(-179.0, 179.0, nq)
+        qlat = rng.uniform(-84.0, 84.0, nq)
+        return np.stack([np.arange(nq, dtype=np.float64), qlon, qlat], axis=1)
+
+    def canon(t):
+        df = t.to_pandas().sort_values(
+            ["query_id", "dist", "neighbor_id"], kind="mergesort"
+        )
+        return df.reset_index(drop=True)
+
+    # (a) exactness vs brute force at Q=2000 (brute at 10^4 is too slow here)
+    q2k = ray.put(queries(2000))
+    ring_out = canon(_PartialTopKCellRing(q2k)(batch))
+    brute_out = canon(_PartialTopK(q2k)(batch))
+    assert len(ring_out) == len(brute_out) > 0
+    assert (ring_out.values == brute_out.values).all()
+
+    # (b) sub-linearity: Q=10^4 costs far less than 20x the Q=500 run
+    def timed(nq):
+        sc = _PartialTopKCellRing(ray.put(queries(nq)))
+        sc(batch)  # warm (scratch slabs, offset cache)
+        t0 = time.perf_counter()
+        out = sc(batch)
+        return time.perf_counter() - t0, out
+
+    t_small, _ = timed(500)
+    t_big, out_big = timed(10_000)
+    assert out_big.num_rows >= 10_000 * 10
+    # per-query cost must not grow with Q (20x queries < 20x time)...
+    assert t_big < t_small * 20, (t_small, t_big)
+    # ...and the ring prune must beat the brute-force scan outright at 10^4
+    # queries (the whole point of the cell index)
+    big_ref = ray.put(queries(10_000))
+    brute = _PartialTopK(big_ref)
+    brute(batch)  # warm scratch
+    t0 = time.perf_counter()
+    brute(batch)
+    t_brute = time.perf_counter() - t0
+    assert t_big < t_brute / 3, (t_big, t_brute)
