@@ -573,6 +573,52 @@ def q_host_stats(sf_dir: str):
     return host_stats(read_pages(sf_dir).select_columns(["url", "doc_id"]))
 
 
+def q_host_page_join(sf_dir: str):
+    """Every page joined to its host's page count through the ADAPTIVE hash
+    join (stages/hashjoin.plan_hash_join): bucket count sized from a sampled
+    key histogram and hot keys salted across sub-buckets — the skew-safe
+    join path (r2 verdict weak-for-scale #3).  The host key is a string, so
+    this also drives the FNV buffer-hash bucketing through the driver."""
+    import pyarrow as _pa
+    import ray.data as rd
+
+    from orthority_ray.stages.hashjoin import adaptive_hash_join
+    from orthority_ray.stages.urlstats import parse_urls
+
+    pages = parse_urls(
+        read_pages(sf_dir).select_columns(["url", "doc_id"])
+    ).select_columns(["doc_id", "host"])
+
+    def counts(b):
+        import numpy as _np
+
+        h, c = _np.unique(b["host"].to_numpy(zero_copy_only=False), return_counts=True)
+        return _pa.table({"host": _pa.array(h.astype(str)),
+                          "host_pages": _pa.array(c.astype(_np.int64))})
+
+    per_host = (
+        pages.map_batches(counts, batch_format="pyarrow", batch_size=65536)
+        .groupby("host")
+        .aggregate(rd.aggregate.Sum("host_pages", alias_name="host_pages"))
+    )
+    return adaptive_hash_join(
+        pages, per_host, "host", ["host", "doc_id"], ["host", "host_pages"],
+        types={"doc_id": _pa.int64(), "host_pages": _pa.int64()},
+        target_bucket_rows=500_000, fraction=0.05,
+    )
+
+
+SQL_HOST_PAGE_JOIN = """
+, hp AS (
+  SELECT split_part(split_part(url, '//', 2), '/', 1) AS host,
+         CAST(COUNT(*) AS BIGINT) AS host_pages
+  FROM pages GROUP BY 1
+)
+SELECT p.doc_id, split_part(split_part(p.url, '//', 2), '/', 1) AS host, h.host_pages
+FROM pages p JOIN hp h ON split_part(split_part(p.url, '//', 2), '/', 1) = h.host
+""".strip()
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style repetition filter inputs per page (max token
     multiplicity, duplicate-bigram counts) — stages/textstats.py
@@ -637,6 +683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_features": q_text_features,
         "quality": q_quality,
         "host_stats": q_host_stats,
+        "host_page_join": q_host_page_join,
         "repetition_stats": q_repetition_stats,
         "url_redact": q_url_redact,
         "doc_typicality": q_doc_typicality,
@@ -772,6 +819,7 @@ def oracle_sql() -> dict[str, str]:
         "text_features": S.with_pages(T.SQL_TEXT_FEATURES),
         "quality": S.with_pages(T.SQL_QUALITY),
         "host_stats": S.with_pages(_SQL_HOST_STATS),
+        "host_page_join": S.with_pages(SQL_HOST_PAGE_JOIN),
         "repetition_stats": S.with_pages(T.SQL_REPETITION),
         "url_redact": S.with_pages(_SQL_URL_REDACT),
         "doc_typicality": S.with_pages(T.SQL_TYPICALITY),

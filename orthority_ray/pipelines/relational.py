@@ -1299,7 +1299,11 @@ def q_event_outliers(sf_dir: str) -> ray.data.Dataset:
         ni, si, ssi = n[idx], s[idx], ss[idx]
         var_n2 = ni * ssi - si * si        # n^2 * variance (biased)
         dev = v * ni - si                  # n * (v - mean)
-        assert int(np.abs(dev).max(initial=0)) < 3_000_000_000  # dev^2 < 2^63
+        if int(np.abs(dev).max(initial=0)) >= 3_000_000_000:  # dev^2 < 2^63
+            # correctness-critical envelope — a bare assert would vanish
+            # under python -O and turn the overflow into silent wrong rows
+            raise ValueError("event_outliers int64 envelope exceeded: "
+                             "n*(v-mean) too large for cross-multiplied z-score")
         lhs = dev * dev
         rhs = ANOM_K * ANOM_K * var_n2
         t = b.filter(pa.array(lhs > rhs))

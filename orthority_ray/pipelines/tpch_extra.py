@@ -350,6 +350,7 @@ def q_promo_revenue(sf_dir: str) -> pd.DataFrame:
 
     codes, vals = _brand_codes(sf_dir, "p_type")
     promo_code = vals.index("PROMO")
+    none_code = len(vals) - 1  # _brand_codes appends the "NONE" sentinel last
     ref = ray.put(codes)
     lo, hi = _us(Q14_LO), _us(Q14_HI)
 
@@ -366,11 +367,18 @@ def q_promo_revenue(sf_dir: str) -> pd.DataFrame:
             rev = cents(price * (1.0 - disc))
             safe = np.where((pk >= 0) & (pk < self.codes.shape[0]), pk,
                             self.codes.shape[0] - 1)
-            promo = self.codes[safe] == promo_code
+            code = self.codes[safe]
+            # inner-join semantics: a partkey absent from the dim (code ==
+            # NONE sentinel, the last vals slot) drops out of numerator AND
+            # denominator, matching the SQL oracle regardless of FK
+            # integrity (r2 ADVICE item 4)
+            in_dim = code != none_code
+            rev, code = rev[in_dim], code[in_dim]
+            promo = code == promo_code
             return pa.table({
                 "promo_cents": pa.array([int(rev[promo].sum())], pa.int64()),
                 "total_cents": pa.array([int(rev.sum())], pa.int64()),
-                "n_rows": pa.array([int(m.sum())], pa.int64()),
+                "n_rows": pa.array([int(in_dim.sum())], pa.int64()),
             })
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_shipdate",
@@ -755,11 +763,17 @@ def q_nation_volume(sf_dir: str) -> ray.data.Dataset:
             skey = t["l_suppkey"].to_numpy(zero_copy_only=False)
             safe = np.where((skey >= 0) & (skey < self.snation.shape[0]), skey,
                             self.snation.shape[0] - 1)
+            nat = self.snation[safe]
+            # inner-join semantics: drop rows whose suppkey misses the
+            # supplier dim (nation -1) instead of emitting a -1 group
+            # (r2 ADVICE item 4)
+            keep = nat >= 0
+            t, nat, yr = t.filter(pa.array(keep)), nat[keep], yr[keep]
             price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
             disc = t["l_discount"].to_numpy(zero_copy_only=False)
             return pa.table({
                 "o_orderkey": t["l_orderkey"],
-                "supp_nation": pa.array(self.snation[safe]),
+                "supp_nation": pa.array(nat),
                 "yr": pa.array(yr),
                 "rev_cents": pa.array(cents(price * (1.0 - disc))),
             })
@@ -875,11 +889,14 @@ def q_local_volume(sf_dir: str) -> ray.data.Dataset:
             skey = b["l_suppkey"].to_numpy(zero_copy_only=False)
             safe = np.where((skey >= 0) & (skey < self.snation.shape[0]),
                             skey, self.snation.shape[0] - 1)
+            nat = self.snation[safe]
+            keep = nat >= 0  # inner-join semantics: dim misses drop out
+            b, nat = b.filter(pa.array(keep)), nat[keep]
             price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
             disc = b["l_discount"].to_numpy(zero_copy_only=False)
             return pa.table({
                 "o_orderkey": b["l_orderkey"],
-                "supp_nation": pa.array(self.snation[safe]),
+                "supp_nation": pa.array(nat),
                 "rev_cents": pa.array(cents(price * (1.0 - disc))),
             })
 
@@ -1003,11 +1020,14 @@ def q_market_share(sf_dir: str) -> ray.data.Dataset:
             skey = t["l_suppkey"].to_numpy(zero_copy_only=False)
             safe_s = np.where((skey >= 0) & (skey < self.snation.shape[0]),
                               skey, self.snation.shape[0] - 1)
+            nat = self.snation[safe_s]
+            keep = nat >= 0  # inner-join semantics: dim misses drop out
+            t, nat = t.filter(pa.array(keep)), nat[keep]
             price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
             disc = t["l_discount"].to_numpy(zero_copy_only=False)
             return pa.table({
                 "o_orderkey": t["l_orderkey"],
-                "supp_nation": pa.array(self.snation[safe_s]),
+                "supp_nation": pa.array(nat),
                 "rev_cents": pa.array(cents(price * (1.0 - disc))),
             })
 

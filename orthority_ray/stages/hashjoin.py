@@ -19,42 +19,95 @@ import pyarrow as pa
 import ray.data
 
 DEFAULT_BUCKETS = 64
+N_SALTS = 8  # sub-buckets per hot key (probe side salted, build side replicated)
 
 
-def _bucket_of(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> np.ndarray:
-    """Deterministic bucket id per key.  Integers use the multiplicative
-    hash every bucketed stage shares; string/binary keys use the vectorized
-    FNV-1a fold (core/texthash) — bucketing only co-locates rows, the
-    per-bucket probe compares the actual key values, so a hash collision
-    can never produce a wrong join row."""
+def _key_hash(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic uint64 hash per key — the shared space for bucketing
+    AND hot-key membership.  Integers use the multiplicative hash every
+    bucketed stage shares; string/binary keys use the vectorized FNV-1a
+    fold (core/texthash), zero-copy off the Arrow buffers.  Collisions are
+    harmless everywhere this is used: bucketing only co-locates rows (the
+    per-bucket probe compares actual key values), and a cold key colliding
+    with a hot hash is simply salted/replicated consistently on both sides."""
     typ = col.type if isinstance(col, (pa.Array, pa.ChunkedArray)) else None
     if typ is not None and (pa.types.is_string(typ) or pa.types.is_large_string(typ)
                             or pa.types.is_binary(typ)):
         from ..core.texthash import hash_arrow_strings
 
-        h = hash_arrow_strings(col)  # zero-copy off the Arrow buffers
-        return (h % np.uint64(n_buckets)).astype(np.int64)
+        return hash_arrow_strings(col).astype(np.uint64)
     k = col.to_numpy(zero_copy_only=False).astype(np.int64)
-    return ((k * 2654435761) % 4294967296) % n_buckets
+    return (((k * 2654435761) % 4294967296)).astype(np.uint64)
+
+
+def _bucket_of(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> np.ndarray:
+    return (_key_hash(col) % np.uint64(n_buckets)).astype(np.int64)
+
+
+def _hot_lookup(h: np.ndarray, hot_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(is_hot mask, hot-set index) for each key hash against the sorted
+    hot-hash array."""
+    idx = np.searchsorted(hot_sorted, h)
+    idx_c = np.minimum(idx, hot_sorted.shape[0] - 1)
+    is_hot = hot_sorted[idx_c] == h
+    return is_hot, idx_c
 
 
 def _with_bucket(ds: ray.data.Dataset, key: str, side: int, n_buckets: int,
-                 columns: list[str], other_cols: list[tuple[str, pa.DataType]]) -> ray.data.Dataset:
+                 columns: list[str], other_cols: list[tuple[str, pa.DataType]],
+                 hot_hashes: np.ndarray | None = None, n_salts: int = N_SALTS,
+                 replicate_hot: bool = False, salt_col: str | None = None) -> ray.data.Dataset:
     """Tag rows with (bucket, side) AND pad with the other side's columns as
     typed nulls, so the union of the two sides has ONE schema — a group that
     happens to hold rows from only one side still exposes every column
     (schema-divergent groups crashed the probe when a bucket had no left
-    rows)."""
+    rows).
+
+    Hot-key handling (``hot_hashes`` = sorted uint64 key hashes): hot key i
+    owns the dedicated bucket range ``n_buckets + i*n_salts .. +n_salts-1``.
+    The probe side scatters its hot rows across the range (salt from
+    ``salt_col``'s hash when given — required so ``left_dedup`` copies
+    co-locate — else round-robin); the build side (``replicate_hot``)
+    duplicates each hot row into ALL ``n_salts`` sub-buckets, so every
+    probe sub-bucket still sees every matching build row exactly once."""
 
     def tag(batch: pa.Table) -> pa.Table:
-        bucket = _bucket_of(batch[key], n_buckets)
+        h = _key_hash(batch[key])
+        bucket = (h % np.uint64(n_buckets)).astype(np.int64)
         out = {c: batch[c] for c in columns}
         for c, typ in other_cols:
             out[c] = pa.nulls(batch.num_rows, typ)
-        out["__bucket"] = pa.array(bucket)
-        out["__side"] = pa.array(np.full(batch.num_rows, side, dtype=np.int8))
-        # canonical column order so both sides share ONE schema exactly
         order = sorted(c for c in out if not c.startswith("__"))
+        if hot_hashes is not None and hot_hashes.shape[0] and batch.num_rows:
+            is_hot, idx = _hot_lookup(h, hot_hashes)
+            base = n_buckets + idx.astype(np.int64) * n_salts
+            if replicate_hot:
+                tbl = pa.table({c: out[c] for c in order})
+                hot_rows = np.nonzero(is_hot)[0]
+                parts = [tbl.filter(pa.array(~is_hot))]
+                buckets = [bucket[~is_hot]]
+                if hot_rows.size:
+                    rep = np.repeat(hot_rows, n_salts)
+                    parts.append(tbl.take(pa.array(rep)))
+                    buckets.append(
+                        np.repeat(base[hot_rows], n_salts)
+                        + np.tile(np.arange(n_salts, dtype=np.int64), hot_rows.size)
+                    )
+                tbl = pa.concat_tables(parts)
+                bucket = np.concatenate(buckets)
+                out = {c: tbl[c] for c in order}
+                nrows = tbl.num_rows
+            else:
+                if salt_col is not None:
+                    salt = (_key_hash(batch[salt_col]) % np.uint64(n_salts)).astype(np.int64)
+                else:
+                    salt = np.arange(batch.num_rows, dtype=np.int64) % n_salts
+                bucket = np.where(is_hot, base + salt, bucket)
+                nrows = batch.num_rows
+        else:
+            nrows = batch.num_rows
+        out["__bucket"] = pa.array(bucket)
+        out["__side"] = pa.array(np.full(nrows, side, dtype=np.int8))
         return pa.table({c: out[c] for c in [*order, "__bucket", "__side"]})
 
     return ds.map_batches(tag, batch_format="pyarrow", batch_size=65536)
@@ -64,7 +117,9 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
               left_cols: list[str], right_cols: list[str],
               n_buckets: int = DEFAULT_BUCKETS, how: str = "inner",
               types: dict[str, pa.DataType] | None = None,
-              left_dedup: str | None = None) -> ray.data.Dataset:
+              left_dedup: str | None = None,
+              hot_keys: np.ndarray | list | None = None,
+              n_salts: int = N_SALTS) -> ray.data.Dataset:
     """Inner/left/semi/anti join of two large Datasets on an int64 or
     string ``key`` column (``how="semi"``/``"anti"`` return LEFT columns
     only: rows with at least one / no match).
@@ -87,6 +142,14 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
     ``schema()`` EXECUTES the whole upstream chain once just to learn the
     dtypes, and the join then executes it again (measured 2x on the tfidf
     expansion join).  Pass it whenever the caller knows its output schema.
+
+    ``hot_keys`` (raw key values, e.g. from :func:`plan_hash_join`) are
+    skew-salted: left rows of a hot key scatter across ``n_salts``
+    sub-buckets and the matching right rows are replicated into all of
+    them, so no reducer ever holds more than ~1/n_salts of a hot key's
+    probe rows.  Correct for every ``how`` (each left row still meets every
+    matching right row exactly once); with ``left_dedup`` the salt is the
+    dedup column's hash so duplicate copies co-locate.
     """
     overlap = (set(left_cols) & set(right_cols)) - {key}
     if overlap:
@@ -120,8 +183,13 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
         r_types = [(c, types[c]) for c in r_only]
     else:
         r_types = _types(right, r_only)
-    lt = _with_bucket(left.select_columns(left_cols), key, 0, n_buckets, left_cols, r_types)
-    rt = _with_bucket(right.select_columns(right_cols), key, 1, n_buckets, right_cols, l_types)
+    hot_hashes = None
+    if hot_keys is not None and len(hot_keys):
+        hot_hashes = np.unique(_key_hash(pa.array(hot_keys)))
+    lt = _with_bucket(left.select_columns(left_cols), key, 0, n_buckets, left_cols, r_types,
+                      hot_hashes, n_salts, replicate_hot=False, salt_col=left_dedup)
+    rt = _with_bucket(right.select_columns(right_cols), key, 1, n_buckets, right_cols, l_types,
+                      hot_hashes, n_salts, replicate_hot=True)
     both = lt.union(rt)
 
     def probe(g: pa.Table) -> pa.Table:
@@ -166,6 +234,86 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
         return matched
 
     return both.groupby("__bucket").map_groups(probe, batch_format="pyarrow")
+
+
+def plan_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
+                   *, target_bucket_rows: int = 500_000, fraction: float = 0.02,
+                   seed: int = 42, max_hot: int = 256, per_batch_top: int = 64,
+                   ) -> tuple[int, np.ndarray]:
+    """Data-aware join plan: ``(n_buckets, hot_keys)`` from a sampled key
+    histogram (the stages/salting.py protocol applied to joins).
+
+    - ``n_buckets`` = next power of two of ``est_total_rows /
+      target_bucket_rows`` clamped to [16, 4096], so per-reducer memory is
+      bounded by the byte budget instead of the fixed DEFAULT_BUCKETS=64.
+    - ``hot_keys`` = left-side keys whose estimated row count exceeds half a
+      bucket — the keys that would pin a single reducer however large B is;
+      :func:`hash_join` salts them across ``n_salts`` sub-buckets.
+
+    Cost: one pass over each side's key column at ``fraction`` sampling
+    (the sample is materialized, so size the fraction to the cluster — at
+    10^12 rows use ~1e-5).  The per-batch partial keeps only the top
+    ``per_batch_top`` keys, so the histogram shuffle is bounded by
+    batches x per_batch_top rows, never by the key domain."""
+    import pyarrow.compute as pc
+
+    def sampled(ds):
+        return ds.select_columns([key]).random_sample(fraction, seed=seed).materialize()
+
+    sm = sampled(left)
+    left_total = sm.count() / fraction
+
+    def part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"k": pa.array([], batch[key].type),
+                             "n": pa.array([], pa.int64())})
+        vc = pc.value_counts(
+            batch[key].combine_chunks() if isinstance(batch[key], pa.ChunkedArray)
+            else batch[key]
+        )
+        vals, cnts = vc.field("values"), vc.field("counts").to_numpy()
+        if cnts.shape[0] > per_batch_top:
+            top = np.argpartition(cnts, -per_batch_top)[-per_batch_top:]
+            vals, cnts = vals.take(pa.array(np.sort(top))), cnts[np.sort(top)]
+        return pa.table({"k": vals, "n": pa.array(cnts.astype(np.int64))})
+
+    top_keys = (
+        sm.map_batches(part, batch_format="pyarrow", batch_size=65536)
+        .groupby("k")
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .sort("n", descending=True)
+        .limit(max_hot)
+        .to_pandas()
+    )
+    right_total = (
+        right.select_columns([key]).random_sample(fraction, seed=seed).count() / fraction
+    )
+    est_rows = max(1.0, left_total + right_total)
+    n_buckets = int(min(4096, max(16, 2 ** np.ceil(np.log2(max(1.0, est_rows / target_bucket_rows))))))
+    est = top_keys["n"].to_numpy() / fraction
+    hot = top_keys["k"].to_numpy()[est >= target_bucket_rows * 0.5]
+    return n_buckets, hot
+
+
+def adaptive_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
+                       left_cols: list[str], right_cols: list[str],
+                       how: str = "inner",
+                       types: dict[str, pa.DataType] | None = None,
+                       left_dedup: str | None = None,
+                       n_salts: int = N_SALTS,
+                       target_bucket_rows: int = 500_000,
+                       fraction: float = 0.02, seed: int = 42) -> ray.data.Dataset:
+    """:func:`hash_join` with the bucket count and hot-key set chosen by
+    :func:`plan_hash_join` — use for joins whose key distribution is
+    unknown or skewed (Zipf hosts, hot cells); fixed-dimension TPC-H-style
+    joins keep the explicit ``n_buckets`` fast path."""
+    n_buckets, hot = plan_hash_join(
+        left, right, key, target_bucket_rows=target_bucket_rows,
+        fraction=fraction, seed=seed,
+    )
+    return hash_join(left, right, key, left_cols, right_cols,
+                     n_buckets=n_buckets, how=how, types=types,
+                     left_dedup=left_dedup, hot_keys=hot, n_salts=n_salts)
 
 
 def native_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,

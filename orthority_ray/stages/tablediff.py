@@ -119,11 +119,11 @@ def table_diff_ds(left: ray.data.Dataset, right: ray.data.Dataset,
         status = np.where(
             m["_merge"] == "right_only", "added",
             np.where(m["_merge"] == "left_only", "removed", "changed"))
-        changed_mask = (m["_merge"] == "both") & \
+        unchanged_mask = (m["_merge"] == "both") & \
             (m["dig_lo_l"] == m["dig_lo_r"]) & (m["dig_hi_l"] == m["dig_hi_r"])
         out = pd.DataFrame({"doc_id": m["key"].astype(np.int64),
                             "status": status})
-        return out[~changed_mask.to_numpy()]
+        return out[~unchanged_mask.to_numpy()]
 
     return bucketed_group_apply(both, ["key"], classify)
 

@@ -410,7 +410,10 @@ class TypicalityScorer:
         mn = np.zeros(n, dtype=np.int64)
         if len(flat):
             pos = pc.index_in(flat, value_set=self.vocab)
-            assert pos.null_count == 0, "token missing from the fitted model"
+            if pos.null_count != 0:
+                # correctness-critical (survives python -O): a missing token
+                # would propagate a null position into the count gather
+                raise ValueError("token missing from the fitted model")
             c = self.counts[pos.to_numpy(zero_copy_only=False)]
             starts = np.flatnonzero(
                 np.concatenate([[True], doc_idx[1:] != doc_idx[:-1]])

@@ -116,10 +116,15 @@ FROM pages
 """.strip()
 
 
+# path = EVERYTHING after the first '/' (engine: split max_splits=1), not
+# just the first segment — substr/strpos keeps the oracle aligned with the
+# engine on multi-segment paths (r2 ADVICE item 1)
 SQL_HOST_STATS = """
 SELECT split_part(split_part(url, '//', 2), '/', 1) AS host,
        COUNT(*) AS n_pages,
-       CAST(COUNT(DISTINCT split_part(split_part(url, '//', 2), '/', 2)) AS BIGINT) AS n_distinct_paths,
+       CAST(COUNT(DISTINCT substr(split_part(url, '//', 2),
+                                  strpos(split_part(url, '//', 2), '/') + 1)) AS BIGINT)
+         AS n_distinct_paths,
        CAST(MIN(doc_id) AS BIGINT) AS min_doc,
        CAST(MAX(doc_id) AS BIGINT) AS max_doc
 FROM pages GROUP BY 1
