@@ -666,7 +666,28 @@ def q_pan_sharpen(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+# Oracle-checked queries WITHOUT a CORRECTNESS_r02 row yet (judge-verified
+# in-repo only) — listed first so a prefix-sampling driver covers them in
+# round 3 (VERDICT r2 "Next round" #6).  Names/SQL are unchanged.
+_DRIVER_UNCHECKED_FIRST = [
+    "host_page_join", "parts_by_brand", "priority_revenue", "revenue_forecast",
+    "shipping_priority", "returned_customers", "promo_revenue", "top_supplier",
+    "small_qty_revenue", "brand_volume", "sales_opportunity", "nation_volume",
+    "local_volume", "market_share", "pushdown_revenue", "ngram_jaccard",
+    "span_dedup", "contamination", "tfidf_topk", "posting_stats",
+    "token_cooccurrence", "boolean_search", "phrase_search", "event_p95",
+    "weighted_sample", "bloom_semijoin", "incremental_dedup", "remap_checker",
+    "metadata", "site_skew", "supplier_balance", "docs_by_lang",
+    "overview_coarse", "auto_utm",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    q = _queries_registry()
+    return {**{k: q[k] for k in _DRIVER_UNCHECKED_FIRST if k in q}, **q}
+
+
+def _queries_registry() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": q_cell_counts,
         "hot_cells_ranked": q_hot_cells_ranked,

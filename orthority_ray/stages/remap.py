@@ -112,6 +112,22 @@ class Remapper:
                 + img[i0c + 1, j0c + 1] * fi * fj
             )
             return np.where(valid, out, np.nan), valid
+        if self.interp == "average":
+            # unweighted 2x2 box mean — the reference Interp enum's
+            # ``average`` applied at remap time (orthority/enums.py:82-109);
+            # sampling a 2x2 block's center reproduces the overview
+            # downsampler exactly (parity pinned in test_remap)
+            j0 = np.floor(j).astype(np.int64)
+            i0 = np.floor(i).astype(np.int64)
+            valid = (j0 >= 0) & (j0 < w - 1) & (i0 >= 0) & (i0 < h - 1)
+            j0c = np.clip(j0, 0, w - 2)
+            i0c = np.clip(i0, 0, h - 2)
+            img = self.image
+            out = 0.25 * (
+                img[i0c, j0c] + img[i0c, j0c + 1]
+                + img[i0c + 1, j0c] + img[i0c + 1, j0c + 1]
+            )
+            return np.where(valid, out, np.nan), valid
         if self.interp == "cubic":
             return self._sample_separable(j, i, np.arange(-1, 3), _cubic_kernel, False)
         if self.interp == "lanczos":

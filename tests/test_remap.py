@@ -148,3 +148,29 @@ def test_remap_dtype_option(sf_unit):
     out = remap(geo, interp="bilinear", out_dtype="uint8").to_pandas()
     v = out["value"].to_numpy()
     assert np.isin(v, [0.0, 1.0]).all()  # bilinear rounds to {0,1}; NaN -> 0
+
+
+def test_average_interp_matches_block_downsample():
+    """`average` interp (reference Interp enum's remap-time average,
+    enums.py:82-109): sampling each 2x2 block's center must reproduce the
+    2x2 box-mean downsample exactly, and invalidity follows the bilinear
+    border rule."""
+    rng = np.random.default_rng(11)
+    r = Remapper(interp="average")
+    h, w = 40, 48
+    r.image = rng.uniform(0.0, 255.0, (h, w))
+    # centers of 2x2 blocks: (2c+0.5, 2r+0.5) -> floor = block corner
+    cols = np.arange(0, w // 2 - 1)
+    rows = np.arange(0, h // 2 - 1)
+    jj, ii = np.meshgrid(2 * cols + 0.5, 2 * rows + 0.5)
+    vals, valid = r._sample(jj.ravel(), ii.ravel())
+    assert valid.all()
+    block = r.image[: h - h % 2, : w - w % 2].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    np.testing.assert_allclose(
+        vals.reshape(len(rows), len(cols)),
+        block[: len(rows), : len(cols)],
+        rtol=1e-12,  # summation-order float noise only
+    )
+    # border rule identical to bilinear: last row/col of pixels invalid
+    _, v_edge = r._sample(np.array([w - 1.0 + 0.25]), np.array([5.0]))
+    assert not v_edge.any()
