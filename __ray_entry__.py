@@ -678,7 +678,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "token_cooccurrence", "boolean_search", "phrase_search", "event_p95",
     "weighted_sample", "bloom_semijoin", "incremental_dedup", "remap_checker",
     "metadata", "site_skew", "supplier_balance", "docs_by_lang",
-    "overview_coarse", "auto_utm",
+    "overview_coarse", "auto_utm", "daily_activity",
 ]
 
 
@@ -727,6 +727,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "customers_per_region": R.q_customers_per_region,
         "top_orders": R.q_top_orders,
         "events_hourly": R.q_events_hourly,
+        "daily_activity": R.q_daily_activity,
         "events_sliding": R.q_events_sliding,
         "event_sessions": R.q_event_sessions,
         "events_asof": R.q_events_asof,
@@ -870,6 +871,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_per_region": R.SQL_CUSTOMERS_PER_REGION,
         "top_orders": R.SQL_TOP_ORDERS,
         "events_hourly": R.SQL_EVENTS_HOURLY,
+        "daily_activity": R.SQL_DAILY_ACTIVITY,
         "events_sliding": R.SQL_EVENTS_SLIDING,
         "event_sessions": R.SQL_EVENT_SESSIONS,
         "events_asof": R.SQL_EVENTS_ASOF,

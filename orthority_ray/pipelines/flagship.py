@@ -43,16 +43,22 @@ def part_of(doc_id: np.ndarray, n_parts: int) -> np.ndarray:
     return ((doc_id.astype(np.int64) * 2654435761) % 4294967296) % n_parts
 
 
-def input_fingerprint(sf_dir: str) -> str:
+def input_fingerprint(sf_dir: str, replicate: int = 1) -> str:
     from ..core.config import parquet_bytes, table_path
 
-    return f"{sf_dir}:{parquet_bytes(table_path(sf_dir, 'lineitem'))}"
+    rep = f":x{replicate}" if replicate > 1 else ""
+    return f"{sf_dir}:{parquet_bytes(table_path(sf_dir, 'lineitem'))}{rep}"
 
 
 def run_flagship(sf_dir: str, out_dir: str, n_parts: int = N_PARTS,
-                 resume: bool = True) -> pd.DataFrame:
-    """Run (or resume) the flagship pipeline; returns the manifest table."""
-    fp = input_fingerprint(sf_dir)
+                 resume: bool = True, replicate: int = 1) -> pd.DataFrame:
+    """Run (or resume) the flagship pipeline; returns the manifest table.
+
+    ``replicate`` > 1 synthesizes an id-offset ``replicate``-times-larger
+    crawl from the same input files (sources/pages.read_page_keys_replicated)
+    — the payload-scale path used by the spill/resume demonstration in
+    BASELINE.md §3."""
+    fp = input_fingerprint(sf_dir, replicate)
     planned = list(range(n_parts))
     missing = lineage.plan_missing(out_dir, planned, fp) if resume else planned
     out_path = Path(out_dir)
@@ -60,7 +66,13 @@ def run_flagship(sf_dir: str, out_dir: str, n_parts: int = N_PARTS,
 
     # tile routing table: deterministic on the FULL input (independent of
     # which partitions remain), cheap int-only scan + combiner aggregate.
-    tiles_pdf = assign_tiles(geocode(read_page_keys(sf_dir)))
+    if replicate > 1:
+        from ..sources.pages import pages_from_keys, read_page_keys_replicated
+
+        keys_ds = read_page_keys_replicated(sf_dir, replicate)
+    else:
+        keys_ds = read_page_keys(sf_dir)
+    tiles_pdf = assign_tiles(geocode(keys_ds))
     tiles_pdf.to_parquet(out_path / "_tiles.parquet", index=False)
     # broadcast the routing table as SORTED parallel arrays: the per-batch
     # lookup is one vectorized np.searchsorted, not a per-row dict probe
@@ -73,7 +85,10 @@ def run_flagship(sf_dir: str, out_dir: str, n_parts: int = N_PARTS,
         return lineage.load_manifest_table(out_dir)
     missing_set = set(missing)
 
-    ds = read_pages(sf_dir)
+    if replicate > 1:
+        ds = pages_from_keys(read_page_keys_replicated(sf_dir, replicate), sf_dir)
+    else:
+        ds = read_pages(sf_dir)
 
     def transform(batch: pa.Table) -> pa.Table:
         doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)

@@ -401,6 +401,65 @@ FROM events GROUP BY 1, 2
 """.strip()
 
 
+# --- full outer join: per-day orders vs events activity ---------------------
+
+DAY_US = 86_400_000_000
+
+
+def q_daily_activity(sf_dir: str) -> ray.data.Dataset:
+    """Per-day order counts FULL OUTER JOIN per-day event counts — drives
+    ``hash_join(how="full")`` through the driver contract.  Both sides have
+    days the other lacks (orders span ~7 years, events ~6 days), so
+    left-only, right-only and matched rows all occur; missing counts are
+    coalesced to 0 on both sides (nullable BIGINT would round-trip to
+    float64 in pandas and break the dtype-exact gate)."""
+    from ..stages.hashjoin import hash_join
+
+    def oprep(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"day": pa.array(d // DAY_US)})
+
+    def eprep(b: pa.Table) -> pa.Table:
+        t = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"day": pa.array(t // DAY_US)})
+
+    oc = combined_groupby_sum(
+        _read(sf_dir, "orders", ["o_orderdate"]).map_batches(
+            oprep, batch_format="pyarrow", batch_size=65536),
+        ["day"], [], count_alias="n_orders")
+    ec = combined_groupby_sum(
+        _read(sf_dir, "events", ["ts"]).map_batches(
+            eprep, batch_format="pyarrow", batch_size=65536),
+        ["day"], [], count_alias="n_events")
+    j = hash_join(oc, ec, "day", ["day", "n_orders"], ["day", "n_events"],
+                  how="full",
+                  types={"n_orders": pa.int64(), "n_events": pa.int64()})
+
+    def fin(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({
+            "day": b["day"],
+            "n_orders": pc.fill_null(b["n_orders"], zero),
+            "n_events": pc.fill_null(b["n_events"], zero),
+        })
+
+    return j.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+SQL_DAILY_ACTIVITY = f"""
+WITH oc AS (SELECT epoch_us(o_orderdate) // {DAY_US} AS day, COUNT(*) AS n_orders
+            FROM orders GROUP BY 1),
+     ec AS (SELECT epoch_us(ts) // {DAY_US} AS day, COUNT(*) AS n_events
+            FROM events GROUP BY 1)
+SELECT COALESCE(oc.day, ec.day) AS day,
+       CAST(COALESCE(oc.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(ec.n_events, 0) AS BIGINT) AS n_events
+FROM oc FULL JOIN ec ON oc.day = ec.day
+""".strip()
+
+
 # --- events: sliding window aggregate ---------------------------------------
 
 SLIDE_US = 1_800_000_000  # 30 min slide, 1 h windows -> each event in 2 windows

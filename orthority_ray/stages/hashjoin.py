@@ -183,8 +183,14 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
         r_types = [(c, types[c]) for c in r_only]
     else:
         r_types = _types(right, r_only)
+    if how not in ("inner", "left", "semi", "anti", "full"):
+        raise ValueError(f"unsupported how={how!r}")
     hot_hashes = None
     if hot_keys is not None and len(hot_keys):
+        if how == "full":
+            # a replicated build row that stays unmatched would be emitted
+            # once per sub-bucket — full outer + hot-key salting is unsound
+            raise ValueError("hot_keys salting is not supported for how='full'")
         hot_hashes = np.unique(_key_hash(pa.array(hot_keys)))
     lt = _with_bucket(left.select_columns(left_cols), key, 0, n_buckets, left_cols, r_types,
                       hot_hashes, n_salts, replicate_hot=False, salt_col=left_dedup)
@@ -223,13 +229,28 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
             for c in r_only:
                 cols[c] = out_r[c]
         matched = pa.table(cols)
-        if how == "left":
+        if how in ("left", "full"):
             miss = np.nonzero(cnt == 0)[0]
             if miss.size:
                 lm = l_tbl.take(pa.array(miss))
                 un = {c: lm[c] for c in left_cols}
                 for c in r_only:
                     un[c] = pa.nulls(lm.num_rows, r_tbl.schema.field(c).type)
+                matched = pa.concat_tables([matched, pa.table(un)])
+        if how == "full":
+            matched_r = np.zeros(rk.shape[0], dtype=bool)
+            matched_r[ri] = True
+            rmiss = np.nonzero(~matched_r)[0]
+            if rmiss.size:
+                rm = r_tbl.take(pa.array(rmiss))
+                un = {}
+                for c in left_cols:
+                    # the key column carries the right side's key value;
+                    # left-only columns are typed nulls
+                    un[c] = rm[key] if c == key else pa.nulls(
+                        rm.num_rows, l_tbl.schema.field(c).type)
+                for c in r_only:
+                    un[c] = rm[c]
                 matched = pa.concat_tables([matched, pa.table(un)])
         return matched
 

@@ -91,3 +91,64 @@ def test_dedup_layout_resume_recomputes_only_missing(ray_session, sf_unit, tmp_p
     for p in (tmp_path / "dedup_out").glob("part=*/data.parquet"):
         if p.parent.name in untouched_mtime:
             assert p.stat().st_mtime_ns == untouched_mtime[p.parent.name]
+
+
+def test_flagship_multifile_resume(sf_multifile, sf_unit, tmp_path):
+    """Flagship over the PARTITIONED (16-file) input layout — the real
+    deployment shape where reads stream instead of materializing — must
+    write the same partition checksums as the single-file layout, and a
+    crash-resume on it must recompute only the clobbered partitions."""
+    import shutil
+
+    from orthority_ray.pipelines.flagship import run_flagship
+    from orthority_ray.state import lineage
+
+    out_multi = str(tmp_path / "multi")
+    man_multi = run_flagship(sf_multifile, out_multi, n_parts=8)
+    man_single = run_flagship(sf_unit, str(tmp_path / "single"), n_parts=8)
+    # identical content regardless of input file layout
+    a = man_multi.sort_values("partition").reset_index(drop=True)
+    b = man_single.sort_values("partition").reset_index(drop=True)
+    assert (a["checksum"].values == b["checksum"].values).all()
+    assert (a["rows"].values == b["rows"].values).all()
+
+    # clobber two partitions and resume on the multi-file layout
+    before = dict(zip(a["partition"], a["checksum"]))
+    from pathlib import Path
+
+    for p in (1, 6):
+        shutil.rmtree(Path(out_multi) / f"part={p:05d}")
+        lineage.manifest_path(out_multi, p).unlink()
+    untouched = [p for p in range(8) if p not in (1, 6)]
+    mt = {p: lineage.manifest_path(out_multi, p).stat().st_mtime_ns for p in untouched}
+    man2 = run_flagship(sf_multifile, out_multi, n_parts=8)
+    after = dict(zip(man2["partition"], man2["checksum"]))
+    assert after == before
+    for p, t in mt.items():
+        assert lineage.manifest_path(out_multi, p).stat().st_mtime_ns == t
+
+
+def test_flagship_replicated_scale_resume(sf_unit, tmp_path):
+    """replicate=3 synthesizes a 3x crawl (id-offset copies at fresh
+    locations): partition rows triple, fingerprints are replicate-aware,
+    and resume recomputes only missing partitions at the larger scale."""
+    import shutil
+
+    from orthority_ray.pipelines.flagship import run_flagship
+    from orthority_ray.state import lineage
+
+    out = str(tmp_path / "rep")
+    man = run_flagship(sf_unit, out, n_parts=8, replicate=3)
+    assert man["rows"].sum() == 18_000
+    before = dict(zip(man["partition"], man["checksum"]))
+    from pathlib import Path
+
+    shutil.rmtree(Path(out) / "part=00004")
+    lineage.manifest_path(out, 4).unlink()
+    man2 = run_flagship(sf_unit, out, n_parts=8, replicate=3)
+    assert dict(zip(man2["partition"], man2["checksum"])) == before
+    # a replicate=1 run against the same out_dir must NOT reuse x3 output
+    from orthority_ray.pipelines.flagship import input_fingerprint
+
+    missing = lineage.plan_missing(out, list(range(8)), input_fingerprint(sf_unit))
+    assert missing == list(range(8))

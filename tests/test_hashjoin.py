@@ -114,3 +114,54 @@ def test_explicit_types_skip_schema_probe():
     truth = left.merge(right, on="k")
     assert len(out) == len(truth)
     assert (_canon(out).values == _canon(truth).values).all()
+
+
+def test_full_outer_join_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from orthority_ray.stages.hashjoin import hash_join
+
+    # both sides have keys the other lacks + multi-match keys
+    lk = np.array([1, 2, 2, 3, 5, 7, 7], dtype=np.int64)
+    rk = np.array([2, 3, 3, 4, 6, 7], dtype=np.int64)
+    left = ray.data.from_arrow(pa.table({"k": lk, "lv": lk * 10}))
+    right = ray.data.from_arrow(pa.table({"k": rk, "rv": rk * 100}))
+    out = (
+        hash_join(left, right, "k", ["k", "lv"], ["k", "rv"], how="full")
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = con.sql(
+        """
+        SELECT COALESCE(l.k, r.k) AS k, l.lv AS lv, r.rv AS rv
+        FROM (SELECT * FROM (VALUES (1,10),(2,20),(2,20),(3,30),(5,50),(7,70),(7,70)) t(k, lv)) l
+        FULL JOIN (SELECT * FROM (VALUES (2,200),(3,300),(3,300),(4,400),(6,600),(7,700)) t(k, rv)) r
+        ON l.k = r.k
+        ORDER BY k, lv, rv
+        """
+    ).df()
+    assert len(out) == len(want)
+    for c in ("k", "lv", "rv"):
+        a, b = out[c].to_numpy(dtype=float), want[c].to_numpy(dtype=float)
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+
+
+def test_full_join_rejects_hot_keys(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data
+
+    from orthority_ray.stages.hashjoin import hash_join
+
+    ds = ray.data.from_arrow(pa.table({"k": np.array([1, 2], dtype=np.int64)}))
+    with _pytest.raises(ValueError, match="full"):
+        hash_join(ds, ds, "k", ["k"], ["k"], how="full",
+                  hot_keys=np.array([1], dtype=np.int64))
+    with _pytest.raises(ValueError, match="unsupported"):
+        hash_join(ds, ds, "k", ["k"], ["k"], how="outer")
