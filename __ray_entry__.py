@@ -605,6 +605,11 @@ def q_host_page_join(sf_dir: str):
         pages, per_host, "host", ["host", "doc_id"], ["host", "host_pages"],
         types={"doc_id": _pa.int64(), "host_pages": _pa.int64()},
         target_bucket_rows=500_000, fraction=0.05,
+        # the right side is a per-host aggregate: dimension-sized by
+        # construction (PageSynth's 1000-host URL space), so skip the
+        # planner's right-side sampling pass (it would execute the whole
+        # aggregate pipeline once just to learn ~1000)
+        right_total=1000,
     )
 
 
@@ -632,6 +637,40 @@ def q_url_redact(sf_dir: str):
     from orthority_ray.stages.urlstats import redact_urls
 
     return redact_urls(read_pages(sf_dir).select_columns(["url", "doc_id"]))
+
+
+def q_text_normalize(sf_dir: str):
+    """Text normalization for LLM-pipeline preprocessing: lowercase +
+    whitespace-run collapse + trim, all Arrow RE2/utf8 kernels (zero Python
+    per row); DuckDB runs the identical RE2 pattern so the normalized
+    STRINGS are compared byte-exactly by the driver."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    def fn(b):
+        t = b["text"].combine_chunks()
+        norm = _pc.utf8_trim_whitespace(
+            _pc.replace_substring_regex(_pc.utf8_lower(t), r"\s+", " ")
+        )
+        return _pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "norm_text": norm,
+                "norm_chars": _pc.cast(_pc.utf8_length(norm), _pa.int64()),
+            }
+        )
+
+    return read_pages(sf_dir).select_columns(["text", "doc_id"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_TEXT_NORMALIZE = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+       CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS norm_chars
+FROM pages
+""".strip()
 
 
 def q_doc_typicality(sf_dir: str):
@@ -678,7 +717,8 @@ _DRIVER_UNCHECKED_FIRST = [
     "token_cooccurrence", "boolean_search", "phrase_search", "event_p95",
     "weighted_sample", "bloom_semijoin", "incremental_dedup", "remap_checker",
     "metadata", "site_skew", "supplier_balance", "docs_by_lang",
-    "overview_coarse", "auto_utm", "daily_activity",
+    "overview_coarse", "auto_utm", "daily_activity", "text_normalize",
+    "customer_ntile",
 ]
 
 
@@ -707,6 +747,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "host_page_join": q_host_page_join,
         "repetition_stats": q_repetition_stats,
         "url_redact": q_url_redact,
+        "text_normalize": q_text_normalize,
         "doc_typicality": q_doc_typicality,
         "extract_verify": q_extract_verify,
         "ann": q_ann,
@@ -728,6 +769,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "top_orders": R.q_top_orders,
         "events_hourly": R.q_events_hourly,
         "daily_activity": R.q_daily_activity,
+        "customer_ntile": R.q_customer_ntile,
         "events_sliding": R.q_events_sliding,
         "event_sessions": R.q_event_sessions,
         "events_asof": R.q_events_asof,
@@ -844,6 +886,7 @@ def oracle_sql() -> dict[str, str]:
         "host_page_join": S.with_pages(SQL_HOST_PAGE_JOIN),
         "repetition_stats": S.with_pages(T.SQL_REPETITION),
         "url_redact": S.with_pages(_SQL_URL_REDACT),
+        "text_normalize": S.with_pages(SQL_TEXT_NORMALIZE),
         "doc_typicality": S.with_pages(T.SQL_TYPICALITY),
         "extract_verify": S.with_pages(
             "SELECT COUNT(*) AS n_pages, CAST(0 AS BIGINT) AS n_bad FROM pages"
@@ -872,6 +915,7 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": R.SQL_TOP_ORDERS,
         "events_hourly": R.SQL_EVENTS_HOURLY,
         "daily_activity": R.SQL_DAILY_ACTIVITY,
+        "customer_ntile": R.SQL_CUSTOMER_NTILE,
         "events_sliding": R.SQL_EVENTS_SLIDING,
         "event_sessions": R.SQL_EVENT_SESSIONS,
         "events_asof": R.SQL_EVENTS_ASOF,

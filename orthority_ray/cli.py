@@ -189,10 +189,15 @@ def main(argv=None) -> int:
     l.set_defaults(fn=cmd_list)
 
     args = p.parse_args(argv)
-    rc = args.fn(args)
     import ray
 
-    if ray.is_initialized():
+    # only tear down a session THIS invocation created: an in-process caller
+    # (tests, a host app) keeps its own Ray session — shutting it down here
+    # left later work to auto-reinit at full width, silently changing
+    # cluster-size-dependent decisions like config.should_materialize
+    owned = not ray.is_initialized()
+    rc = args.fn(args)
+    if owned and ray.is_initialized():
         ray.shutdown()
     return rc
 

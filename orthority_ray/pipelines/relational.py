@@ -460,6 +460,38 @@ FROM oc FULL JOIN ec ON oc.day = ec.day
 """.strip()
 
 
+# --- global rank / ntile -----------------------------------------------------
+
+
+def q_customer_ntile(sf_dir: str) -> ray.data.Dataset:
+    """Customer balance quartiles via the DISTRIBUTED global-rank primitive
+    (stages/windows.global_rank): sampled range boundaries -> bounded
+    per-bucket count pass -> per-bucket local sort + offset, no single-node
+    full sort.  Emits the exact ROW_NUMBER and NTILE(4) the SQL window
+    functions produce."""
+    from ..stages.windows import global_rank
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False)
+        return pa.table({"c_custkey": b["c_custkey"],
+                         "bal_cents": pa.array(cents(bal))})
+
+    prepped = cust.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    return global_rank(prepped, "bal_cents", "c_custkey",
+                       ["c_custkey", "bal_cents"], descending=True, ntile=4)
+
+
+SQL_CUSTOMER_NTILE = """
+SELECT c_custkey,
+       CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents,
+       CAST(row_number() OVER (ORDER BY floor(c_acctbal * 100.0 + 0.5) DESC, c_custkey) AS BIGINT) AS rnk,
+       CAST(ntile(4) OVER (ORDER BY floor(c_acctbal * 100.0 + 0.5) DESC, c_custkey) AS BIGINT) AS quartile
+FROM customer
+""".strip()
+
+
 # --- events: sliding window aggregate ---------------------------------------
 
 SLIDE_US = 1_800_000_000  # 30 min slide, 1 h windows -> each event in 2 windows

@@ -42,9 +42,16 @@ _MUT_MOD = 7
 _MUT_SUFFIX = " v2"
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)
 class DedupShard:
-    """One hash-range shard of the corpus text-hash set."""
+    """One hash-range shard of the corpus text-hash set.
+
+    Reserves NO CPU slot: its work (set probes/adds) happens inside the
+    caller-paid map tasks' round trips, so a CPU reservation would only
+    starve the map stages — on a 4-CPU test cluster, two leaked index
+    generations (8 x 0.25) deadlocked an actor-pool stage outright.  A
+    production deployment pins shards to dedicated nodes via custom
+    resources instead of CPU shares."""
 
     def __init__(self) -> None:
         self._seen: set[bytes] = set()
@@ -88,6 +95,14 @@ class DedupIndex:
 
     def sizes(self) -> list[int]:
         return ray.get([s.size.remote() for s in self.shards])
+
+    def close(self) -> None:
+        """Kill the shard actors.  Call once every Dataset derived from
+        this index has been consumed (query_index results are lazy and
+        hold shard handles in their task closures)."""
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
 
 
 def build_index(ds: ray.data.Dataset, index: DedupIndex,

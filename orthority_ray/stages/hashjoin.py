@@ -260,7 +260,7 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
 def plan_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
                    *, target_bucket_rows: int = 500_000, fraction: float = 0.02,
                    seed: int = 42, max_hot: int = 256, per_batch_top: int = 64,
-                   ) -> tuple[int, np.ndarray]:
+                   right_total: float | None = None) -> tuple[int, np.ndarray]:
     """Data-aware join plan: ``(n_buckets, hot_keys)`` from a sampled key
     histogram (the stages/salting.py protocol applied to joins).
 
@@ -306,9 +306,12 @@ def plan_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
         .limit(max_hot)
         .to_pandas()
     )
-    right_total = (
-        right.select_columns([key]).random_sample(fraction, seed=seed).count() / fraction
-    )
+    if right_total is None:
+        # executes the right pipeline once; pass right_total when the caller
+        # knows its size class (e.g. a dimension-sized aggregate) to skip it
+        right_total = (
+            right.select_columns([key]).random_sample(fraction, seed=seed).count() / fraction
+        )
     est_rows = max(1.0, left_total + right_total)
     n_buckets = int(min(4096, max(16, 2 ** np.ceil(np.log2(max(1.0, est_rows / target_bucket_rows))))))
     est = top_keys["n"].to_numpy() / fraction
@@ -323,14 +326,15 @@ def adaptive_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str
                        left_dedup: str | None = None,
                        n_salts: int = N_SALTS,
                        target_bucket_rows: int = 500_000,
-                       fraction: float = 0.02, seed: int = 42) -> ray.data.Dataset:
+                       fraction: float = 0.02, seed: int = 42,
+                       right_total: float | None = None) -> ray.data.Dataset:
     """:func:`hash_join` with the bucket count and hot-key set chosen by
     :func:`plan_hash_join` — use for joins whose key distribution is
     unknown or skewed (Zipf hosts, hot cells); fixed-dimension TPC-H-style
     joins keep the explicit ``n_buckets`` fast path."""
     n_buckets, hot = plan_hash_join(
         left, right, key, target_bucket_rows=target_bucket_rows,
-        fraction=fraction, seed=seed,
+        fraction=fraction, seed=seed, right_total=right_total,
     )
     return hash_join(left, right, key, left_cols, right_cols,
                      n_buckets=n_buckets, how=how, types=types,

@@ -140,3 +140,84 @@ def grouped_topn(
         return out
 
     return bucketed_group_apply(ds, [key], fn, n_buckets=n_buckets)
+
+
+def global_rank(ds: ray.data.Dataset, val_col: str, id_col: str,
+                out_cols: list[str], *, descending: bool = True,
+                rank_name: str = "rnk", ntile: int | None = None,
+                ntile_name: str = "quartile", n_buckets: int = 64,
+                fraction: float = 0.05, seed: int = 42) -> ray.data.Dataset:
+    """GLOBAL ROW_NUMBER over (val_col, id_col) without materializing a full
+    sort on one node — the distributed global-rank primitive:
+
+    1. sample ``val_col`` and cut ``n_buckets`` RANGE boundaries (equal-value
+       rows always land in one bucket, so ties resolve locally);
+    2. one tiny pruned pass counts rows per range bucket -> driver-side
+       offsets (n_buckets rows, bounded);
+    3. each bucket sorts locally by (val, id) and emits offset + local rank.
+
+    ``ntile=k`` additionally emits the SQL NTILE(k) bucket (first n%k
+    buckets take ceil(n/k) rows), computable from the global rank alone.
+    Oracle twin: ROW_NUMBER()/NTILE() OVER (ORDER BY val [DESC], id).
+    """
+    import pyarrow as pa
+
+    import ray
+
+    sign = -1.0 if descending else 1.0
+
+    sampled = ds.select_columns([val_col]).random_sample(fraction, seed=seed).take_all()
+    vals = np.sort(np.array([r[val_col] for r in sampled]) * sign)
+    qs = np.linspace(0, 1, n_buckets + 1)[1:-1]
+    bounds = np.unique(np.quantile(vals, qs)) if vals.size else np.array([])
+    bounds_ref = ray.put(bounds)
+
+    def tag(b: pa.Table) -> pa.Table:
+        bd = ray.get(bounds_ref)
+        v = b[val_col].to_numpy(zero_copy_only=False) * sign
+        return b.append_column("__rbucket", pa.array(
+            np.searchsorted(bd, v, side="left").astype(np.int64)))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+
+    def bcount(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b["__rbucket"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"__rbucket": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    counts = (
+        ds.select_columns([val_col])
+        .map_batches(tag, batch_format="pyarrow", batch_size=65536)
+        .map_batches(bcount, batch_format="pyarrow", batch_size=65536)
+        .groupby("__rbucket")
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("__rbucket")
+    )
+    total = int(counts["n"].sum())
+    sizes = np.zeros(len(bounds) + 1, dtype=np.int64)
+    sizes[counts["__rbucket"].to_numpy()] = counts["n"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    off_ref = ray.put(offsets)
+    if ntile:
+        q, r = divmod(total, ntile)
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        bucket = int(g["__rbucket"].iloc[0])
+        g = g.sort_values([val_col, id_col],
+                          ascending=[not descending, True], kind="mergesort")
+        rnk = off[bucket] + np.arange(1, len(g) + 1, dtype=np.int64)
+        out = g[out_cols].copy()
+        out[rank_name] = rnk
+        if ntile:
+            head = r * (q + 1)
+            out[ntile_name] = np.where(
+                rnk <= head,
+                (rnk - 1) // max(q + 1, 1) + 1,
+                r + (rnk - 1 - head) // max(q, 1) + 1,
+            ).astype(np.int64)
+        return out
+
+    return tagged.groupby("__rbucket").map_groups(rank_bucket, batch_format="pandas")

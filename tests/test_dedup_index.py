@@ -49,3 +49,21 @@ def test_duplicate_heavy_corpus_counts_distinct(ray_session):
     index = DedupIndex.create(4)
     build_index(_texts_ds(corpus), index)
     assert sum(index.sizes()) == 2  # the index holds DISTINCT texts
+
+
+def test_index_close_kills_actors(ray_session):
+    import time
+
+    import pytest as _pytest
+    import ray as _ray
+
+    from orthority_ray.stages.dedup_index import DedupIndex
+
+    idx = DedupIndex.create(n_shards=2)
+    assert idx.sizes() == [0, 0]
+    shard = None if not idx.shards else idx.shards[0]
+    idx.close()
+    assert idx.shards == []
+    time.sleep(0.2)
+    with _pytest.raises(_ray.exceptions.RayActorError):
+        _ray.get(shard.size.remote())
