@@ -25,6 +25,7 @@ from orthority_ray.sources import sql as S
 from orthority_ray.sources.pages import read_pages, read_page_keys
 from orthority_ray.stages import ann as ANN
 from orthority_ray.stages import dedup as D
+from orthority_ray.stages.editdist import SQL_EDIT_DISTANCE
 from orthority_ray.stages import knn as KNN
 from orthority_ray.pipelines import tpch_extra as TX
 from orthority_ray.stages import ngram as NG
@@ -673,6 +674,17 @@ FROM pages
 """.strip()
 
 
+def q_edit_distance(sf_dir: str):
+    """Exact Levenshtein distance between consecutive documents — the
+    batch-vectorized min-plus-scan DP (stages/editdist.py): a self
+    hash-join on doc_id+1 co-locates pairs, then L1 vectorized kernels per
+    batch, no Python per cell; oracle is DuckDB's levenshtein()."""
+    from orthority_ray.pipelines.relational import _read
+    from orthority_ray.stages.editdist import adjacent_doc_distances
+
+    return adjacent_doc_distances(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_doc_typicality(sf_dir: str):
     """Train-then-score: exact corpus token frequencies fitted in one pass,
     broadcast, then every page scored (sum + min of its tokens' corpus
@@ -718,7 +730,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "weighted_sample", "bloom_semijoin", "incremental_dedup", "remap_checker",
     "metadata", "site_skew", "supplier_balance", "docs_by_lang",
     "overview_coarse", "auto_utm", "daily_activity", "text_normalize",
-    "customer_ntile",
+    "customer_ntile", "edit_distance",
 ]
 
 
@@ -748,6 +760,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition_stats,
         "url_redact": q_url_redact,
         "text_normalize": q_text_normalize,
+        "edit_distance": q_edit_distance,
         "doc_typicality": q_doc_typicality,
         "extract_verify": q_extract_verify,
         "ann": q_ann,
@@ -887,6 +900,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": S.with_pages(T.SQL_REPETITION),
         "url_redact": S.with_pages(_SQL_URL_REDACT),
         "text_normalize": S.with_pages(SQL_TEXT_NORMALIZE),
+        "edit_distance": SQL_EDIT_DISTANCE,
         "doc_typicality": S.with_pages(T.SQL_TYPICALITY),
         "extract_verify": S.with_pages(
             "SELECT COUNT(*) AS n_pages, CAST(0 AS BIGINT) AS n_bad FROM pages"

@@ -1,0 +1,118 @@
+"""Exact Levenshtein edit distance, batch-vectorized across pairs.
+
+LLM-pipeline near-dup verification often needs an exact character-level
+distance on candidate pairs (n-gram Jaccard is set-based and misses
+re-orderings).  The classic DP has a sequential dependency along each row
+(curr[j] depends on curr[j-1] through insertions); the row is made fully
+vectorizable with the min-plus prefix-scan identity
+
+    curr[j] = min_{k <= j} (c0[k] + (j - k))
+            = j + running_min(c0[k] - k)
+
+where c0 = [row-leader, min(prev[1:]+1, prev[:-1]+subst_cost)] covers the
+deletion/substitution candidates and the scan replays any chain of
+insertions.  One batch of P pairs padded to (L1, L2) costs L1 vectorized
+kernels over (P, L2) arrays — no Python per cell, no per-pair loop.
+
+Reference analog: none (graft breadth for the webtext payload); oracle twin
+is DuckDB's ``levenshtein()``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _pad_codepoints(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(P, Lmax) uint32 codepoint matrix (0-padded) + (P,) lengths."""
+    lens = np.array([len(s) for s in texts], dtype=np.int64)
+    lmax = int(lens.max()) if lens.size else 0
+    out = np.zeros((len(texts), lmax), dtype=np.uint32)
+    for i, s in enumerate(texts):
+        if s:
+            out[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    return out, lens
+
+
+def levenshtein_batch(a: list[str], b: list[str]) -> np.ndarray:
+    """Exact edit distances for P string pairs, vectorized across the batch."""
+    if len(a) != len(b):
+        raise ValueError("pair lists must have equal length")
+    P = len(a)
+    if P == 0:
+        return np.zeros(0, dtype=np.int64)
+    A, la = _pad_codepoints(list(a))
+    B, lb = _pad_codepoints(list(b))
+    L1, L2 = A.shape[1], B.shape[1]
+    j_idx = np.arange(L2 + 1, dtype=np.int32)
+    prev = np.broadcast_to(j_idx, (P, L2 + 1)).copy()
+    # preallocated scratch: the DP inner loop runs L1 times over (P, L2+1)
+    # int32 slabs — fresh allocations per row paid ~2x in page faults
+    c0 = np.empty((P, L2 + 1), dtype=np.int32)
+    t = np.empty((P, L2), dtype=np.int32)
+    t2 = np.empty((P, L2), dtype=np.int32)
+    for i in range(1, L1 + 1):
+        ai = A[:, i - 1][:, None]
+        np.add(prev[:, :-1], B != ai, out=t)        # substitution (bool adds 0/1)
+        np.add(prev[:, 1:], 1, out=t2)              # deletion
+        np.minimum(t, t2, out=t)
+        c0[:, 0] = i
+        c0[:, 1:] = t
+        np.subtract(c0, j_idx, out=c0)
+        np.minimum.accumulate(c0, axis=1, out=c0)   # insertion chains (min-plus scan)
+        np.add(c0, j_idx, out=c0)
+        # rows whose string a is shorter than i are already final: freeze
+        # (padding columns beyond len(b) are computed but never read back)
+        alive = la >= i
+        prev[alive] = c0[alive]
+    return prev[np.arange(P), lb].astype(np.int64)
+
+
+def adjacent_doc_distances(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_a, doc_b=doc_a+1, edit_dist) for consecutive document ids — the
+    oracle-checkable driver for the batch kernel: a self hash-join on
+    ``doc_id + 1`` co-locates each pair, then one vectorized DP per batch."""
+    from .hashjoin import hash_join
+
+    def left(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"k": pa.array(d + 1), "text_a": b["text"]})
+
+    def right(b: pa.Table) -> pa.Table:
+        return pa.table({"k": b["doc_id"], "text_b": b["text"]})
+
+    lt = docs.map_batches(left, batch_format="pyarrow", batch_size=None)
+    rt = docs.map_batches(right, batch_format="pyarrow", batch_size=None)
+    j = hash_join(lt, rt, "k", ["k", "text_a"], ["k", "text_b"],
+                  types={"text_a": pa.string(), "text_b": pa.string()})
+
+    def dist(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False)
+        d = levenshtein_batch(b["text_a"].to_pylist(), b["text_b"].to_pylist())
+        return pa.table({
+            "doc_a": pa.array(k - 1),
+            "doc_b": pa.array(k),
+            "edit_dist": pa.array(d),
+        })
+
+    # explicit repartition before the DP: the join's reduce fan-out follows
+    # its INPUT block count, and Ray's bundler packs a small text table into
+    # one task however the upstream is batched — which left the O(P*L1*L2)
+    # DP 2-way parallel (measured 6 s for 5k pairs vs ~1 s at full width).
+    # The pair rows are tiny (two short strings); the extra exchange is
+    # noise next to one DP batch.
+    from ..core.config import read_blocks
+
+    n_out = max(16, read_blocks() // 8)
+    return j.repartition(n_out).map_batches(
+        dist, batch_format="pyarrow", batch_size=512
+    )
+
+
+SQL_EDIT_DISTANCE = """
+SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b,
+       CAST(levenshtein(d1.text, d2.text) AS BIGINT) AS edit_dist
+FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+""".strip()

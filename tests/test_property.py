@@ -163,3 +163,32 @@ def test_heavy_hitter_local_threshold_bound_property(vals, inv_phi, blocks):
         cnt = collections.Counter(part.tolist())
         union |= {v for v, c in cnt.items() if c * inv_phi > len(part)}
     assert global_hh <= union
+
+
+@given(
+    st.lists(
+        st.tuples(st.text(max_size=24), st.text(max_size=24)),
+        min_size=1, max_size=32,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_levenshtein_batch_property(pairs):
+    """Batch-vectorized min-plus-scan DP == classic per-cell DP on
+    arbitrary unicode strings (stages/editdist.py)."""
+    import numpy as np
+
+    from orthority_ray.stages.editdist import levenshtein_batch
+
+    def ref(a, b):
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev = dp[:]
+            dp[0] = i
+            for j in range(1, len(b) + 1):
+                dp[j] = min(prev[j] + 1, dp[j - 1] + 1,
+                            prev[j - 1] + (a[i - 1] != b[j - 1]))
+        return dp[len(b)]
+
+    got = levenshtein_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    want = np.array([ref(a, b) for a, b in pairs], dtype=np.int64)
+    assert (got == want).all()
