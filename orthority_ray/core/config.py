@@ -129,18 +129,37 @@ def count_materialized_read() -> None:
     MATERIALIZED_READS += 1
 
 
+_MATERIALIZE_DECISIONS: dict[tuple[str, int], bool] = {}
+
+
 def should_materialize(path: str) -> bool:
     """True when the input has too few parquet fragments to feed the cluster
     natively (a one-file one-row-group read is a single serial task that
     throttles everything streamed behind it — the sandbox testdata shape).
     A real many-file input parallelizes at the read, so it must STREAM:
     materializing it would put the whole dataset in the object store, the
-    classic scale-killer (VERDICT r2 "What's wrong" #1)."""
+    classic scale-killer (VERDICT r2 "What's wrong" #1).
+
+    The (path, cluster-width) decision is memoized: it is consulted on
+    every read call and would otherwise re-open parquet footers each time.
+    Keying on the width keeps the decision stable within one session while
+    still re-evaluating if the cluster size genuinely changes.  Before
+    ray.init the fallback is the machine width (os.cpu_count), not a magic
+    constant — the decision should not flip with call order around init."""
     try:
         total = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
-        total = 4
-    return parquet_fragments(path, limit=total) < total
+        import os
+
+        total = os.cpu_count() or 4
+    key = (path, total)
+    got = _MATERIALIZE_DECISIONS.get(key)
+    if got is None:
+        got = parquet_fragments(path, limit=total) < total
+        if len(_MATERIALIZE_DECISIONS) > 4096:
+            _MATERIALIZE_DECISIONS.clear()
+        _MATERIALIZE_DECISIONS[key] = got
+    return got
 
 
 def read_blocks() -> int:

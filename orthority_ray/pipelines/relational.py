@@ -34,25 +34,27 @@ def _read(sf_dir: str, table: str, columns: list[str]) -> ray.data.Dataset:
                                read_blocks, session_token, should_materialize,
                                table_path)
 
+    # cache probe FIRST: a hit must not pay parquet-footer I/O
+    key = (sf_dir, table, tuple(columns), session_token())
+    ds = _TABLE_CACHE.get(key)
+    if ds is not None:
+        return ds
     path = table_path(sf_dir, table)
     if not should_materialize(path):
         # enough fragments to feed the cluster: the native parallel read
         # streams with backpressure — no object-store copy, no cache
         return ray.data.read_parquet(path, columns=columns)
-    key = (sf_dir, table, tuple(columns), session_token())
-    ds = _TABLE_CACHE.get(key)
-    if ds is None:
-        # block count scaled to the file: splitting a 1000-row dim table
-        # 128 ways just buys 128 trivial task dispatches downstream
-        nb = read_blocks() if parquet_bytes(path) > 4_000_000 else 8
-        count_materialized_read()
-        ds = ray.data.read_parquet(
-            path, columns=columns,
-            override_num_blocks=nb,
-        ).materialize()
-        while len(_TABLE_CACHE) >= 12:
-            _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
-        _TABLE_CACHE[key] = ds
+    # block count scaled to the file: splitting a 1000-row dim table
+    # 128 ways just buys 128 trivial task dispatches downstream
+    nb = read_blocks() if parquet_bytes(path) > 4_000_000 else 8
+    count_materialized_read()
+    ds = ray.data.read_parquet(
+        path, columns=columns,
+        override_num_blocks=nb,
+    ).materialize()
+    while len(_TABLE_CACHE) >= 12:
+        _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
+    _TABLE_CACHE[key] = ds
     return ds
 
 

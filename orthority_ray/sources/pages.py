@@ -216,6 +216,11 @@ def read_page_keys(sf_dir: str) -> ray.data.Dataset:
     from ..core.config import (count_materialized_read, session_token,
                                should_materialize, table_path)
 
+    # cache probe FIRST: a hit must not pay parquet-footer I/O
+    cache_key = (sf_dir, session_token())
+    cached = _KEYS_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     path = table_path(sf_dir, "lineitem")
 
     def keys(batch: pa.Table) -> pa.Table:
@@ -231,10 +236,6 @@ def read_page_keys(sf_dir: str) -> ray.data.Dataset:
             path, columns=["l_orderkey", "l_linenumber"]
         ).map_batches(keys, batch_format="pyarrow", batch_size=None)
 
-    cache_key = (sf_dir, session_token())
-    cached = _KEYS_CACHE.get(cache_key)
-    if cached is not None:
-        return cached
     # materialize the (serial single-task) read FIRST so the key map fans
     # out over cached blocks instead of queueing behind the streaming read
     count_materialized_read()

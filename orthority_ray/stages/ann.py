@@ -48,13 +48,26 @@ def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 
 
 def load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    """(qids, Q x d unit matrix) — the broadcast side (vec_id % QUERY_MOD == 0)."""
-    import pyarrow.parquet as pq
+    """(qids, Q x d unit matrix) — the broadcast side (vec_id % QUERY_MOD
+    == 0).  Selected with a DISTRIBUTED per-batch filter; only the ~N/997
+    query rows ever reach the driver (a full-table driver read here was a
+    10^12-scale landmine the zero-materialization gate could not see)."""
 
-    t = pq.read_table(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    def sel(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % QUERY_MOD == 0))
+
+    parts = (
+        ray.data.read_parquet(table_path(sf_dir, "embeddings"),
+                              columns=["vec_id", "embedding"])
+        .map_batches(sel, batch_format="pyarrow", batch_size=None)
+        .to_arrow_refs()
+    )
+    t = pa.concat_tables([x for x in ray.get(parts) if x.num_rows],
+                         promote_options="default")
     ids, m = _emb_matrix(t)
-    sel = ids % QUERY_MOD == 0
-    return ids[sel], m[sel]
+    order = np.argsort(ids, kind="stable")  # file order, deterministic
+    return ids[order], m[order]
 
 
 def _cosine(m: np.ndarray, q: np.ndarray) -> np.ndarray:

@@ -25,26 +25,33 @@ import pyarrow as pa
 import ray.data
 
 
-def _pad_codepoints(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
-    """(P, Lmax) uint32 codepoint matrix (0-padded) + (P,) lengths."""
-    lens = np.array([len(s) for s in texts], dtype=np.int64)
+def _pad_units(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(P, Lmax) uint8 UTF-8-byte matrix (0-padded) + (P,) byte lengths.
+
+    Distances are over UTF-8 BYTES, matching DuckDB's ``levenshtein()``
+    exactly on every input (a codepoint-based variant diverges on any
+    multi-byte character: levenshtein('é','a') is 2 in bytes, 1 in
+    codepoints — the oracle gate would go red on non-ASCII corpora)."""
+    enc = [s.encode("utf-8") for s in texts]
+    lens = np.array([len(b) for b in enc], dtype=np.int64)
     lmax = int(lens.max()) if lens.size else 0
-    out = np.zeros((len(texts), lmax), dtype=np.uint32)
-    for i, s in enumerate(texts):
-        if s:
-            out[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    out = np.zeros((len(texts), lmax), dtype=np.uint8)
+    for i, b in enumerate(enc):
+        if b:
+            out[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
     return out, lens
 
 
 def levenshtein_batch(a: list[str], b: list[str]) -> np.ndarray:
-    """Exact edit distances for P string pairs, vectorized across the batch."""
+    """Exact UTF-8-byte edit distances for P string pairs, vectorized
+    across the batch (DuckDB ``levenshtein()`` semantics)."""
     if len(a) != len(b):
         raise ValueError("pair lists must have equal length")
     P = len(a)
     if P == 0:
         return np.zeros(0, dtype=np.int64)
-    A, la = _pad_codepoints(list(a))
-    B, lb = _pad_codepoints(list(b))
+    A, la = _pad_units(list(a))
+    B, lb = _pad_units(list(b))
     L1, L2 = A.shape[1], B.shape[1]
     j_idx = np.arange(L2 + 1, dtype=np.int32)
     prev = np.broadcast_to(j_idx, (P, L2 + 1)).copy()

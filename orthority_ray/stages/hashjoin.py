@@ -31,6 +31,12 @@ def _key_hash(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     per-bucket probe compares actual key values), and a cold key colliding
     with a hot hash is simply salted/replicated consistently on both sides."""
     typ = col.type if isinstance(col, (pa.Array, pa.ChunkedArray)) else None
+    if getattr(col, "null_count", 0):
+        # a null int key would round-trip through float64 NaN -> int64,
+        # an UNDEFINED C cast that differs across architectures — the same
+        # null row could hash to different buckets on different nodes and
+        # silently drop join rows.  Reject loudly (strings already did).
+        raise ValueError("null join keys are not supported; filter them first")
     if typ is not None and (pa.types.is_string(typ) or pa.types.is_large_string(typ)
                             or pa.types.is_binary(typ)):
         from ..core.texthash import hash_arrow_strings
@@ -203,58 +209,105 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
         lmask = side == 0
         l_tbl = g.filter(pa.array(lmask)).select(left_cols)
         r_tbl = g.filter(pa.array(~lmask)).select(right_cols)
-        if left_dedup is not None and l_tbl.num_rows:
-            dd = l_tbl[left_dedup].to_numpy(zero_copy_only=False)
-            _, first = np.unique(dd, return_index=True)
-            l_tbl = l_tbl.take(pa.array(np.sort(first)))
-        lk = l_tbl[key].to_numpy(zero_copy_only=False)
-        rk = r_tbl[key].to_numpy(zero_copy_only=False)
-        order = np.argsort(rk, kind="stable")
-        rks = rk[order]
-        lo = np.searchsorted(rks, lk, "left")
-        hi = np.searchsorted(rks, lk, "right")
-        cnt = hi - lo
-        if how in ("semi", "anti"):
-            mask = cnt > 0 if how == "semi" else cnt == 0
-            return l_tbl.take(pa.array(np.nonzero(mask)[0]))
-        total = int(cnt.sum())
-        li = np.repeat(np.arange(lk.shape[0]), cnt)
-        # within-match offsets: ragged ranges [lo_i, hi_i) flattened
-        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
-        ri = order[np.repeat(lo, cnt) + offs]
-        out_l = l_tbl.take(pa.array(li))
-        cols = {c: out_l[c] for c in left_cols}
-        if r_only:
-            out_r = r_tbl.select(r_only).take(pa.array(ri))
-            for c in r_only:
-                cols[c] = out_r[c]
-        matched = pa.table(cols)
-        if how in ("left", "full"):
-            miss = np.nonzero(cnt == 0)[0]
-            if miss.size:
-                lm = l_tbl.take(pa.array(miss))
-                un = {c: lm[c] for c in left_cols}
-                for c in r_only:
-                    un[c] = pa.nulls(lm.num_rows, r_tbl.schema.field(c).type)
-                matched = pa.concat_tables([matched, pa.table(un)])
-        if how == "full":
-            matched_r = np.zeros(rk.shape[0], dtype=bool)
-            matched_r[ri] = True
-            rmiss = np.nonzero(~matched_r)[0]
-            if rmiss.size:
-                rm = r_tbl.take(pa.array(rmiss))
-                un = {}
-                for c in left_cols:
-                    # the key column carries the right side's key value;
-                    # left-only columns are typed nulls
-                    un[c] = rm[key] if c == key else pa.nulls(
-                        rm.num_rows, l_tbl.schema.field(c).type)
-                for c in r_only:
-                    un[c] = rm[c]
-                matched = pa.concat_tables([matched, pa.table(un)])
-        return matched
+        return _join_tables(l_tbl, r_tbl, key, left_cols, right_cols,
+                            r_only, how, left_dedup)
 
     return both.groupby("__bucket").map_groups(probe, batch_format="pyarrow")
+
+
+def _join_tables(l_tbl: pa.Table, r_tbl: pa.Table, key: str,
+                 left_cols: list[str], right_cols: list[str],
+                 r_only: list[str], how: str,
+                 left_dedup: str | None = None) -> pa.Table:
+    """The vectorized sort/searchsorted join of two co-located Arrow tables
+    — shared by the per-bucket probe (shuffle path) and the per-batch map
+    (broadcast path).  Dtype-preserving: a pandas merge here NaN-fills and
+    upcasts int64 -> float64 (round-1 regression the value-hash caught)."""
+    if left_dedup is not None and l_tbl.num_rows:
+        dd = l_tbl[left_dedup].to_numpy(zero_copy_only=False)
+        _, first = np.unique(dd, return_index=True)
+        l_tbl = l_tbl.take(pa.array(np.sort(first)))
+    lk = l_tbl[key].to_numpy(zero_copy_only=False)
+    rk = r_tbl[key].to_numpy(zero_copy_only=False)
+    order = np.argsort(rk, kind="stable")
+    rks = rk[order]
+    lo = np.searchsorted(rks, lk, "left")
+    hi = np.searchsorted(rks, lk, "right")
+    cnt = hi - lo
+    if how in ("semi", "anti"):
+        mask = cnt > 0 if how == "semi" else cnt == 0
+        return l_tbl.take(pa.array(np.nonzero(mask)[0]))
+    total = int(cnt.sum())
+    li = np.repeat(np.arange(lk.shape[0]), cnt)
+    # within-match offsets: ragged ranges [lo_i, hi_i) flattened
+    offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    ri = order[np.repeat(lo, cnt) + offs]
+    out_l = l_tbl.take(pa.array(li))
+    cols = {c: out_l[c] for c in left_cols}
+    if r_only:
+        out_r = r_tbl.select(r_only).take(pa.array(ri))
+        for c in r_only:
+            cols[c] = out_r[c]
+    matched = pa.table(cols)
+    if how in ("left", "full"):
+        miss = np.nonzero(cnt == 0)[0]
+        if miss.size:
+            lm = l_tbl.take(pa.array(miss))
+            un = {c: lm[c] for c in left_cols}
+            for c in r_only:
+                un[c] = pa.nulls(lm.num_rows, r_tbl.schema.field(c).type)
+            matched = pa.concat_tables([matched, pa.table(un)])
+    if how == "full":
+        matched_r = np.zeros(rk.shape[0], dtype=bool)
+        matched_r[ri] = True
+        rmiss = np.nonzero(~matched_r)[0]
+        if rmiss.size:
+            rm = r_tbl.take(pa.array(rmiss))
+            un = {}
+            for c in left_cols:
+                # the key column carries the right side's key value;
+                # left-only columns are typed nulls
+                un[c] = rm[key] if c == key else pa.nulls(
+                    rm.num_rows, l_tbl.schema.field(c).type)
+            for c in r_only:
+                un[c] = rm[c]
+            matched = pa.concat_tables([matched, pa.table(un)])
+    return matched
+
+
+def broadcast_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
+                   left_cols: list[str], right_cols: list[str],
+                   how: str = "inner") -> ray.data.Dataset:
+    """Map-side join for a SMALL right side: the right table is collected
+    once, ``ray.put`` once, and every left batch probes it in place — zero
+    shuffle, the big side never moves.  Same semantics and dtypes as
+    :func:`hash_join` (shared :func:`_join_tables` core; equality pinned in
+    tests) for inner/left/semi/anti.  Not offered: ``full`` (right-side
+    misses need a cross-batch view) and ``left_dedup`` (global dedup needs
+    co-location).  The right side must genuinely be dimension-sized — this
+    is the scale path for dim lookups, not a general join."""
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"broadcast_join does not support how={how!r}")
+    r_only = [c for c in right_cols if c != key]
+    import ray
+
+    from ..sources.pages import cached_get
+
+    r_parts = [t for t in ray.get(
+        right.select_columns(right_cols).to_arrow_refs()) if t.num_rows]
+    r_tbl = (pa.concat_tables(r_parts, promote_options="default")
+             if r_parts else None)
+    if r_tbl is None:
+        raise ValueError("broadcast_join: right side is empty")
+    _key_hash(r_tbl[key])  # null-key check once, driver-side
+    r_ref = ray.put(r_tbl.combine_chunks())
+
+    def probe(b: pa.Table) -> pa.Table:
+        rt = cached_get(r_ref)
+        return _join_tables(b.select(left_cols), rt, key,
+                            left_cols, right_cols, r_only, how)
+
+    return left.map_batches(probe, batch_format="pyarrow", batch_size=65536)
 
 
 def plan_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
@@ -327,15 +380,37 @@ def adaptive_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str
                        n_salts: int = N_SALTS,
                        target_bucket_rows: int = 500_000,
                        fraction: float = 0.02, seed: int = 42,
-                       right_total: float | None = None) -> ray.data.Dataset:
-    """:func:`hash_join` with the bucket count and hot-key set chosen by
-    :func:`plan_hash_join` — use for joins whose key distribution is
-    unknown or skewed (Zipf hosts, hot cells); fixed-dimension TPC-H-style
-    joins keep the explicit ``n_buckets`` fast path."""
+                       right_total: float | None = None,
+                       broadcast_threshold_rows: int = 100_000) -> ray.data.Dataset:
+    """:func:`hash_join` with the strategy chosen from sampled statistics:
+
+    1. a dimension-sized right side (estimated or hinted ``right_total``
+       under ``broadcast_threshold_rows``) short-circuits to
+       :func:`broadcast_join` — the big side never shuffles at all;
+    2. otherwise :func:`plan_hash_join` sizes the bucket count to a row
+       budget and salts the sampled hot keys.
+
+    Use for joins whose key distribution or side sizes are unknown or
+    skewed; fixed-dimension TPC-H-style joins keep the explicit
+    ``n_buckets`` fast path."""
+    if right_total is None:
+        right_total = (
+            right.select_columns([key]).random_sample(fraction, seed=seed).count()
+            / fraction
+        )
+    if (right_total <= broadcast_threshold_rows
+            and how in ("inner", "left", "semi", "anti")
+            and left_dedup is None):
+        return broadcast_join(left, right, key, left_cols, right_cols, how=how)
     n_buckets, hot = plan_hash_join(
         left, right, key, target_bucket_rows=target_bucket_rows,
         fraction=fraction, seed=seed, right_total=right_total,
     )
+    if how == "full":
+        # full outer + salting is unsound (see hash_join's guard); keep the
+        # data-aware bucket count but plan without hot keys instead of
+        # crashing after the sampling pass
+        hot = hot[:0]
     return hash_join(left, right, key, left_cols, right_cols,
                      n_buckets=n_buckets, how=how, types=types,
                      left_dedup=left_dedup, hot_keys=hot, n_salts=n_salts)

@@ -52,14 +52,25 @@ def read_embeddings_blocks(sf_dir: str) -> ray.data.Dataset:
     testdata parquet is otherwise ONE serial block; see sources/pages.py)."""
     from ..core.config import parquet_num_rows, read_blocks
 
+    from ..core.config import count_materialized_read, should_materialize
+
+    path = table_path(sf_dir, "embeddings")
+    if not should_materialize(path):
+        # many fragments: stream the native read — block boundaries follow
+        # the files/row groups, which are DATA-derived and therefore stable
+        # across worker counts (the fold-invariance requirement), and the
+        # 12 Lloyd rounds re-execute a parallel read instead of pinning the
+        # table in the object store
+        return ray.data.read_parquet(path, columns=["vec_id", "embedding"])
     # block count is DATA-derived (rows / 1024, capped), never CPU-derived —
     # partial boundaries must not depend on the worker count (invariance),
     # and 12 Lloyd rounds over hundreds of near-empty blocks would be pure
     # dispatch overhead at test scale
-    n_rows = parquet_num_rows(table_path(sf_dir, "embeddings"))
+    n_rows = parquet_num_rows(path)
     blocks = max(1, min(read_blocks(), (n_rows + 1023) // 1024))
+    count_materialized_read()
     return ray.data.read_parquet(
-        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"],
+        path, columns=["vec_id", "embedding"],
         override_num_blocks=blocks,
     ).materialize()
 

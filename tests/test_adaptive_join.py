@@ -106,11 +106,6 @@ def test_plan_finds_hot_keys_and_sizes_buckets(ray_session):
 
 def test_adaptive_join_checksum_at_10m(ray_session):
     n = 10_000_000
-    out = adaptive_hash_join(
-        _left(n), _right(), "k", ["k", "value"], ["k", "attr"],
-        target_bucket_rows=250_000, fraction=0.01,
-        types={"value": pa.int64(), "attr": pa.int64()},
-    )
 
     def partial(batch: pa.Table) -> pa.Table:
         v = batch["value"].to_numpy(zero_copy_only=False)
@@ -122,14 +117,28 @@ def test_adaptive_join_checksum_at_10m(ray_session):
             }
         )
 
-    got = (
-        out.map_batches(partial, batch_format="pyarrow")
-        .sum(["rows", "ck"])
-    )
     ids = np.arange(n, dtype=np.uint64)
     keys = _zipf_keys(ids)
+    want_ck = int((ids.astype(np.int64) * keys * 10).sum())
+
+    # strategy 1: forced salted-shuffle path (broadcast disabled)
+    out = adaptive_hash_join(
+        _left(n), _right(), "k", ["k", "value"], ["k", "attr"],
+        target_bucket_rows=250_000, fraction=0.01, broadcast_threshold_rows=0,
+        types={"value": pa.int64(), "attr": pa.int64()},
+    )
+    got = out.map_batches(partial, batch_format="pyarrow").sum(["rows", "ck"])
     assert got["sum(rows)"] == n  # every key 1..N_KEYS matches exactly once
-    assert got["sum(ck)"] == int((ids.astype(np.int64) * keys * 10).sum())
+    assert got["sum(ck)"] == want_ck
+
+    # strategy 2: the planner sees the 1000-row dim side and short-circuits
+    # to the broadcast map-side join — identical result, zero shuffle
+    out2 = adaptive_hash_join(
+        _left(n), _right(), "k", ["k", "value"], ["k", "attr"],
+        fraction=0.01, types={"value": pa.int64(), "attr": pa.int64()},
+    )
+    got2 = out2.map_batches(partial, batch_format="pyarrow").sum(["rows", "ck"])
+    assert got2["sum(rows)"] == n and got2["sum(ck)"] == want_ck
 
 
 @pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
@@ -209,4 +218,20 @@ def test_string_key_salting(ray_session):
     a = plain.to_pandas().sort_values(["k", "value"]).reset_index(drop=True)
     b = salted.to_pandas().sort_values(["k", "value"]).reset_index(drop=True)
     assert len(a) == len(b) == 100_000
+    assert a.equals(b)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_broadcast_equals_shuffle_join(ray_session, how):
+    from orthority_ray.stages.hashjoin import broadcast_join
+
+    n = 100_000
+    ks = np.arange(1, N_KEYS + 1, 2, dtype=np.int64)  # half-domain dim
+    right = ray.data.from_arrow(pa.table({"k": ks, "attr": ks * 10}))
+    cols = (["k", "value"], ["k", "attr"])
+    a = hash_join(_left(n), right, "k", *cols, how=how).to_pandas()
+    b = broadcast_join(_left(n), right, "k", *cols, how=how).to_pandas()
+    a = a.sort_values(list(a.columns)).reset_index(drop=True)
+    b = b.sort_values(list(a.columns)).reset_index(drop=True)
+    assert len(a) == len(b) > 0
     assert a.equals(b)

@@ -174,12 +174,15 @@ def test_heavy_hitter_local_threshold_bound_property(vals, inv_phi, blocks):
 @settings(max_examples=60, deadline=None)
 def test_levenshtein_batch_property(pairs):
     """Batch-vectorized min-plus-scan DP == classic per-cell DP on
-    arbitrary unicode strings (stages/editdist.py)."""
+    arbitrary unicode strings (stages/editdist.py).  Distances are over
+    UTF-8 BYTES — DuckDB levenshtein() semantics, so the oracle gate stays
+    exact on multi-byte text."""
     import numpy as np
 
     from orthority_ray.stages.editdist import levenshtein_batch
 
-    def ref(a, b):
+    def ref(a_s, b_s):
+        a, b = a_s.encode("utf-8"), b_s.encode("utf-8")
         dp = list(range(len(b) + 1))
         for i in range(1, len(a) + 1):
             prev = dp[:]
