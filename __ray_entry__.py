@@ -673,6 +673,16 @@ def q_edit_distance(sf_dir: str):
     return adjacent_doc_distances(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_bpe_encode(sf_dir: str):
+    """Rows-only: TRAIN the BPE merge table, then ENCODE every page with it
+    (stages/bpe.bpe_encode) — per-doc word and BPE-token counts via a
+    per-worker distinct-word cache (vocab-cost encode, not stream-cost).
+    Completes the tokenizer story: bpe_train learns, this applies."""
+    from orthority_ray.stages.bpe import bpe_encode
+
+    return bpe_encode(sf_dir)
+
+
 def q_doc_typicality(sf_dir: str):
     """Train-then-score: exact corpus token frequencies fitted in one pass,
     broadcast, then every page scored (sum + min of its tokens' corpus
@@ -749,6 +759,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "url_redact": q_url_redact,
         "text_normalize": q_text_normalize,
         "edit_distance": q_edit_distance,
+        "bpe_encode": q_bpe_encode,
         "doc_typicality": q_doc_typicality,
         "extract_verify": q_extract_verify,
         "ann": q_ann,

@@ -212,3 +212,98 @@ def reference_bpe(texts: list[str], n_merges: int = N_MERGES) -> pd.DataFrame:
             sym[w] = tuple(res)
     return pd.DataFrame(merges, columns=["rank", "left", "right", "n_pairs"]) \
         .astype({"rank": np.int64, "n_pairs": np.int64})
+
+
+# --- applying a trained merge table to the corpus ----------------------------
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Standard BPE encode of one word: apply the learned merges in rank
+    order (identical output to lowest-rank-pair-first iteration, since
+    later merges can only consume symbols earlier merges produced)."""
+    syms = list(word) + [END_MARK]
+    for left, right in merges:
+        if len(syms) < 2:
+            break
+        res, i, joined = [], 0, left + right
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                res.append(joined)
+                i += 2
+            else:
+                res.append(syms[i])
+                i += 1
+        syms = res
+    return syms
+
+
+class BpeEncoder:
+    """Per-worker encoder state: the broadcast merge table plus a
+    DISTINCT-WORD subtoken-length cache — the corpus is encoded at
+    vocab cost, not token-stream cost (dedup-then-process)."""
+
+    def __init__(self, merges_ref):
+        self.merges: list[tuple[str, str]] = ray.get(merges_ref)
+        self.cache: dict[str, int] = {}
+
+    def _len(self, w: str) -> int:
+        n = self.cache.get(w)
+        if n is None:
+            n = len(encode_word(w, self.merges))
+            if len(self.cache) > 2_000_000:  # bound worker memory
+                self.cache.clear()
+            self.cache[w] = n
+        return n
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(b["text"].combine_chunks())
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        # doc index per kept token: repeat doc positions by list length,
+        # then drop the positions of the removed empty tokens
+        doc_idx = np.repeat(np.arange(b.num_rows), lens)[
+            keep.to_numpy(zero_copy_only=False)
+        ]
+        words = flat.to_pylist()
+        uniq = {}
+        for w in words:
+            if w not in uniq:
+                uniq[w] = self._len(w)
+        sub = np.fromiter((uniq[w] for w in words), dtype=np.int64,
+                          count=len(words))
+        n_words = np.zeros(b.num_rows, dtype=np.int64)
+        n_bpe = np.zeros(b.num_rows, dtype=np.int64)
+        if doc_idx.size:
+            starts = np.flatnonzero(
+                np.concatenate([[True], doc_idx[1:] != doc_idx[:-1]])
+            )
+            present = doc_idx[starts]
+            counts = np.diff(np.concatenate([starts, [doc_idx.size]]))
+            n_words[present] = counts
+            n_bpe[present] = np.add.reduceat(sub, starts)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_words": pa.array(n_words),
+            "n_bpe_tokens": pa.array(n_bpe),
+        })
+
+
+def bpe_encode(sf_dir: str, n_merges: int = 12) -> ray.data.Dataset:
+    """Rows-only query: train the merge table (bounded, driver-held), then
+    encode EVERY page — (doc_id, n_words, n_bpe_tokens).  Deterministic:
+    the merge table is partition-invariant (see train_bpe) and the counts
+    are exact integers."""
+    from ..sources.pages import read_pages
+
+    pages = read_pages(sf_dir).select_columns(["doc_id", "text"])
+    merges_df = train_bpe(pages, n_merges)
+    merges_ref = ray.put(list(zip(merges_df["left"], merges_df["right"])))
+
+    from ..core.config import cached_stage
+
+    return pages.map_batches(
+        cached_stage(BpeEncoder, f"bpe_enc:{merges_ref.hex()}", merges_ref),
+        batch_format="pyarrow", batch_size=16384,
+    )

@@ -45,3 +45,53 @@ def test_reference_learns_frequent_pairs(ray_session):
     # deterministic tie-break picks (a, </w>) first
     assert got.iloc[0]["left"] == "a" and got.iloc[0]["right"] == "</w>"
     assert got.iloc[1]["left"] == "a" and got.iloc[1]["right"] == "a</w>"
+
+
+def test_bpe_encode_matches_brute_force(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from orthority_ray.stages.bpe import (
+        BpeEncoder,
+        encode_word,
+        train_bpe,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the bat  and the cat",   # double space -> empty token dropped
+        "",                        # empty doc
+        "mat mat mat bat",
+    ]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": pa.array(texts),
+    }))
+    merges_df = train_bpe(docs, n_merges=8)
+    merges = list(zip(merges_df["left"], merges_df["right"]))
+
+    import ray as _ray
+
+    enc = BpeEncoder(_ray.put(merges))
+    out = enc(pa.table({"doc_id": pa.array(np.arange(len(texts))),
+                        "text": pa.array(texts)}))
+    got = out.to_pandas().set_index("doc_id")
+    for i, t in enumerate(texts):
+        words = [w for w in t.split() if w]
+        assert got.loc[i, "n_words"] == len(words)
+        assert got.loc[i, "n_bpe_tokens"] == sum(
+            len(encode_word(w, merges)) for w in words)
+    # merged tokens genuinely compress: 'the' appears 4x, must merge
+    assert got["n_bpe_tokens"].sum() < sum(
+        len(w) + 1 for t in texts for w in t.split() if w)
+
+
+def test_bpe_encode_query_deterministic(ray_session, sf_unit):
+    from orthority_ray.stages.bpe import bpe_encode
+
+    a = bpe_encode(sf_unit).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = bpe_encode(sf_unit).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(a) == 6000
+    assert a.equals(b)
+    assert (a["n_bpe_tokens"] >= a["n_words"]).all()  # >= 1 subtoken per word
