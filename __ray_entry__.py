@@ -826,6 +826,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": PK.sequence_pack,
         "image_phash_dup": q_image_phash_dup,
         "ann_int8": ANN.ann_int8,
+        "ann_pq": ANN.ann_pq,
         "remap_checker": q_remap_checker,
         "auto_utm": q_auto_utm,
         "metadata": q_metadata,

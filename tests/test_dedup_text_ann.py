@@ -565,3 +565,22 @@ def test_unionfind_small_numpy_at_scale():
     assert (out["doc_id"].to_numpy() == nodes).all()
     assert (out["component"].to_numpy() == nodes[roots]).all()
     assert t_new < t_old / 3, (t_new, t_old)
+
+
+def test_ann_pq_rerank_recall(sf_small):
+    """Product-quantization ANN (stages/ann.ann_pq): ADC shortlist + exact
+    re-rank.  Codes are 16 bytes/vector (16x under float32); with the
+    re-rank the top-10 recall vs the exact brute force must stay high, and
+    the output must be deterministic across runs."""
+    from orthority_ray.stages.ann import ann_bruteforce, ann_pq
+
+    exact = ann_bruteforce(sf_small).to_pandas()
+    got1 = ann_pq(sf_small).to_pandas()
+    got2 = ann_pq(sf_small).to_pandas()
+    a = got1.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = got2.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)  # deterministic: Philox codebooks, argmin ties fixed
+    ex = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    pq = set(map(tuple, a[["query_id", "neighbor_id"]].values))
+    assert len(a) == len(exact)
+    assert len(ex & pq) / len(ex) >= 0.95
