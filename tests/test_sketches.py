@@ -127,3 +127,32 @@ def test_hll_grouped_close_to_exact(ray_session, sf_unit):
     assert len(m) == len(truth)
     rel = (m["approx_distinct"] - m["n"]).abs() / m["n"]
     assert (rel < 0.05).all(), rel.max()
+
+
+def test_cms_never_undercounts_and_is_tight(ray_session):
+    """Count-min: estimates are >= true counts (structural), within the
+    eps*N bound with high probability, exact on heavy values at this
+    width, and partition-invariant (additive counters)."""
+    import pyarrow as pa
+
+    from orthority_ray.stages.sketches import CMS_WIDTH, cms_estimate, cms_sketch
+
+    rng = np.random.RandomState(9)
+    vals = np.concatenate([
+        np.full(5000, 7), np.full(3000, 42), np.full(1000, 99),
+        rng.randint(1000, 50_000, 20_000),
+    ]).astype(np.int64)
+    rng.shuffle(vals)
+    ds = ray.data.from_arrow(pa.table({"x": vals})).repartition(7)
+    sk = cms_sketch(ds, "x")
+    probe = np.array([7, 42, 99], dtype=np.int64)
+    true = np.array([(vals == v).sum() for v in probe])
+    est = cms_estimate(sk, probe)
+    assert (est >= true).all()
+    n = len(vals)
+    assert (est - true <= np.e / CMS_WIDTH * n * 4).all()  # generous eps bound
+    # partition-invariance: different block structure, identical sketch
+    sk2 = cms_sketch(ray.data.from_arrow(pa.table({"x": vals})).repartition(3), "x")
+    assert (sk == sk2).all()
+    # total mass per row == N (additivity sanity)
+    assert (sk.sum(axis=1) == n).all()
