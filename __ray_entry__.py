@@ -29,6 +29,7 @@ from orthority_ray.stages import dedup as D
 from orthority_ray.stages.editdist import SQL_EDIT_DISTANCE
 from orthority_ray.stages import knn as KNN
 from orthority_ray.pipelines import tpch_extra as TX
+from orthority_ray.pipelines import tpch_more as TM
 from orthority_ray.stages import ngram as NG
 from orthority_ray.stages import spandedup as SD
 from orthority_ray.stages import tfidf as TF
@@ -766,6 +767,8 @@ _DRIVER_UNCHECKED_FIRST = [
     "metadata", "site_skew", "supplier_balance", "docs_by_lang",
     "overview_coarse", "auto_utm", "daily_activity", "text_normalize",
     "customer_ntile", "edit_distance", "training_prep",
+    "waiting_suppliers", "late_shipments", "nation_profit", "event_pivot",
+    "first_touch", "events_cube",
 ]
 
 
@@ -848,6 +851,12 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "local_volume": TX.q_local_volume,
         "market_share": TX.q_market_share,
         "pushdown_revenue": TX.q_pushdown_revenue,
+        "waiting_suppliers": TM.q_waiting_suppliers,
+        "late_shipments": TM.q_late_shipments,
+        "nation_profit": TM.q_nation_profit,
+        "event_pivot": TM.q_event_pivot,
+        "first_touch": TM.q_first_touch,
+        "events_cube": TM.q_events_cube,
         "ngram_jaccard": NG.ngram_jaccard_pairs,
         "span_dedup": SD.span_dedup,
         "contamination": SD.contamination,
@@ -997,6 +1006,12 @@ def oracle_sql() -> dict[str, str]:
         "local_volume": TX.SQL_LOCAL_VOLUME,
         "market_share": TX.SQL_MARKET_SHARE,
         "pushdown_revenue": TX.SQL_PUSHDOWN_REVENUE,
+        "waiting_suppliers": TM.SQL_WAITING_SUPPLIERS,
+        "late_shipments": TM.SQL_LATE_SHIPMENTS,
+        "nation_profit": TM.SQL_NATION_PROFIT,
+        "event_pivot": TM.SQL_EVENT_PIVOT,
+        "first_touch": TM.SQL_FIRST_TOUCH,
+        "events_cube": TM.SQL_EVENTS_CUBE,
         "ngram_jaccard": NG.sql_ngram_jaccard(),
         "span_dedup": SD.sql_span_dedup(),
         "contamination": SD.sql_contamination(),
