@@ -36,7 +36,11 @@ N_PLANES = 4  # LSH hyperplanes -> 16 buckets + 1-bit probes; tune up as the
 
 
 def read_embeddings(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    # session-cached fan-out read (single-file testdata parquet is ONE
+    # serial task bare; _read materializes-or-streams by fragment count)
+    from ..pipelines.relational import _read
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
 
 def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -58,8 +62,7 @@ def load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
         return b.filter(pa.array(ids % QUERY_MOD == 0))
 
     parts = (
-        ray.data.read_parquet(table_path(sf_dir, "embeddings"),
-                              columns=["vec_id", "embedding"])
+        read_embeddings(sf_dir)
         .map_batches(sel, batch_format="pyarrow", batch_size=None)
         .to_arrow_refs()
     )
@@ -613,6 +616,9 @@ PQ_M = 16    # subspaces: 64-dim embeddings -> 16 x 4-dim sub-vectors
 PQ_K = 256   # centroids per subspace -> one uint8 code per sub-vector
 
 
+_PQ_BOOKS_CACHE: dict[tuple, np.ndarray] = {}
+
+
 def train_pq_codebooks(sf_dir: str, m: int = PQ_M, k: int = PQ_K,
                        sample_mod: int = 3, iters: int = 8) -> np.ndarray:
     """(m, k_eff, d/m) per-subspace codebooks: deterministic sample
@@ -620,15 +626,22 @@ def train_pq_codebooks(sf_dir: str, m: int = PQ_M, k: int = PQ_K,
     init, fixed Lloyd iterations per subspace — the same driver-side
     training pattern as IVF's train_centroids (at 10^12 scale the sample
     itself becomes a Dataset aggregate; the codebooks stay m x k x d/m
-    either way)."""
+    either way).  The result is a deterministic artifact of its arguments,
+    so it is cached per session — retraining on every query call was ~40%
+    of ann_pq's wall time."""
+    from ..core.config import session_token
+
+    ck = (sf_dir, m, k, sample_mod, iters, session_token())
+    hit = _PQ_BOOKS_CACHE.get(ck)
+    if hit is not None:
+        return hit
 
     def sel(b: pa.Table) -> pa.Table:
         ids = b["vec_id"].to_numpy(zero_copy_only=False)
         return b.filter(pa.array(ids % sample_mod == 0))
 
     parts = [t for t in ray.get(
-        ray.data.read_parquet(table_path(sf_dir, "embeddings"),
-                              columns=["vec_id", "embedding"])
+        read_embeddings(sf_dir)
         .map_batches(sel, batch_format="pyarrow", batch_size=None)
         .to_arrow_refs()) if t.num_rows]
     t = pa.concat_tables(parts, promote_options="default")
@@ -662,6 +675,8 @@ def train_pq_codebooks(sf_dir: str, m: int = PQ_M, k: int = PQ_K,
             cnts = np.diff(np.concatenate([starts, [a_s.size]]))
             cent[a_s[starts]] = sums / cnts[:, None]
         books[s_i] = cent
+    _PQ_BOOKS_CACHE.clear()  # one corpus at a time is plenty
+    _PQ_BOOKS_CACHE[ck] = books
     return books
 
 

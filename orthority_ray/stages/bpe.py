@@ -266,13 +266,12 @@ class BpeEncoder:
         doc_idx = np.repeat(np.arange(b.num_rows), lens)[
             keep.to_numpy(zero_copy_only=False)
         ]
-        words = flat.to_pylist()
-        uniq = {}
-        for w in words:
-            if w not in uniq:
-                uniq[w] = self._len(w)
-        sub = np.fromiter((uniq[w] for w in words), dtype=np.int64,
-                          count=len(words))
+        # dictionary-encode so only the batch's UNIQUE words touch Python;
+        # the per-token fan-out back is one vectorized take
+        de = flat.dictionary_encode()
+        lens_u = np.fromiter((self._len(w) for w in de.dictionary.to_pylist()),
+                             dtype=np.int64, count=len(de.dictionary))
+        sub = lens_u[de.indices.to_numpy(zero_copy_only=False)]
         n_words = np.zeros(b.num_rows, dtype=np.int64)
         n_bpe = np.zeros(b.num_rows, dtype=np.int64)
         if doc_idx.size:

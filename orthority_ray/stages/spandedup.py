@@ -185,13 +185,24 @@ GROUP BY wins.doc_id
 BENCH_MOD = 13
 
 
+_BENCH_REF_CACHE: dict[tuple, object] = {}
+
+
 def benchmark_window_ref(sf_dir: str, width: int = WINDOW):
     """ObjectRef of the benchmark window lookup ({sorted hashes}, {hash ->
     window strings}): the broadcast side shared by :func:`contamination`
     (flagging) and :func:`contamination_filter` (dropping).  At crawl scale
     with a huge benchmark, swap for `bloom.build_bloom` + the bucketed semi
     join on ``h`` (same topology as span_dedup's candidate path)."""
+    from ..core.config import session_token
     from ..pipelines.relational import _read
+
+    # the lookup is a deterministic artifact of (sf_dir, width): rebuilding
+    # it per query call re-ran the explode pass + a window-count Python fold
+    ck = (sf_dir, width, session_token())
+    hit = _BENCH_REF_CACHE.get(ck)
+    if hit is not None:
+        return hit
 
     # cached fanned-out read: a bare single-file read_parquet is ONE serial
     # block, and batch_size=None would then run both explode passes in a
@@ -207,9 +218,12 @@ def benchmark_window_ref(sf_dir: str, width: int = WINDOW):
     lookup: dict[int, set[str]] = {}
     for r in bench:
         lookup.setdefault(int(r["h"]), set()).add(r["w"])
-    return ray.put(
+    ref = ray.put(
         {"hs": np.sort(np.fromiter(lookup.keys(), np.int64, len(lookup))),
          "byh": lookup})
+    _BENCH_REF_CACHE.clear()  # one corpus at a time is plenty
+    _BENCH_REF_CACHE[ck] = ref
+    return ref
 
 
 def _contaminated_ids(b: pa.Table, bench_ref, width: int) -> np.ndarray:
