@@ -30,6 +30,8 @@ from orthority_ray.stages.editdist import SQL_EDIT_DISTANCE
 from orthority_ray.stages import knn as KNN
 from orthority_ray.pipelines import tpch_extra as TX
 from orthority_ray.pipelines import tpch_more as TM
+from orthority_ray.pipelines import tpch_final as TL
+from orthority_ray.pipelines import events_extra as EV
 from orthority_ray.stages import ngram as NG
 from orthority_ray.stages import spandedup as SD
 from orthority_ray.stages import tfidf as TF
@@ -769,6 +771,8 @@ _DRIVER_UNCHECKED_FIRST = [
     "customer_ntile", "edit_distance", "training_prep",
     "waiting_suppliers", "late_shipments", "nation_profit", "event_pivot",
     "first_touch", "events_cube",
+    "important_parts", "excess_suppliers", "min_bal_supplier",
+    "events_moving_sum", "user_event_path", "user_top_event",
 ]
 
 
@@ -855,6 +859,12 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "late_shipments": TM.q_late_shipments,
         "nation_profit": TM.q_nation_profit,
         "event_pivot": TM.q_event_pivot,
+        "important_parts": TL.q_important_parts,
+        "excess_suppliers": TL.q_excess_suppliers,
+        "min_bal_supplier": TL.q_min_bal_supplier,
+        "events_moving_sum": EV.q_events_moving_sum,
+        "user_event_path": EV.q_user_event_path,
+        "user_top_event": EV.q_user_top_event,
         "first_touch": TM.q_first_touch,
         "events_cube": TM.q_events_cube,
         "ngram_jaccard": NG.ngram_jaccard_pairs,
@@ -1012,6 +1022,12 @@ def oracle_sql() -> dict[str, str]:
         "event_pivot": TM.SQL_EVENT_PIVOT,
         "first_touch": TM.SQL_FIRST_TOUCH,
         "events_cube": TM.SQL_EVENTS_CUBE,
+        "important_parts": TL.SQL_IMPORTANT_PARTS,
+        "excess_suppliers": TL.SQL_EXCESS_SUPPLIERS,
+        "min_bal_supplier": TL.SQL_MIN_BAL_SUPPLIER,
+        "events_moving_sum": EV.SQL_EVENTS_MOVING_SUM,
+        "user_event_path": EV.SQL_USER_EVENT_PATH,
+        "user_top_event": EV.SQL_USER_TOP_EVENT,
         "ngram_jaccard": NG.sql_ngram_jaccard(),
         "span_dedup": SD.sql_span_dedup(),
         "contamination": SD.sql_contamination(),

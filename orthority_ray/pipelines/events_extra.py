@@ -1,0 +1,140 @@
+"""Event-stream window/aggregate breadth: rolling-window sum, ordered
+string aggregation (user paths), and per-group MODE.
+
+Three more classic warehouse shapes over the events table, each built on
+the repo's bucketed per-key primitives (stages/windows.py,
+stages/grouping.py) so the wide step is one co-partitioning exchange and
+all per-key work is vectorized inside the bucket:
+
+- ``events_moving_sum`` : SUM OVER (... ROWS 2 PRECEDING) — the bounded
+                          sliding frame (running_total covers UNBOUNDED)
+- ``user_event_path``   : string_agg of each user's first-5 event types in
+                          time order — the ordered string aggregate
+- ``user_top_event``    : per-user modal event type with count — argmax
+                          over a distributed count, deterministic ties
+
+Exactness: money in integer cents per row (relational.py contract), paths
+compare as strings, ties break lexicographically on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..stages.grouping import bucketed_group_apply
+from ..stages.windows import grouped_rolling_sum
+from .relational import _read, cents, combined_groupby_sum
+
+MOVING_WIN = 3
+PATH_N = 5
+
+
+def _events_cents(sf_dir: str) -> ray.data.Dataset:
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "v_cents": pa.array(
+                cents(b["value"].to_numpy(zero_copy_only=False))),
+        })
+
+    return ev.map_batches(prep, batch_format="pyarrow")
+
+
+def q_events_moving_sum(sf_dir: str) -> ray.data.Dataset:
+    """Per event: sum of the user's last ``MOVING_WIN`` event values
+    (bounded sliding frame), exact int64 via clamped prefix sums."""
+    return grouped_rolling_sum(
+        _events_cents(sf_dir), "user_id", ["ts_us", "event_id"], "v_cents",
+        ["event_id"], MOVING_WIN, roll_name="roll_cents")
+
+
+SQL_EVENTS_MOVING_SUM = f"""
+SELECT event_id,
+       CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {MOVING_WIN - 1} PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS roll_cents
+FROM events
+""".strip()
+
+
+def q_user_event_path(sf_dir: str) -> ray.data.Dataset:
+    """Per user: '>'-joined sequence of the first ``PATH_N`` event types in
+    (ts, event_id) order — the ordered string aggregate.  One bucketed
+    exchange; within each bucket the head-``PATH_N`` slice is computed
+    vectorized for all users at once, then joined per user (string concat
+    is inherently per-group; the groups are user-sized and the buckets are
+    the parallel unit)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+        })
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        k = d["user_id"].to_numpy()
+        new = np.empty(k.shape[0], dtype=bool)
+        if k.shape[0]:
+            new[0] = True
+            new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        seg_id = np.cumsum(new) - 1
+        pos = np.arange(k.shape[0], dtype=np.int64) - starts[seg_id]
+        head = d.loc[pos < PATH_N, ["user_id", "event_type"]]
+        out = head.groupby("user_id", sort=False)["event_type"].agg(
+            ">".join).reset_index(name="path")
+        return out
+
+    return bucketed_group_apply(
+        ev.map_batches(prep, batch_format="pyarrow"), ["user_id"], fn)
+
+
+SQL_USER_EVENT_PATH = f"""
+SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn <= {PATH_N}
+GROUP BY user_id
+""".strip()
+
+
+def q_user_top_event(sf_dir: str) -> ray.data.Dataset:
+    """Per user: the MODE of event_type with its count (ties -> smaller
+    type string).  Distributed argmax-over-count: per-block (user, type)
+    count combiner -> bucketed sum -> per-user argmax inside the bucket
+    (one vectorized sort + drop_duplicates across all its users)."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = combined_groupby_sum(ev, ["user_id", "event_type"], [],
+                                  count_alias="n")
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+        return d.drop_duplicates("user_id", keep="first")
+
+    return bucketed_group_apply(counts, ["user_id"], argmax)
+
+
+SQL_USER_TOP_EVENT = """
+SELECT user_id, event_type, n FROM (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+""".strip()

@@ -1,0 +1,359 @@
+"""The last three classic TPC-H shapes: Q2 / Q11 / Q20 analogs.
+
+All three originally run over ``partsupp``, which this data model lacks;
+the part-supplier relation is recovered from the fact table itself — the
+DISTINCT (l_partkey, l_suppkey) pairs of ``lineitem`` — so each query
+keeps its defining plan shape:
+
+- Q11 ``important_parts``   : aggregate vs a CORRELATED GLOBAL SCALAR
+                              (per-part value share of a region's total)
+- Q20 ``excess_suppliers``  : HAVING against an aggregate-of-aggregates
+                              (suppliers above 1.2x the mean shipped qty)
+- Q2  ``min_bal_supplier``  : per-group argmin over a derived distinct
+                              relation with deterministic tie-breaking
+
+The original TPC-H thresholds are absolute and scale with 1/SF (Q11's
+``0.0001 / SF``); here both thresholds are expressed RELATIVE to the
+group count (``value * n * 10 > K * total``) so one constant stays
+non-trivial at every test scale — the comparison is kept exact by integer
+cross-multiplication with an explicit big-int fallback (no float shares).
+
+Exactness contract as everywhere in this repo (relational.py): money is
+integer cents per row via ``floor(x * 100 + 0.5)`` on both sides,
+quantities integer millis, every aggregate int64.
+
+Reference parity note: the reference has no relational engine (its tables
+are parameter dicts, /root/reference/orthority/param_io.py:56-64); these
+queries are graft breadth over the driver's TPC-H-ish tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..core.config import cached_stage, table_path
+from ..stages.grouping import bucketed_group_apply
+from .relational import _read, bucketed_sum, cents
+from .tpch_extra import _us
+
+# --- shared helpers -----------------------------------------------------------
+
+
+def _exact_mul_gt(v: np.ndarray, mult: int, rhs: int) -> np.ndarray:
+    """Elementwise ``v * mult > rhs`` EXACT at any magnitude: int64 fast
+    path inside a checked envelope, Python big-int fallback outside it
+    (v is dimension-sized everywhere this is used, so the fallback is
+    cheap).  A silent int64 overflow here would flip the comparison."""
+    v = v.astype(np.int64, copy=False)
+    if mult <= 0:
+        raise ValueError("multiplier must be positive")
+    lim = (2 ** 62) // mult
+    if abs(rhs) < 2 ** 62 and (np.abs(v) < lim).all():
+        return v * np.int64(mult) > np.int64(rhs)
+    return np.fromiter((int(x) * mult > rhs for x in v), dtype=bool,
+                       count=v.shape[0])
+
+
+def _dense_lookup(keys: np.ndarray, vals: np.ndarray, fill) -> np.ndarray:
+    """Dense key->value array for ray.put broadcast (dims are small)."""
+    out = np.full(int(keys.max()) + 2, fill, dtype=vals.dtype)
+    out[keys] = vals
+    return out
+
+
+def _supplier_region_mask(sf_dir: str, regionkey: int) -> np.ndarray:
+    """bool[suppkey]: supplier belongs to ``regionkey`` (via nation dim)."""
+    sup = pq.read_table(table_path(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(table_path(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_regionkey"])
+    region_of = _dense_lookup(nat["n_nationkey"].to_numpy().astype(np.int64),
+                              nat["n_regionkey"].to_numpy().astype(np.int64),
+                              -1)
+    sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+    snat = sup["s_nationkey"].to_numpy().astype(np.int64)
+    mask = np.zeros(int(sk.max()) + 2, dtype=bool)
+    safe = np.where((snat >= 0) & (snat < region_of.shape[0]), snat,
+                    region_of.shape[0] - 1)
+    mask[sk] = region_of[safe] == regionkey
+    return mask
+
+
+def _typed_empty(cols: dict[str, object]) -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+
+
+# --- Q11: important parts ------------------------------------------------------
+#
+# Original Q11 ("important stock"): per-part partsupp value for suppliers of
+# one nation, HAVING value > fraction * total.  Analog: per-part lineitem
+# value (extendedprice x quantity, cents) for suppliers of one REGION
+# (a nation is too sparse at sf0.001), HAVING value > 2x the mean part value
+# (value * n * 10 > 20 * total, integer-exact).
+
+Q11_REGION = 2
+Q11_NUM = 20  # threshold = (Q11_NUM / 10) x mean per-part value
+
+
+def q_important_parts(sf_dir: str) -> ray.data.Dataset:
+    """Distributed shape: broadcast supplier->in-region mask (dense bool via
+    ray.put, fetched once per worker) -> stateless filtered per-block
+    combiner (np.unique + add.at) -> bucketed per-part sum -> the CORRELATED
+    SCALAR (total + part count) read off the dimension-sized aggregate ->
+    exact cross-multiplied HAVING filter, streamed.  Nothing bigger than the
+    per-part table ever leaves the bucketed exchange."""
+    in_region = _supplier_region_mask(sf_dir, Q11_REGION)
+    ref = ray.put(in_region)
+
+    class Partial:
+        def __init__(self):
+            self.mask = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+            hi = self.mask.shape[0]
+            safe = np.where((sk >= 0) & (sk < hi), sk, hi - 1)
+            m = self.mask[safe]
+            pk = b["l_partkey"].to_numpy(zero_copy_only=False)[m]
+            price = b["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+            qty = b["l_quantity"].to_numpy(zero_copy_only=False)[m]
+            val = cents(price * qty)
+            u, inv = np.unique(pk, return_inverse=True)
+            sums = np.zeros(u.shape[0], dtype=np.int64)
+            np.add.at(sums, inv, val)
+            return pa.table({"p_partkey": pa.array(u.astype(np.int64)),
+                             "value_cents": pa.array(sums)})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"])
+    per_part = bucketed_sum(
+        li.map_batches(cached_stage(Partial, f"q11:{ref.hex()}"),
+                       batch_format="pyarrow", batch_size=65536),
+        "p_partkey", "value_cents").materialize()  # dimension-sized
+    n = per_part.count()
+    if not n:
+        return ray.data.from_pandas(_typed_empty(
+            {"p_partkey": np.int64, "value_cents": np.int64}))
+    tot = int(per_part.sum("value_cents"))
+
+    def having(b: pa.Table) -> pa.Table:
+        v = b["value_cents"].to_numpy(zero_copy_only=False)
+        keep = _exact_mul_gt(v, 10 * n, Q11_NUM * tot)
+        return b.filter(pa.array(keep))
+
+    return per_part.map_batches(having, batch_format="pyarrow")
+
+
+SQL_IMPORTANT_PARTS = f"""
+WITH v AS (
+  SELECT l.l_partkey AS p_partkey,
+         CAST(SUM(CAST(floor(l.l_extendedprice * l.l_quantity * 100.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS value_cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = {Q11_REGION}
+  GROUP BY 1
+)
+SELECT v.p_partkey, v.value_cents
+FROM v, (SELECT SUM(value_cents) AS tot, COUNT(*) AS n FROM v) t
+WHERE v.value_cents * t.n * 10 > {Q11_NUM} * t.tot
+""".strip()
+
+
+# --- Q20: excess suppliers -----------------------------------------------------
+#
+# Original Q20 ("potential part promotion"): suppliers whose stock of
+# name-prefixed parts exceeds half of a year's shipped quantity.  Analog:
+# suppliers whose shipped quantity of 'small *' parts over two years
+# exceeds 1.2x the mean across shipping suppliers
+# (q * n * 10 > 12 * total, integer-exact on milli-quantities).
+
+Q20_PREFIX = "small "
+Q20_LO, Q20_HI = "1996-01-01", "1998-01-01"
+Q20_NUM = 12  # threshold = (Q20_NUM / 10) x mean per-supplier quantity
+
+
+def q_excess_suppliers(sf_dir: str) -> ray.data.Dataset:
+    """Distributed shape: broadcast partkey->name-prefix mask -> stateless
+    date+prefix filtered per-block combiner -> bucketed per-supplier sum
+    (supplier-dimension-sized) -> aggregate-of-aggregates scalar (mean via
+    total+count) -> exact HAVING -> broadcast name decode."""
+    part = pq.read_table(table_path(sf_dir, "part"),
+                         columns=["p_partkey", "p_name"])
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    import pyarrow.compute as pc
+
+    is_pref = pc.starts_with(part["p_name"], Q20_PREFIX).to_numpy(
+        zero_copy_only=False)
+    mask = np.zeros(int(pk.max()) + 2, dtype=bool)
+    mask[pk] = is_pref
+    ref = ray.put(mask)
+    lo, hi = _us(Q20_LO), _us(Q20_HI)
+
+    class Partial:
+        def __init__(self):
+            self.mask = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ship = b["l_shipdate"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            m = (ship >= lo) & (ship < hi)
+            pkk = b["l_partkey"].to_numpy(zero_copy_only=False)
+            nmask = self.mask.shape[0]
+            safe = np.where((pkk >= 0) & (pkk < nmask), pkk, nmask - 1)
+            m &= self.mask[safe]
+            sk = b["l_suppkey"].to_numpy(zero_copy_only=False)[m]
+            qty = b["l_quantity"].to_numpy(zero_copy_only=False)[m]
+            qmilli = np.floor(qty * 1000.0 + 0.5).astype(np.int64)
+            u, inv = np.unique(sk, return_inverse=True)
+            sums = np.zeros(u.shape[0], dtype=np.int64)
+            np.add.at(sums, inv, qmilli)
+            return pa.table({"s_suppkey": pa.array(u.astype(np.int64)),
+                             "qmilli": pa.array(sums)})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+    per_supp = bucketed_sum(
+        li.map_batches(cached_stage(Partial, f"q20:{ref.hex()}"),
+                       batch_format="pyarrow", batch_size=65536),
+        "s_suppkey", "qmilli").materialize()  # supplier-dimension-sized
+    n = per_supp.count()
+    if not n:
+        return ray.data.from_pandas(_typed_empty(
+            {"s_suppkey": np.int64, "s_name": object, "qmilli": np.int64}))
+    tot = int(per_supp.sum("qmilli"))
+
+    sup = pq.read_table(table_path(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_name"])
+    names = np.empty(int(sup["s_suppkey"].to_numpy().max()) + 1, dtype=object)
+    names[sup["s_suppkey"].to_numpy()] = sup["s_name"].to_pylist()
+
+    def having(b: pa.Table) -> pa.Table:
+        q = b["qmilli"].to_numpy(zero_copy_only=False)
+        keep = _exact_mul_gt(q, 10 * n, Q20_NUM * tot)
+        t = b.filter(pa.array(keep))
+        sk = t["s_suppkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"s_suppkey": t["s_suppkey"],
+                         "s_name": pa.array(list(names[sk]), pa.string()),
+                         "qmilli": t["qmilli"]})
+
+    return per_supp.map_batches(having, batch_format="pyarrow")
+
+
+SQL_EXCESS_SUPPLIERS = f"""
+WITH q AS (
+  SELECT l.l_suppkey AS s_suppkey,
+         CAST(SUM(CAST(floor(l.l_quantity * 1000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS qmilli
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE '{Q20_PREFIX}%'
+    AND epoch_us(l.l_shipdate) >= {_us(Q20_LO)}
+    AND epoch_us(l.l_shipdate) < {_us(Q20_HI)}
+  GROUP BY 1
+)
+SELECT q.s_suppkey, s.s_name, q.qmilli
+FROM q JOIN supplier s ON q.s_suppkey = s.s_suppkey,
+     (SELECT SUM(qmilli) AS tot, COUNT(*) AS n FROM q) t
+WHERE q.qmilli * t.n * 10 > {Q20_NUM} * t.tot
+""".strip()
+
+
+# --- Q2: minimum-balance supplier ----------------------------------------------
+#
+# Original Q2 ("minimum cost supplier"): per qualifying part, the region's
+# supplier with MIN ps_supplycost.  Analog: per part of one size band and
+# type, among the region's suppliers that ever shipped it (distinct
+# lineitem pairs), the one with MIN account balance; ties break to the
+# smaller suppkey — deterministic on both sides.
+
+Q2_REGION = 3
+Q2_MIN_SIZE = 25
+Q2_TYPE = "ECONOMY"
+
+
+def q_min_bal_supplier(sf_dir: str) -> ray.data.Dataset:
+    """Distributed shape: broadcast part-predicate + supplier (region mask,
+    balance cents) dense arrays -> per-block DISTINCT-pair + per-part
+    argmin combiner (sort_values + drop_duplicates, both vectorized) ->
+    bucketed per-part argmin merge (min-of-mins composes) -> broadcast
+    name decode.  The shuffle moves <= one row per (block, part)."""
+    part = pq.read_table(
+        table_path(sf_dir, "part"), columns=["p_partkey", "p_size", "p_type"])
+    import pyarrow.compute as pc
+
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    pmask_vals = (pc.and_(
+        pc.greater_equal(part["p_size"], Q2_MIN_SIZE),
+        pc.equal(part["p_type"], Q2_TYPE)).to_numpy(zero_copy_only=False))
+    pmask = np.zeros(int(pk.max()) + 2, dtype=bool)
+    pmask[pk] = pmask_vals
+
+    smask = _supplier_region_mask(sf_dir, Q2_REGION)
+    sup = pq.read_table(table_path(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_acctbal", "s_name"])
+    sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+    bal = _dense_lookup(sk, cents(sup["s_acctbal"].to_numpy()), np.int64(0))
+    names = np.empty(int(sk.max()) + 2, dtype=object)
+    names[sk] = sup["s_name"].to_pylist()
+    ref = ray.put((pmask, smask, bal))
+
+    def argmin_per_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["p_partkey", "bal_cents", "s_suppkey"],
+                           kind="mergesort")
+        return d.drop_duplicates("p_partkey", keep="first")
+
+    class Partial:
+        def __init__(self):
+            self.pmask, self.smask, self.bal = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            pkk = b["l_partkey"].to_numpy(zero_copy_only=False)
+            skk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+            hp, hs = self.pmask.shape[0], self.smask.shape[0]
+            m = ((pkk >= 0) & (pkk < hp) & (skk >= 0) & (skk < hs))
+            m[m] = self.pmask[pkk[m]] & self.smask[skk[m]]
+            df = pd.DataFrame({"p_partkey": pkk[m], "s_suppkey": skk[m]})
+            df = df.drop_duplicates()
+            df["bal_cents"] = self.bal[df["s_suppkey"].to_numpy()]
+            out = argmin_per_part(df)
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    partials = li.map_batches(cached_stage(Partial, f"q2:{ref.hex()}"),
+                              batch_format="pyarrow", batch_size=65536)
+    winners = bucketed_group_apply(partials, ["p_partkey"], argmin_per_part)
+
+    def decode(b: pa.Table) -> pa.Table:
+        skk = b["s_suppkey"].to_numpy(zero_copy_only=False)
+        return b.append_column("s_name",
+                               pa.array(list(names[skk]), pa.string()))
+
+    out = winners.map_batches(decode, batch_format="pyarrow")
+    return out
+
+
+SQL_MIN_BAL_SUPPLIER = f"""
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+cand AS (
+  SELECT pr.l_partkey AS p_partkey, pr.l_suppkey AS s_suppkey,
+         CAST(floor(s.s_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents,
+         s.s_name
+  FROM pairs pr
+  JOIN supplier s ON pr.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN part p ON pr.l_partkey = p.p_partkey
+  WHERE n.n_regionkey = {Q2_REGION} AND p.p_size >= {Q2_MIN_SIZE}
+    AND p.p_type = '{Q2_TYPE}'
+)
+SELECT p_partkey, s_suppkey, bal_cents, s_name FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey
+                               ORDER BY bal_cents, s_suppkey) AS rn
+  FROM cand
+) WHERE rn = 1
+""".strip()

@@ -112,6 +112,42 @@ def grouped_running_sum(
     return bucketed_group_apply(ds, [key], fn, n_buckets=n_buckets)
 
 
+def grouped_rolling_sum(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: list[str],
+    value: str,
+    out_cols: list[str],
+    win: int,
+    roll_name: str = "roll",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-key rolling SUM of int64 ``value`` over the last ``win`` rows
+    (``ROWS BETWEEN win-1 PRECEDING AND CURRENT ROW``) in ``order_cols``
+    order.  Exact and loop-free: roll[i] = cum[i] - cum[first_in_window-1],
+    where the window start is clamped to each key segment's start."""
+    if win < 1:
+        raise ValueError("window must span at least the current row")
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        d = _sorted_by(g, key, order_cols)
+        k = d[key].to_numpy()
+        v = d[value].to_numpy().astype(np.int64)
+        cum = np.cumsum(v)
+        new = _segment_starts(k)
+        starts = np.flatnonzero(new)
+        seg_id = np.cumsum(new) - 1
+        i = np.arange(k.shape[0], dtype=np.int64)
+        first = np.maximum(i - (win - 1),
+                           starts[seg_id] if starts.shape[0] else i)
+        base = np.where(first > 0, cum[np.maximum(first - 1, 0)], 0)
+        out = d[out_cols].copy()
+        out[roll_name] = cum - base
+        return out
+
+    return bucketed_group_apply(ds, [key], fn, n_buckets=n_buckets)
+
+
 def grouped_topn(
     ds: ray.data.Dataset,
     key: str,

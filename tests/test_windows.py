@@ -10,6 +10,7 @@ import ray.data
 
 from orthority_ray.stages.windows import (
     grouped_lag_delta,
+    grouped_rolling_sum,
     grouped_running_sum,
     grouped_topn,
 )
@@ -99,3 +100,44 @@ def test_single_row_groups_and_string_keys(ray_session):
         .reset_index(drop=True)
     )
     assert out["d"].tolist() == [-1, -1, 7, -1]
+
+
+def test_rolling_sum_matches_pandas_rolling(ray_session):
+    df = _frame()
+    ds = ray.data.from_pandas(df)
+    out = (
+        grouped_rolling_sum(ds, "k", ["t", "rid"], "v", ["rid"], 3, "roll")
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["k", "t", "rid"], kind="mergesort").copy()
+    ref["roll"] = (
+        ref.groupby("k")["v"].rolling(3, min_periods=1).sum()
+        .reset_index(level=0, drop=True).astype(np.int64)
+    )
+    ref = ref.sort_values("rid")[["rid", "roll"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref)
+
+
+def test_rolling_sum_window_clamps_at_segment_start(ray_session):
+    # two keys interleaved; win larger than one group's size
+    df = pd.DataFrame({
+        "rid": np.arange(5, dtype=np.int64),
+        "k": np.array([1, 2, 1, 2, 1], dtype=np.int64),
+        "t": np.array([0, 0, 1, 1, 2], dtype=np.int64),
+        "v": np.array([10, 100, 20, 200, 30], dtype=np.int64),
+    })
+    ds = ray.data.from_pandas(df)
+    out = (
+        grouped_rolling_sum(ds, "k", ["t", "rid"], "v", ["rid"], 4, "roll")
+        .to_pandas().sort_values("rid").reset_index(drop=True)
+    )
+    assert out["roll"].tolist() == [10, 100, 30, 300, 60]
+
+
+def test_rolling_sum_rejects_empty_window(ray_session):
+    df = _frame(10)
+    with pytest.raises(ValueError):
+        grouped_rolling_sum(ray.data.from_pandas(df), "k", ["t", "rid"],
+                            "v", ["rid"], 0)
