@@ -32,6 +32,7 @@ from orthority_ray.pipelines import tpch_extra as TX
 from orthority_ray.pipelines import tpch_more as TM
 from orthority_ray.pipelines import tpch_final as TL
 from orthority_ray.pipelines import events_extra as EV
+from orthority_ray.stages import chunking as CH
 from orthority_ray.stages import ngram as NG
 from orthority_ray.stages import spandedup as SD
 from orthority_ray.stages import tfidf as TF
@@ -773,6 +774,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "first_touch", "events_cube",
     "important_parts", "excess_suppliers", "min_bal_supplier",
     "events_moving_sum", "user_event_path", "user_top_event",
+    "doc_chunks", "bigram_top",
 ]
 
 
@@ -865,6 +867,8 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "events_moving_sum": EV.q_events_moving_sum,
         "user_event_path": EV.q_user_event_path,
         "user_top_event": EV.q_user_top_event,
+        "doc_chunks": CH.doc_chunks,
+        "bigram_top": CH.bigram_top,
         "first_touch": TM.q_first_touch,
         "events_cube": TM.q_events_cube,
         "ngram_jaccard": NG.ngram_jaccard_pairs,
@@ -1028,6 +1032,8 @@ def oracle_sql() -> dict[str, str]:
         "events_moving_sum": EV.SQL_EVENTS_MOVING_SUM,
         "user_event_path": EV.SQL_USER_EVENT_PATH,
         "user_top_event": EV.SQL_USER_TOP_EVENT,
+        "doc_chunks": CH.SQL_DOC_CHUNKS,
+        "bigram_top": CH.SQL_BIGRAM_TOP,
         "ngram_jaccard": NG.sql_ngram_jaccard(),
         "span_dedup": SD.sql_span_dedup(),
         "contamination": SD.sql_contamination(),

@@ -1,0 +1,180 @@
+"""Document chunking + bigram language-model mining — two more LLM
+training-data preparation stages over the documents table.
+
+- ``doc_chunks``: split every document into fixed-size character windows
+  with overlap (size 200, stride 150 — the standard RAG/packing chunker),
+  emitting (doc_id, chunk_idx, chunk_chars, chunk_md5).  Vectorized by
+  CHUNK ORDINAL, not by row: for ordinal k, one zero-copy
+  ``utf8_slice_codeunits(start=k*stride)`` slices every document with >= k
+  chunks at once, so the per-batch loop is bounded by max-chunks-per-doc
+  (4 here), never by row count.  md5 goes through the dictionary-encoded
+  per-distinct-value memo (stages/dedup.add_text_md5) — crawl corpora are
+  duplicate-heavy and overlapping chunks repeat verbatim.
+
+- ``bigram_top``: per first-token, the most frequent NEXT token with its
+  count — the conditional-bigram table an n-gram LM / suggestion model
+  trains on.  Adjacency is computed on the RAW regex-split positions
+  (both neighbors must be non-empty), matching the SQL oracle's
+  position-join semantics even if a text produced empty split slots.
+  Shape: per-block flatten of the split list (offset arithmetic, no
+  Python per token) -> per-block (tok_a, tok_b) count combiner ->
+  bucketed sum -> relative prevalence filter (n * 1000 >= total bigrams,
+  exact) -> per-tok_a argmax with deterministic ties.
+
+Scale note: distinct bigrams are the shuffle's group count; the per-block
+combiner collapses each block to its distinct pairs first, and the final
+argmax is one bucketed exchange over the aggregated (not raw) pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..pipelines.relational import _read, combined_groupby_sum
+from .dedup import add_text_md5
+from .grouping import bucketed_group_apply
+
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150
+BIGRAM_PER_MILLE = 1  # keep winners with n * 1000 >= total bigram count
+
+
+def _chunk_batch(b: pa.Table) -> pa.Table:
+    text = b["text"].combine_chunks() if isinstance(
+        b["text"], pa.ChunkedArray) else b["text"]
+    lens = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+    nch = (lens + CHUNK_STRIDE - 1) // CHUNK_STRIDE  # 0 chunks for len 0
+    max_nch = int(nch.max()) if nch.shape[0] else 0
+    doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)
+    parts = []
+    for k in range(max_nch):
+        sel = nch > k
+        sliced = pc.utf8_slice_codeunits(
+            text.filter(pa.array(sel)),
+            start=k * CHUNK_STRIDE, stop=k * CHUNK_STRIDE + CHUNK_SIZE)
+        parts.append(pa.table({
+            "doc_id": pa.array(doc_ids[sel]),
+            "chunk_idx": pa.array(np.full(int(sel.sum()), k, np.int64)),
+            "chunk_chars": pc.utf8_length(sliced).cast(pa.int64()),
+            "chunk": sliced,
+        }))
+    if not parts:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "chunk_idx": pa.array([], pa.int64()),
+                         "chunk_chars": pa.array([], pa.int64()),
+                         "chunk_md5": pa.array([], pa.string())})
+    out = pa.concat_tables(parts)
+    out = add_text_md5(out, col="chunk")
+    out = out.rename_columns(
+        ["doc_id", "chunk_idx", "chunk_chars", "chunk", "chunk_md5"])
+    return out.drop_columns(["chunk"])
+
+
+def doc_chunks(sf_dir: str) -> ray.data.Dataset:
+    """Every document's overlapping character chunks with length + md5."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(_chunk_batch, batch_format="pyarrow")
+
+
+SQL_DOC_CHUNKS = f"""
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       CAST(length(substr(text, CAST(i AS BIGINT) * {CHUNK_STRIDE} + 1,
+                          {CHUNK_SIZE})) AS BIGINT) AS chunk_chars,
+       md5(substr(text, CAST(i AS BIGINT) * {CHUNK_STRIDE} + 1,
+                  {CHUNK_SIZE})) AS chunk_md5
+FROM (SELECT doc_id, text,
+             unnest(range(CAST(floor((length(text) + {CHUNK_STRIDE - 1})
+                                     / {CHUNK_STRIDE}) AS BIGINT))) AS i
+      FROM documents)
+""".strip()
+
+
+def _bigram_partial(b: pa.Table) -> pa.Table:
+    """Per-block distinct (tok_a, tok_b) counts from raw split positions."""
+    text = b["text"].combine_chunks() if isinstance(
+        b["text"], pa.ChunkedArray) else b["text"]
+    toks = pc.split_pattern_regex(text, r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    offsets = offsets - offsets[0]  # normalize a possibly-sliced ListArray
+    n = len(flat)
+    if n < 2:
+        return pa.table({"tok_a": pa.array([], pa.string()),
+                         "tok_b": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    # adjacency mask over flat[i], flat[i+1]: same document (i+1 is not a
+    # document start) and both tokens non-empty
+    starts = np.zeros(n + 1, dtype=bool)
+    starts[offsets[1:-1]] = True  # first token index of docs 1..D-1
+    nonempty = pc.not_equal(pc.utf8_length(flat), 0).to_numpy(
+        zero_copy_only=False)
+    pair_ok = (~starts[1:n]) & nonempty[:-1] & nonempty[1:]
+    idx = np.flatnonzero(pair_ok)
+    a = flat.take(pa.array(idx))
+    c = flat.take(pa.array(idx + 1))
+    df = pd.DataFrame({"tok_a": a.to_pandas(), "tok_b": c.to_pandas()})
+    out = df.groupby(["tok_a", "tok_b"], as_index=False, sort=False).size()
+    out = out.rename(columns={"size": "n"})
+    out["n"] = out["n"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def bigram_top(sf_dir: str) -> ray.data.Dataset:
+    """Per first-token modal next-token over the whole corpus, restricted
+    to bigrams holding >= 0.1% of all bigram mass (exact integer
+    cross-multiplied threshold)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    partials = docs.map_batches(_bigram_partial, batch_format="pyarrow",
+                                batch_size=65536)
+    counts = combined_groupby_sum(partials, ["tok_a", "tok_b"], ["n"])
+    counts = counts.materialize()  # distinct-bigram-sized; scanned twice
+    total = counts.sum("n")
+    if total is None:
+        return ray.data.from_pandas(pd.DataFrame({
+            "tok_a": pd.Series([], dtype=object),
+            "tok_b": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64)}))
+    total = int(total)
+
+    def prevalent(b: pa.Table) -> pa.Table:
+        # winner-per-tok_a is unaffected by pre-filtering: if any bigram of
+        # a tok_a passes the threshold, its max-count row does too
+        nn = b["n"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(nn * 1000 >= total))
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["tok_a", "n", "tok_b"],
+                          ascending=[True, False, True], kind="mergesort")
+        return d.drop_duplicates("tok_a", keep="first")
+
+    return bucketed_group_apply(
+        counts.map_batches(prevalent, batch_format="pyarrow"),
+        ["tok_a"], argmax)
+
+
+SQL_BIGRAM_TOP = f"""
+WITH toks AS (
+  SELECT doc_id, token, pos FROM (
+    SELECT doc_id, unnest(l) AS token, unnest(range(len(l))) AS pos
+    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS l
+          FROM documents)
+  )
+), big AS (
+  SELECT a.token AS tok_a, b.token AS tok_b, CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.token <> '' AND b.token <> ''
+  GROUP BY 1, 2
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM big)
+SELECT tok_a, tok_b, n FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY tok_a
+                               ORDER BY n DESC, tok_b) AS rn
+  FROM big
+), tot WHERE rn = 1 AND n * 1000 >= t
+""".strip()
