@@ -775,6 +775,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "important_parts", "excess_suppliers", "min_bal_supplier",
     "events_moving_sum", "user_event_path", "user_top_event",
     "doc_chunks", "bigram_top",
+    "bigram_coverage", "token_fertility", "latest_events",
 ]
 
 
@@ -869,6 +870,9 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "user_top_event": EV.q_user_top_event,
         "doc_chunks": CH.doc_chunks,
         "bigram_top": CH.bigram_top,
+        "bigram_coverage": CH.bigram_coverage,
+        "token_fertility": CH.token_fertility,
+        "latest_events": EV.q_latest_events,
         "first_touch": TM.q_first_touch,
         "events_cube": TM.q_events_cube,
         "ngram_jaccard": NG.ngram_jaccard_pairs,
@@ -1034,6 +1038,9 @@ def oracle_sql() -> dict[str, str]:
         "user_top_event": EV.SQL_USER_TOP_EVENT,
         "doc_chunks": CH.SQL_DOC_CHUNKS,
         "bigram_top": CH.SQL_BIGRAM_TOP,
+        "bigram_coverage": CH.SQL_BIGRAM_COVERAGE,
+        "token_fertility": CH.SQL_TOKEN_FERTILITY,
+        "latest_events": EV.SQL_LATEST_EVENTS,
         "ngram_jaccard": NG.sql_ngram_jaccard(),
         "span_dedup": SD.sql_span_dedup(),
         "contamination": SD.sql_contamination(),

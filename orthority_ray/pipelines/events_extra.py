@@ -138,3 +138,49 @@ SELECT user_id, event_type, n FROM (
   FROM events GROUP BY user_id, event_type
 ) WHERE rn = 1
 """.strip()
+
+
+def q_latest_events(sf_dir: str) -> ray.data.Dataset:
+    """SCD-type-1 / CDC upsert compaction: the LATEST event per
+    (user_id, event_type), ties broken by max event_id — the "apply the
+    change stream, last write wins" primitive.  Per-block argmax combiner
+    (one vectorized sort + drop_duplicates) -> bucketed argmax merge:
+    max-of-maxes composes, so the shuffle moves <= one row per
+    (block, key)."""
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value", "event_type"])
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["user_id", "event_type", "ts_us", "event_id"],
+                          ascending=[True, True, False, False],
+                          kind="mergesort")
+        return d.drop_duplicates(["user_id", "event_type"], keep="first")
+
+    def block_argmax(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "v_cents": pa.array(
+                cents(b["value"].to_numpy(zero_copy_only=False))),
+            "event_type": b["event_type"],
+        })
+        return pa.Table.from_pandas(argmax(t.to_pandas()),
+                                    preserve_index=False)
+
+    partials = ev.map_batches(block_argmax, batch_format="pyarrow",
+                              batch_size=65536)
+    return bucketed_group_apply(partials, ["user_id", "event_type"], argmax)
+
+
+SQL_LATEST_EVENTS = """
+SELECT event_id, user_id, ts_us, v_cents, event_type FROM (
+  SELECT event_id, user_id,
+         epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_cents,
+         event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""".strip()

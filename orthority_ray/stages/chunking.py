@@ -178,3 +178,153 @@ SELECT tok_a, tok_b, n FROM (
   FROM big
 ), tot WHERE rn = 1 AND n * 1000 >= t
 """.strip()
+
+
+def bigram_coverage(sf_dir: str) -> ray.data.Dataset:
+    """Train-then-score at the BIGRAM level (the n-gram-LM analog of
+    doc_typicality's unigram pass): phase 1 aggregates corpus bigram
+    counts and keeps the PREVALENT set (n * 1000 >= total — at most 1000
+    entries by construction, so the broadcast model is bounded no matter
+    the corpus size); phase 2 re-streams the corpus and scores every document
+    by how many of its bigrams are corpus-prevalent.  Output one row per
+    document that has at least one bigram: (doc_id, n_bigrams, n_common),
+    all exact int64."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    partials = docs.map_batches(_bigram_partial, batch_format="pyarrow",
+                                batch_size=65536)
+    counts = combined_groupby_sum(partials, ["tok_a", "tok_b"], ["n"])
+    counts = counts.materialize()
+    total = counts.sum("n")
+    if total is None:
+        return ray.data.from_pandas(pd.DataFrame({
+            "doc_id": pd.Series([], dtype=np.int64),
+            "n_bigrams": pd.Series([], dtype=np.int64),
+            "n_common": pd.Series([], dtype=np.int64)}))
+    total = int(total)
+
+    def prevalent(b: pa.Table) -> pa.Table:
+        nn = b["n"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(nn * 1000 >= total))
+
+    model = counts.map_batches(prevalent, batch_format="pyarrow").to_pandas()
+    # <= 1000 rows by the threshold's pigeonhole bound: broadcast-safe
+    common = set(zip(model["tok_a"], model["tok_b"]))
+    model_ref = ray.put(common)
+    from ..core.config import cached_stage
+
+    class Scorer:
+        def __init__(self):
+            self.common = ray.get(model_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            text = b["text"]
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            toks = pc.split_pattern_regex(text, r"\s+")
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            flat = toks.flatten()
+            offsets = toks.offsets.to_numpy(zero_copy_only=False)
+            offsets = offsets - offsets[0]
+            n = len(flat)
+            doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            if n < 2:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "n_bigrams": pa.array([], pa.int64()),
+                                 "n_common": pa.array([], pa.int64())})
+            starts = np.zeros(n + 1, dtype=bool)
+            starts[offsets[1:-1]] = True
+            nonempty = pc.not_equal(pc.utf8_length(flat), 0).to_numpy(
+                zero_copy_only=False)
+            pair_ok = (~starts[1:n]) & nonempty[:-1] & nonempty[1:]
+            idx = np.flatnonzero(pair_ok)
+            # pair -> owning document: searchsorted over the list offsets
+            owner = np.searchsorted(offsets, idx, side="right") - 1
+            a = flat.take(pa.array(idx)).to_pandas()
+            c = flat.take(pa.array(idx + 1)).to_pandas()
+            is_common = pd.MultiIndex.from_arrays([a, c]).isin(self.common)
+            n_docs = doc_ids.shape[0]
+            n_big = np.zeros(n_docs, dtype=np.int64)
+            np.add.at(n_big, owner, 1)
+            n_com = np.zeros(n_docs, dtype=np.int64)
+            np.add.at(n_com, owner, is_common.astype(np.int64))
+            has = n_big > 0
+            return pa.table({"doc_id": pa.array(doc_ids[has]),
+                             "n_bigrams": pa.array(n_big[has]),
+                             "n_common": pa.array(n_com[has])})
+
+    return docs.map_batches(
+        cached_stage(Scorer, f"bigramcov:{model_ref.hex()}"),
+        batch_format="pyarrow", batch_size=65536)
+
+
+SQL_BIGRAM_COVERAGE = r"""
+WITH toks AS (
+  SELECT doc_id, token, pos FROM (
+    SELECT doc_id, unnest(l) AS token, unnest(range(len(l))) AS pos
+    FROM (SELECT doc_id, string_split_regex(text, '\s+') AS l
+          FROM documents)
+  )
+), pairs AS (
+  SELECT a.doc_id, a.token AS tok_a, b.token AS tok_b
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.token <> '' AND b.token <> ''
+), big AS (
+  SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY 1, 2
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM big),
+common AS (SELECT tok_a, tok_b FROM big, tot WHERE n * 1000 >= t)
+SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN c.tok_a IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_common
+FROM pairs p LEFT JOIN common c
+  ON p.tok_a = c.tok_a AND p.tok_b = c.tok_b
+GROUP BY p.doc_id
+""".strip()
+
+
+def token_fertility(sf_dir: str) -> ray.data.Dataset:
+    """Tokenizer fertility by language: per lang, document / whitespace
+    token / character totals (the chars-per-token diagnostic an LLM data
+    pipeline tracks per language), exact int64 via per-block combiners
+    over the language dimension."""
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(text, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        # empty split slots don't count as tokens (matches list_filter)
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]
+        empty = pc.equal(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_empty = np.add.reduceat(empty, offs[:-1]) if len(flat) else \
+            np.zeros(len(ntok), np.int64)
+        n_empty[offs[:-1] == offs[1:]] = 0  # reduceat quirk on empty lists
+        ntok = ntok.astype(np.int64) - n_empty
+        nchar = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"lang": b["lang"].to_pandas(),
+                           "n_docs": np.ones(len(ntok), np.int64),
+                           "n_tokens": ntok,
+                           "n_chars": nchar.astype(np.int64)})
+        return pa.Table.from_pandas(
+            df.groupby("lang", as_index=False).sum(), preserve_index=False)
+
+    parts = docs.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536)
+    return combined_groupby_sum(parts, ["lang"],
+                                ["n_docs", "n_tokens", "n_chars"])
+
+
+SQL_TOKEN_FERTILITY = r"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> ''))) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars
+FROM documents GROUP BY lang
+""".strip()
