@@ -640,3 +640,66 @@ def write_dedup_layout(sf_dir: str, out_dir: str, n_parts: int = 16,
         lineage.write_partition(out_dir, p, empty, checksum_cols=["doc_id"],
                                 input_fingerprint=fp)
     return lineage.load_manifest_table(out_dir)
+
+
+def dedup_keep_best(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact dedup with QUALITY-BASED representative selection — the
+    "keep the best copy" variant every training-data pipeline runs instead
+    of keep-first: one row per distinct text carrying its duplicate count
+    and the highest-quality page (ties -> smaller doc_id).
+
+    Shape mirrors exact_dedup_groups: per-block combiner collapses each
+    batch to (text_md5, n_partial, best quality, best doc) — count-sum and
+    argmax both compose across blocks — then one bucketed merge.  Quality
+    comes from the shared integer scorer (stages/textstats.QualityScorer),
+    so the oracle reuses SQL_QUALITY verbatim."""
+    from ..core.config import cached_stage
+    from ..stages.grouping import bucketed_group_apply
+    from ..stages.textstats import QualityScorer
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["text_md5", "rep_quality", "rep_doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        best = d.drop_duplicates("text_md5", keep="first")
+        n = g.groupby("text_md5", sort=False)["n_dups"].sum()
+        out = best[["text_md5", "rep_doc_id", "rep_quality"]].copy()
+        out.insert(1, "n_dups", n.loc[out["text_md5"]].to_numpy()
+                   .astype(np.int64))
+        return out
+
+    class Combine:
+        def __init__(self):
+            self.scorer = QualityScorer()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            t = add_text_md5(self.scorer(b))
+            df = pd.DataFrame({
+                "text_md5": t["text_md5"].to_pandas(),
+                "n_dups": np.ones(t.num_rows, np.int64),
+                "rep_doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "rep_quality": t["quality"].to_numpy(zero_copy_only=False),
+            })
+            return pa.Table.from_pandas(merge(df), preserve_index=False)
+
+    partials = pages.map_batches(cached_stage(Combine, "dedup:keepbest"),
+                                 batch_format="pyarrow", batch_size=8192)
+    return bucketed_group_apply(partials, ["text_md5"], merge)
+
+
+SQL_DEDUP_KEEP_BEST_BODY = """
+-- doc_id repeats in pages (replicated crawl), so the per-row quality
+-- relation must be deduped before the attach join or n_dups fans out
+qd AS (SELECT DISTINCT doc_id, quality FROM q),
+g AS (
+  SELECT md5(p.text) AS text_md5, p.doc_id, qd.quality
+  FROM pages p JOIN qd USING (doc_id)
+)
+SELECT text_md5, n_dups, rep_doc_id, rep_quality FROM (
+  SELECT text_md5,
+         CAST(COUNT(*) OVER (PARTITION BY text_md5) AS BIGINT) AS n_dups,
+         doc_id AS rep_doc_id, quality AS rep_quality,
+         ROW_NUMBER() OVER (PARTITION BY text_md5
+                            ORDER BY quality DESC, doc_id) AS rn
+  FROM g
+) WHERE rn = 1
+""".strip()
