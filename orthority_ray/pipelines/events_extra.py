@@ -27,7 +27,7 @@ import ray.data
 
 from ..stages.grouping import bucketed_group_apply
 from ..stages.windows import grouped_rolling_sum
-from .relational import _read, cents, combined_groupby_sum
+from .relational import _read, cents
 
 MOVING_WIN = 3
 PATH_N = 5
@@ -119,15 +119,26 @@ def q_user_top_event(sf_dir: str) -> ray.data.Dataset:
     count combiner -> bucketed sum -> per-user argmax inside the bucket
     (one vectorized sort + drop_duplicates across all its users)."""
     ev = _read(sf_dir, "events", ["user_id", "event_type"])
-    counts = combined_groupby_sum(ev, ["user_id", "event_type"], [],
-                                  count_alias="n")
 
-    def argmax(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.sort_values(["user_id", "n", "event_type"],
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        out = df.groupby(["user_id", "event_type"], as_index=False,
+                         sort=False).size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def sum_then_argmax(g: pd.DataFrame) -> pd.DataFrame:
+        # all partials of a user land in this bucket: finish the count
+        # and take the winner in one vectorized pass
+        c = g.groupby(["user_id", "event_type"], as_index=False,
+                      sort=False)["n"].sum()
+        d = c.sort_values(["user_id", "n", "event_type"],
                           ascending=[True, False, True], kind="mergesort")
         return d.drop_duplicates("user_id", keep="first")
 
-    return bucketed_group_apply(counts, ["user_id"], argmax)
+    partials = ev.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536)
+    return bucketed_group_apply(partials, ["user_id"], sum_then_argmax)
 
 
 SQL_USER_TOP_EVENT = """
