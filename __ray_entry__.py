@@ -776,7 +776,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "events_moving_sum", "user_event_path", "user_top_event",
     "doc_chunks", "bigram_top",
     "bigram_coverage", "token_fertility", "latest_events",
-    "dedup_keep_best",
+    "dedup_keep_best", "repeat_buyers", "order_share",
 ]
 
 
@@ -875,6 +875,8 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "token_fertility": CH.token_fertility,
         "latest_events": EV.q_latest_events,
         "dedup_keep_best": lambda sf: D.dedup_keep_best(read_pages(sf)),
+        "repeat_buyers": TL.q_repeat_buyers,
+        "order_share": TL.q_order_share,
         "first_touch": TM.q_first_touch,
         "events_cube": TM.q_events_cube,
         "ngram_jaccard": NG.ngram_jaccard_pairs,
@@ -1045,6 +1047,8 @@ def oracle_sql() -> dict[str, str]:
         "latest_events": EV.SQL_LATEST_EVENTS,
         "dedup_keep_best": S.with_pages(
             f", q AS ({T.SQL_QUALITY}), {D.SQL_DEDUP_KEEP_BEST_BODY}"),
+        "repeat_buyers": TL.SQL_REPEAT_BUYERS,
+        "order_share": TL.SQL_ORDER_SHARE,
         "ngram_jaccard": NG.sql_ngram_jaccard(),
         "span_dedup": SD.sql_span_dedup(),
         "contamination": SD.sql_contamination(),

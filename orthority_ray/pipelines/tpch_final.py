@@ -357,3 +357,120 @@ SELECT p_partkey, s_suppkey, bal_cents, s_name FROM (
   FROM cand
 ) WHERE rn = 1
 """.strip()
+
+
+# --- set-operation + window-ratio breadth --------------------------------------
+
+RB_Y1_LO, RB_Y1_HI = "1996-01-01", "1997-01-01"
+RB_Y2_LO, RB_Y2_HI = "1997-01-01", "1998-01-01"
+
+
+def q_repeat_buyers(sf_dir: str) -> ray.data.Dataset:
+    """INTERSECT re-expressed as one conditional aggregate: customers with
+    orders in BOTH years, with each year's order count.  A literal
+    INTERSECT would scan twice and exchange twice; the conditional-count
+    combiner does it in one pass and one customer-dimension shuffle —
+    per-block (custkey, n_y1, n_y2) partials -> bucketed sum -> both-positive
+    filter."""
+    from .relational import combined_groupby_sum
+
+    lo1, hi1 = _us(RB_Y1_LO), _us(RB_Y1_HI)
+    lo2, hi2 = _us(RB_Y2_LO), _us(RB_Y2_HI)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        od = b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        in1 = (od >= lo1) & (od < hi1)
+        in2 = (od >= lo2) & (od < hi2)
+        m = in1 | in2
+        u, inv = np.unique(ck[m], return_inverse=True)
+        n1 = np.zeros(u.shape[0], np.int64)
+        n2 = np.zeros(u.shape[0], np.int64)
+        np.add.at(n1, inv, in1[m].astype(np.int64))
+        np.add.at(n2, inv, in2[m].astype(np.int64))
+        return pa.table({"c_custkey": pa.array(u.astype(np.int64)),
+                         "n_y1": pa.array(n1), "n_y2": pa.array(n2)})
+
+    per_cust = combined_groupby_sum(
+        orders.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536),
+        ["c_custkey"], ["n_y1", "n_y2"])
+
+    def both(b: pa.Table) -> pa.Table:
+        n1 = b["n_y1"].to_numpy(zero_copy_only=False)
+        n2 = b["n_y2"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((n1 > 0) & (n2 > 0)))
+
+    return per_cust.map_batches(both, batch_format="pyarrow")
+
+
+SQL_REPEAT_BUYERS = f"""
+SELECT o_custkey AS c_custkey,
+       CAST(SUM(CASE WHEN epoch_us(o_orderdate) >= {_us(RB_Y1_LO)}
+                      AND epoch_us(o_orderdate) < {_us(RB_Y1_HI)}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_y1,
+       CAST(SUM(CASE WHEN epoch_us(o_orderdate) >= {_us(RB_Y2_LO)}
+                      AND epoch_us(o_orderdate) < {_us(RB_Y2_HI)}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_y2
+FROM orders
+WHERE (epoch_us(o_orderdate) >= {_us(RB_Y1_LO)}
+       AND epoch_us(o_orderdate) < {_us(RB_Y1_HI)})
+   OR (epoch_us(o_orderdate) >= {_us(RB_Y2_LO)}
+       AND epoch_us(o_orderdate) < {_us(RB_Y2_HI)})
+GROUP BY 1
+HAVING SUM(CASE WHEN epoch_us(o_orderdate) >= {_us(RB_Y1_LO)}
+                 AND epoch_us(o_orderdate) < {_us(RB_Y1_HI)}
+                THEN 1 ELSE 0 END) > 0
+   AND SUM(CASE WHEN epoch_us(o_orderdate) >= {_us(RB_Y2_LO)}
+                 AND epoch_us(o_orderdate) < {_us(RB_Y2_HI)}
+                THEN 1 ELSE 0 END) > 0
+""".strip()
+
+
+def q_order_share(sf_dir: str) -> ray.data.Dataset:
+    """Each order's share of its customer's lifetime spend — the
+    ``SUM() OVER (PARTITION BY ...)`` window without ORDER BY — emitted as
+    the exact integer pair (price_cents, cust_total_cents): no float
+    division anywhere, and the pair is sufficient for any downstream
+    ratio.  One bucketed exchange co-locates a customer's orders; the
+    whole-bucket work is a vectorized groupby-sum broadcast back onto the
+    rows by segment id."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "price_cents": pa.array(
+                cents(b["o_totalprice"].to_numpy(zero_copy_only=False))),
+        })
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values("o_custkey", kind="mergesort")
+        k = d["o_custkey"].to_numpy()
+        v = d["price_cents"].to_numpy()
+        new = np.empty(k.shape[0], dtype=bool)
+        if k.shape[0]:
+            new[0] = True
+            new[1:] = k[1:] != k[:-1]
+        seg_id = np.cumsum(new) - 1
+        totals = np.zeros(int(seg_id[-1]) + 1 if k.shape[0] else 0, np.int64)
+        np.add.at(totals, seg_id, v)
+        out = d[["o_orderkey", "price_cents"]].copy()
+        out["cust_total_cents"] = totals[seg_id]
+        return out
+
+    return bucketed_group_apply(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["o_custkey"], fn)
+
+
+SQL_ORDER_SHARE = """
+SELECT o_orderkey,
+       CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+       CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            OVER (PARTITION BY o_custkey) AS BIGINT) AS cust_total_cents
+FROM orders
+""".strip()
