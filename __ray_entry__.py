@@ -400,6 +400,63 @@ def q_cell_covariance(sf_dir: str):
     return grouped_covariance(_geo(sf_dir), "cell", ["lon", "lat"])
 
 
+def q_cell_cov_exact(sf_dir: str):
+    """Per-cell covariance/variance NUMERATORS as exact integers — the
+    oracle-exact twin of the float ``cell_covariance`` moments:
+    cov_num = n*Sxy - Sx*Sy and var_lon_num = n*Sxx - Sx^2 over the milli
+    coordinates (both equal n^2 * the population (co)variance).  Per-block
+    combiner sums (n, sx, sy, sxy, sxx) — all order-insensitive int64 —
+    then one dimension-sized groupby; the final cross-multiplication runs
+    under an explicit int64 envelope with a Python big-int fallback (the
+    per-cell table is dimension-sized, so the fallback costs nothing)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from orthority_ray.pipelines.relational import combined_groupby_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b["lon_milli"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b["lat_milli"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"cell": b["cell"].to_numpy(zero_copy_only=False),
+                           "n": np.ones(x.shape[0], np.int64),
+                           "sx": x, "sy": y, "sxy": x * y, "sxx": x * x})
+        return pa.Table.from_pandas(
+            df.groupby("cell", as_index=False).sum(), preserve_index=False)
+
+    sums = _geo(sf_dir).map_batches(partial, batch_format="pyarrow",
+                                    batch_size=65536)
+    per_cell = combined_groupby_sum(sums, ["cell"],
+                                    ["n", "sx", "sy", "sxy", "sxx"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        sx = b["sx"].to_numpy(zero_copy_only=False)
+        sy = b["sy"].to_numpy(zero_copy_only=False)
+        sxy = b["sxy"].to_numpy(zero_copy_only=False)
+        sxx = b["sxx"].to_numpy(zero_copy_only=False)
+        lim = 2 ** 62
+        ok = ((np.abs(n) < lim // np.maximum(np.abs(sxy), 1)).all()
+              and (np.abs(sx) < lim // np.maximum(np.abs(sy), 1)).all()
+              and (np.abs(n) < lim // np.maximum(np.abs(sxx), 1)).all()
+              and (np.abs(sx) < lim // np.maximum(np.abs(sx), 1)).all())
+        if ok:
+            cov = n * sxy - sx * sy
+            var = n * sxx - sx * sx
+        else:  # exact big-int fallback, dimension-sized
+            cov = np.fromiter((int(a) * int(bb) - int(c) * int(d)
+                               for a, bb, c, d in zip(n, sxy, sx, sy)),
+                              dtype=np.int64, count=n.shape[0])
+            var = np.fromiter((int(a) * int(bb) - int(c) * int(c)
+                               for a, bb, c in zip(n, sxx, sx)),
+                              dtype=np.int64, count=n.shape[0])
+        return pa.table({"cell": b["cell"], "n": b["n"],
+                         "cov_num": pa.array(cov),
+                         "var_lon_num": pa.array(var)})
+
+    return per_cell.map_batches(finish, batch_format="pyarrow")
+
+
 QUANTS = (0.25, 0.5, 0.75, 0.9, 0.99)
 
 
@@ -776,7 +833,8 @@ _DRIVER_UNCHECKED_FIRST = [
     "events_moving_sum", "user_event_path", "user_top_event",
     "doc_chunks", "bigram_top",
     "bigram_coverage", "token_fertility", "latest_events",
-    "dedup_keep_best", "repeat_buyers", "order_share",
+    "dedup_keep_best", "repeat_buyers", "order_share", "cell_cov_exact",
+    "events_weekly",
 ]
 
 
@@ -876,6 +934,8 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "latest_events": EV.q_latest_events,
         "dedup_keep_best": lambda sf: D.dedup_keep_best(read_pages(sf)),
         "repeat_buyers": TL.q_repeat_buyers,
+        "cell_cov_exact": q_cell_cov_exact,
+        "events_weekly": EV.q_events_weekly,
         "order_share": TL.q_order_share,
         "first_touch": TM.q_first_touch,
         "events_cube": TM.q_events_cube,
@@ -1048,6 +1108,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": S.with_pages(
             f", q AS ({T.SQL_QUALITY}), {D.SQL_DEDUP_KEEP_BEST_BODY}"),
         "repeat_buyers": TL.SQL_REPEAT_BUYERS,
+        "events_weekly": EV.SQL_EVENTS_WEEKLY,
+        "cell_cov_exact": S.with_geo(
+            """SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(*) * SUM(lon_milli * lat_milli)
+                      - SUM(lon_milli) * SUM(lat_milli) AS BIGINT) AS cov_num,
+                 CAST(COUNT(*) * SUM(lon_milli * lon_milli)
+                      - SUM(lon_milli) * SUM(lon_milli) AS BIGINT) AS var_lon_num
+               FROM geod GROUP BY cell"""),
         "order_share": TL.SQL_ORDER_SHARE,
         "ngram_jaccard": NG.sql_ngram_jaccard(),
         "span_dedup": SD.sql_span_dedup(),

@@ -195,3 +195,46 @@ SELECT event_id, user_id, ts_us, v_cents, event_type FROM (
   FROM events
 ) WHERE rn = 1
 """.strip()
+
+
+DAY_US = 86_400_000_000
+# 1970-01-01 was a Thursday; +3 days aligns integer week indices to Monday
+WEEK_SHIFT_DAYS = 3
+
+
+def q_events_weekly(sf_dir: str) -> ray.data.Dataset:
+    """Per calendar week (Monday-start, matching SQL date_trunc('week')):
+    event count + integer cents sum.  The week boundary is pure integer
+    epoch math — days = us // DAY_US, monday_idx = (days + 3) // 7,
+    week_start_us = (monday_idx * 7 - 3) * DAY_US — so both sides bucket
+    identically with no calendar library.  Weeks are dimension-sized, so
+    the per-block combiner collapses each batch before the tiny shuffle."""
+    from .relational import combined_groupby_sum
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = us // DAY_US
+        monday = (days + WEEK_SHIFT_DAYS) // 7
+        week_us = (monday * 7 - WEEK_SHIFT_DAYS) * DAY_US
+        v = cents(b["value"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({"week_us": week_us,
+                           "n": np.ones(v.shape[0], np.int64),
+                           "sum_cents": v})
+        return pa.Table.from_pandas(
+            df.groupby("week_us", as_index=False).sum(),
+            preserve_index=False)
+
+    parts = ev.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+    return combined_groupby_sum(parts, ["week_us"], ["n", "sum_cents"])
+
+
+SQL_EVENTS_WEEKLY = """
+SELECT epoch_us(date_trunc('week', ts)) AS week_us,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events GROUP BY 1
+""".strip()
