@@ -233,17 +233,27 @@ def q_excess_suppliers(sf_dir: str) -> ray.data.Dataset:
                         columns=["s_suppkey", "s_name"])
     names = np.empty(int(sup["s_suppkey"].to_numpy().max()) + 1, dtype=object)
     names[sup["s_suppkey"].to_numpy()] = sup["s_name"].to_pylist()
+    # broadcast once (ray.put), not once per task via closure capture —
+    # the name array is supplier-dimension-sized
+    names_ref = ray.put(names)
 
-    def having(b: pa.Table) -> pa.Table:
-        q = b["qmilli"].to_numpy(zero_copy_only=False)
-        keep = _exact_mul_gt(q, 10 * n, Q20_NUM * tot)
-        t = b.filter(pa.array(keep))
-        sk = t["s_suppkey"].to_numpy(zero_copy_only=False)
-        return pa.table({"s_suppkey": t["s_suppkey"],
-                         "s_name": pa.array(list(names[sk]), pa.string()),
-                         "qmilli": t["qmilli"]})
+    class Having:
+        def __init__(self):
+            self.names = ray.get(names_ref)
 
-    return per_supp.map_batches(having, batch_format="pyarrow")
+        def __call__(self, b: pa.Table) -> pa.Table:
+            q = b["qmilli"].to_numpy(zero_copy_only=False)
+            keep = _exact_mul_gt(q, 10 * n, Q20_NUM * tot)
+            t = b.filter(pa.array(keep))
+            sk = t["s_suppkey"].to_numpy(zero_copy_only=False)
+            return pa.table({"s_suppkey": t["s_suppkey"],
+                             "s_name": pa.array(list(self.names[sk]),
+                                                pa.string()),
+                             "qmilli": t["qmilli"]})
+
+    return per_supp.map_batches(
+        cached_stage(Having, f"q20h:{names_ref.hex()}:{n}:{tot}"),
+        batch_format="pyarrow")
 
 
 SQL_EXCESS_SUPPLIERS = f"""
@@ -329,13 +339,20 @@ def q_min_bal_supplier(sf_dir: str) -> ray.data.Dataset:
                               batch_format="pyarrow", batch_size=65536)
     winners = bucketed_group_apply(partials, ["p_partkey"], argmin_per_part)
 
-    def decode(b: pa.Table) -> pa.Table:
-        skk = b["s_suppkey"].to_numpy(zero_copy_only=False)
-        return b.append_column("s_name",
-                               pa.array(list(names[skk]), pa.string()))
+    names_ref = ray.put(names)  # broadcast once, not per task
 
-    out = winners.map_batches(decode, batch_format="pyarrow")
-    return out
+    class Decode:
+        def __init__(self):
+            self.names = ray.get(names_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            skk = b["s_suppkey"].to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "s_name", pa.array(list(self.names[skk]), pa.string()))
+
+    return winners.map_batches(
+        cached_stage(Decode, f"q2d:{names_ref.hex()}"),
+        batch_format="pyarrow")
 
 
 SQL_MIN_BAL_SUPPLIER = f"""
