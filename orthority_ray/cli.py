@@ -144,6 +144,25 @@ def cmd_list(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Incremental multi-file ingest: read only files not yet in the
+    manifest, append them to a partitioned parquet sink, commit."""
+    _ray_session()
+    from .sources.ingest import incremental_ingest
+
+    new, ds, commit = incremental_ingest(args.input, args.state)
+    if not new:
+        print("ingest: nothing new")
+        return 0
+    if args.out:
+        ds.write_parquet(args.out)
+    n = ds.count() if args.out is None else None
+    commit()
+    print(f"ingest: {len(new)} new file(s)"
+          + (f", {n} rows" if n is not None else f" -> {args.out}"))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="orthority_ray")
     p.add_argument("--repo-root", default="/root/repo")
@@ -187,6 +206,16 @@ def main(argv=None) -> int:
 
     l = sub.add_parser("list", help="list queries")
     l.set_defaults(fn=cmd_list)
+
+    ig = sub.add_parser(
+        "ingest", help="incremental multi-file/URL ingest with a manifest")
+    ig.add_argument("--input", required=True,
+                    help="path / glob / directory / fsspec URL of parquet")
+    ig.add_argument("--state", required=True,
+                    help="manifest directory (tracks ingested files)")
+    ig.add_argument("--out", default=None,
+                    help="optional partitioned parquet sink")
+    ig.set_defaults(fn=cmd_ingest)
 
     args = p.parse_args(argv)
     import ray

@@ -1,0 +1,83 @@
+"""fsspec multi-file / URL ingestion + incremental manifest semantics."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from orthority_ray.sources.ingest import (
+    incremental_ingest,
+    ingested_files,
+    read_parquet_any,
+    resolve_inputs,
+)
+
+
+@pytest.fixture()
+def shards(tmp_path):
+    d = tmp_path / "drops"
+    d.mkdir()
+    for i in range(3):
+        pq.write_table(
+            pa.table({"doc_id": pa.array([i * 10, i * 10 + 1], pa.int64()),
+                      "v": pa.array([1, 2], pa.int64())}),
+            d / f"part-{i:04d}.parquet")
+    return d
+
+
+def test_resolve_glob_dir_and_url(shards):
+    fs, via_dir = resolve_inputs(str(shards))
+    _, via_glob = resolve_inputs(str(shards / "*.parquet"))
+    _, via_url = resolve_inputs(f"file://{shards}/*.parquet")
+    assert len(via_dir) == 3
+    assert [p.split("/")[-1] for p in via_dir] == \
+        [p.split("/")[-1] for p in via_glob] == \
+        [p.split("/")[-1] for p in via_url]
+    with pytest.raises(FileNotFoundError):
+        resolve_inputs(str(shards / "nope-*.parquet"))
+
+
+def test_read_parquet_any_streams_all_fragments(ray_session, shards):
+    ds = read_parquet_any(f"file://{shards}", columns=["doc_id"])
+    got = sorted(ds.to_pandas()["doc_id"].tolist())
+    assert got == [0, 1, 10, 11, 20, 21]
+
+
+def test_memory_filesystem_resolves(ray_session):
+    # per-process backend: resolve + driver-side open work through the
+    # SAME fsspec transparency as any cloud URL
+    import fsspec
+
+    mfs = fsspec.filesystem("memory")
+    with mfs.open("/bucket/a.parquet", "wb") as f:
+        pq.write_table(pa.table({"x": pa.array([7], pa.int64())}), f)
+    fs, paths = resolve_inputs("memory://bucket/*.parquet")
+    assert len(paths) == 1
+    with fs.open(paths[0], "rb") as f:
+        assert pq.read_table(f)["x"].to_pylist() == [7]
+
+
+def test_incremental_ingest_commits_and_resumes(ray_session, shards,
+                                                tmp_path):
+    state = tmp_path / "state"
+    new, ds, commit = incremental_ingest(str(shards), str(state))
+    assert len(new) == 3 and ds.count() == 6
+    # crash before commit: nothing recorded, same files come back
+    new2, _, commit2 = incremental_ingest(str(shards), str(state))
+    assert new2 == new
+    commit2()
+    assert len(ingested_files(str(state))) == 3
+    # nothing new -> no dataset
+    new3, ds3, _ = incremental_ingest(str(shards), str(state))
+    assert new3 == [] and ds3 is None
+    # a fresh drop lands: only it is ingested
+    pq.write_table(pa.table({"doc_id": pa.array([99], pa.int64()),
+                             "v": pa.array([9], pa.int64())}),
+                   shards / "part-0003.parquet")
+    new4, ds4, commit4 = incremental_ingest(str(shards), str(state))
+    assert [p.split("/")[-1] for p in new4] == ["part-0003.parquet"]
+    assert ds4.to_pandas()["doc_id"].tolist() == [99]
+    commit4()
+    assert len(ingested_files(str(state))) == 4
