@@ -834,7 +834,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "doc_chunks", "bigram_top",
     "bigram_coverage", "token_fertility", "latest_events",
     "dedup_keep_best", "repeat_buyers", "order_share", "cell_cov_exact",
-    "events_weekly",
+    "events_weekly", "lang_chars_median_cont",
 ]
 
 
@@ -903,6 +903,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "custdist": R.q_custdist,
         "brand_suppliers": R.q_brand_suppliers,
         "lang_chars_median": R.q_lang_chars_median,
+        "lang_chars_median_cont": R.q_lang_chars_median_cont,
         "parts_by_brand": R.q_parts_by_brand,
         "priority_revenue": R.q_priority_revenue,
         "revenue_forecast": TX.q_revenue_forecast,
@@ -1074,6 +1075,10 @@ def oracle_sql() -> dict[str, str]:
         "custdist": R.SQL_CUSTDIST,
         "brand_suppliers": R.SQL_BRAND_SUPPLIERS,
         "lang_chars_median": sql_grouped_median("lang", "n_chars", "documents"),
+        "lang_chars_median_cont": __import__(
+            "orthority_ray.stages.quantiles",
+            fromlist=["sql_grouped_median_cont2x"]
+        ).sql_grouped_median_cont2x("lang", "n_chars", "documents"),
         "parts_by_brand": R.SQL_PARTS_BY_BRAND,
         "priority_revenue": R.SQL_PRIORITY_REVENUE,
         "revenue_forecast": TX.SQL_REVENUE_FORECAST,

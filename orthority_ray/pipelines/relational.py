@@ -1063,6 +1063,17 @@ HAVING SUM(CAST(floor(l.l_quantity) AS BIGINT)) > {BIG_ORDER_QTY}
 # --- documents: exact per-language median doc length --------------------------
 
 
+def q_lang_chars_median_cont(sf_dir: str) -> ray.data.Dataset:
+    """Per-language INTERPOLATED median of document length
+    (percentile_cont semantics), exact via the doubled integer med2x =
+    sum of the two middle order statistics — no float midpoint crosses
+    the comparison (stages/quantiles.grouped_median_cont2x)."""
+    from ..stages.quantiles import grouped_median_cont2x
+
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return grouped_median_cont2x(docs, "lang", "n_chars")
+
+
 def q_lang_chars_median(sf_dir: str) -> ray.data.Dataset:
     """Exact per-language discrete median of document length — the grouped
     quantile operator (stages/quantiles.grouped_median) on the documents

@@ -64,6 +64,42 @@ def grouped_median(ds: ray.data.Dataset, key: str, col: str,
     return bucketed_group_apply(ds, [key], med)
 
 
+def grouped_median_cont2x(ds: ray.data.Dataset, key: str,
+                          col: str) -> ray.data.Dataset:
+    """(key, n, med2x) per group — the INTERPOLATED median
+    (percentile_cont semantics) kept exact by doubling: med2x is the sum
+    of the two middle order statistics (== 2 * the continuous median), so
+    no float midpoint crosses the wire.  Same one-sort segment-offset
+    pick as grouped_median with a second index."""
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, col], kind="mergesort")
+        k = g[key].to_numpy()
+        v = g[col].to_numpy().astype(np.int64)
+        starts = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
+        ends = np.concatenate([starts[1:], [len(g)]])
+        n = ends - starts
+        lo = starts + (n - 1) // 2
+        hi = starts + n // 2
+        return pd.DataFrame(
+            {key: k[starts], "n": n.astype(np.int64),
+             "med2x": (v[lo] + v[hi]).astype(np.int64)})
+
+    from .grouping import bucketed_group_apply
+
+    return bucketed_group_apply(ds, [key], med)
+
+
+def sql_grouped_median_cont2x(key: str, col: str, table: str) -> str:
+    # (a+b)/2 is exactly representable for int inputs < 2^52, so *2
+    # round-trips to the integer sum of the two middle order statistics
+    return (
+        f"SELECT {key}, COUNT(*) AS n, "
+        f"CAST(quantile_cont({col}, 0.5) * 2 AS BIGINT) AS med2x "
+        f"FROM {table} GROUP BY {key}"
+    )
+
+
 def sql_grouped_median(key: str, col: str, table: str, q: float = 0.5) -> str:
     return (
         f"SELECT {key}, COUNT(*) AS n, "
