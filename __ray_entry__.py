@@ -834,7 +834,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "doc_chunks", "bigram_top",
     "bigram_coverage", "token_fertility", "latest_events",
     "dedup_keep_best", "repeat_buyers", "order_share", "cell_cov_exact",
-    "events_weekly", "lang_chars_median_cont",
+    "events_weekly", "lang_chars_median_cont", "ann_filtered",
 ]
 
 
@@ -958,6 +958,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "image_phash_dup": q_image_phash_dup,
         "ann_int8": ANN.ann_int8,
         "ann_pq": ANN.ann_pq,
+        "ann_filtered": ANN.ann_filtered,
         "remap_checker": q_remap_checker,
         "auto_utm": q_auto_utm,
         "metadata": q_metadata,
@@ -1039,6 +1040,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann": ANN.SQL_ANN,
         "embedding_neardup": ANN.sql_embedding_neardup(0.45),
+        "ann_filtered": ANN.SQL_ANN_FILTERED,
         "embedding_neardup_blockpair": ANN.sql_embedding_neardup(0.45),
         "cell_stats": S.with_geo(
             """SELECT cell, COUNT(*) AS n,

@@ -761,3 +761,71 @@ def ann_pq(sf_dir: str, k: int = K, m: int = PQ_M, *,
         batch_format="pyarrow", batch_size=4096, concurrency=concurrency,
     )
     return bucketed_group_apply(partials, ["query_id"], lambda g: _merge(g, k))
+
+
+# --- metadata-filtered ANN ----------------------------------------------------
+
+FILTER_LANG = "en"
+
+
+def ann_filtered(sf_dir: str, k: int = K,
+                 lang: str = FILTER_LANG) -> ray.data.Dataset:
+    """Metadata-FILTERED vector search — the vector-DB staple: top-k
+    cosine neighbors restricted to documents of one language.  The allowed
+    id set comes from the documents dim, broadcast once as a dense bool
+    mask; candidate batches are filtered BEFORE the partial top-k so the
+    matmul only touches qualifying vectors (pre-filter, not post-filter:
+    a post-filtered top-k can return < k rows even when k qualifying
+    neighbors exist).  Everything downstream reuses the brute-force
+    partial-top-k + bucketed merge machinery."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..core.config import cached_stage
+
+    docs = pq.read_table(table_path(sf_dir, "documents"),
+                         columns=["doc_id", "lang"])
+    ids = docs["doc_id"].to_numpy().astype(np.int64)
+    ok = pc.equal(docs["lang"], lang).to_numpy(zero_copy_only=False)
+    allowed = np.zeros(int(ids.max()) + 2, dtype=bool)
+    allowed[ids] = ok
+    allowed_ref = ray.put(allowed)
+    queries_ref = ray.put(load_queries(sf_dir))
+
+    class Filtered(_PartialTopSim):
+        def __init__(self):
+            super().__init__(queries_ref, k)
+            self.allowed = ray.get(allowed_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            vids = b["vec_id"].to_numpy(zero_copy_only=False)
+            hi = self.allowed.shape[0]
+            safe = np.where((vids >= 0) & (vids < hi), vids, hi - 1)
+            return super().__call__(b.filter(pa.array(self.allowed[safe])))
+
+    from .grouping import bucketed_group_apply
+
+    partials = read_embeddings(sf_dir).map_batches(
+        cached_stage(Filtered,
+                     f"ann:filt:{queries_ref.hex()}:{allowed_ref.hex()}:{k}"),
+        batch_format="pyarrow", batch_size=4096)
+    return bucketed_group_apply(partials, ["query_id"],
+                                lambda g: _merge(g, k))
+
+
+SQL_ANN_FILTERED = f"""
+SELECT query_id, neighbor_id, rank, sim_key FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+              CAST(q.embedding AS DOUBLE[])) * {SIM_SCALE} + 0.5) AS BIGINT) AS sim_key,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                    CAST(q.embedding AS DOUBLE[])) * {SIM_SCALE} + 0.5) AS BIGINT) DESC,
+                    e.vec_id ASC) AS rank
+  FROM embeddings e
+  JOIN documents d ON e.vec_id = d.doc_id AND d.lang = '{FILTER_LANG}'
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id % {QUERY_MOD} = 0) q
+) WHERE rank <= {K}
+""".strip()
