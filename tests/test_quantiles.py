@@ -74,3 +74,19 @@ def test_sketch_quantiles_dataset(values):
     for q, e in zip(QS, out["value"]):
         rank = np.searchsorted(s, e, "right") / len(s)
         assert abs(rank - q) < 0.05, (q, rank)
+
+
+def test_grouped_median_cont2x_even_and_odd_groups(values):
+    from orthority_ray.stages.quantiles import grouped_median_cont2x
+
+    # groups of mixed parity from the fixture values
+    v = values.astype(np.int64)
+    df = pd.DataFrame({"k": (np.arange(len(v)) % 7).astype(np.int64), "v": v})
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = (grouped_median_cont2x(ds, "k", "v").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    for _, row in out.iterrows():
+        grp = np.sort(v[df["k"].to_numpy() == row["k"]])
+        n = grp.shape[0]
+        expect = int(grp[(n - 1) // 2]) + int(grp[n // 2])
+        assert row["med2x"] == expect and row["n"] == n
