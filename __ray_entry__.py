@@ -835,6 +835,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "bigram_coverage", "token_fertility", "latest_events",
     "dedup_keep_best", "repeat_buyers", "order_share", "cell_cov_exact",
     "events_weekly", "lang_chars_median_cont", "ann_filtered",
+    "dup_rate_hourly",
 ]
 
 
@@ -934,6 +935,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "token_fertility": CH.token_fertility,
         "latest_events": EV.q_latest_events,
         "dedup_keep_best": lambda sf: D.dedup_keep_best(read_pages(sf)),
+        "dup_rate_hourly": lambda sf: D.dup_rate_hourly(read_pages(sf)),
         "repeat_buyers": TL.q_repeat_buyers,
         "cell_cov_exact": q_cell_cov_exact,
         "events_weekly": EV.q_events_weekly,
@@ -1041,6 +1043,7 @@ def oracle_sql() -> dict[str, str]:
         "ann": ANN.SQL_ANN,
         "embedding_neardup": ANN.sql_embedding_neardup(0.45),
         "ann_filtered": ANN.SQL_ANN_FILTERED,
+        "dup_rate_hourly": S.with_pages(D.SQL_DUP_RATE_HOURLY),
         "embedding_neardup_blockpair": ANN.sql_embedding_neardup(0.45),
         "cell_stats": S.with_geo(
             """SELECT cell, COUNT(*) AS n,

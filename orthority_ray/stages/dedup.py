@@ -703,3 +703,72 @@ SELECT text_md5, n_dups, rep_doc_id, rep_quality FROM (
   FROM g
 ) WHERE rn = 1
 """.strip()
+
+
+HOUR_US = 3_600_000_000
+
+
+def dup_rate_hourly(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """Crawl-dedup telemetry: per crawl hour, how many pages arrived and
+    how many were duplicates of text FIRST SEEN earlier — the metric a
+    streaming dedup stage reports.  "First" is the global minimum
+    (warc_ts, doc_id) per distinct text; a text's first-hour page counts
+    as original, every other occurrence as a duplicate.
+
+    No row-level join: the per-block combiner emits (md5, hour, cnt)
+    counts plus a per-md5 min-ts partial; the bucketed merge finishes both
+    (count-sum and min-of-mins compose), charges each (md5, hour) cell
+    ``cnt - (hour == first_hour)`` duplicates, and collapses to per-hour
+    partials — so the wide step moves distinct-text-sized aggregates and
+    the final groupby is hour-dimension-sized."""
+    from ..stages.grouping import bucketed_group_apply
+
+    def combine(b: pa.Table) -> pa.Table:
+        t = add_text_md5(b)
+        ts = t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"text_md5": t["text_md5"].to_pandas(),
+                           "hour": ts // HOUR_US,
+                           "min_ts": ts,
+                           "cnt": np.ones(len(ts), np.int64)})
+        g = df.groupby(["text_md5", "hour"], as_index=False).agg(
+            min_ts=("min_ts", "min"), cnt=("cnt", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        cell = g.groupby(["text_md5", "hour"], as_index=False).agg(
+            min_ts=("min_ts", "min"), cnt=("cnt", "sum"))
+        first_hour = cell.groupby("text_md5")["min_ts"].transform("min") \
+            // HOUR_US
+        dups = cell["cnt"].to_numpy() - (
+            cell["hour"].to_numpy() == first_hour.to_numpy()).astype(np.int64)
+        out = pd.DataFrame({"hour": cell["hour"],
+                            "n_pages": cell["cnt"],
+                            "n_dups": dups})
+        return out.groupby("hour", as_index=False).sum()
+
+    partials = pages.map_batches(combine, batch_format="pyarrow",
+                                 batch_size=8192)
+    per_bucket = bucketed_group_apply(partials, ["text_md5"], merge)
+    # buckets emit per-hour partials; hours are dimension-sized
+    from ..pipelines.relational import combined_groupby_sum
+
+    return combined_groupby_sum(per_bucket, ["hour"],
+                                ["n_pages", "n_dups"])
+
+
+SQL_DUP_RATE_HOURLY = f"""
+, pm AS (
+  SELECT md5(text) AS m, epoch_us(warc_ts) AS ts,
+         epoch_us(warc_ts) // {HOUR_US} AS hour
+  FROM pages
+),
+f AS (SELECT m, MIN(ts) // {HOUR_US} AS fhour FROM pm GROUP BY m),
+g AS (SELECT m, hour, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pm GROUP BY m, hour)
+SELECT g.hour,
+       CAST(SUM(g.cnt) AS BIGINT) AS n_pages,
+       CAST(SUM(g.cnt - CASE WHEN g.hour = f.fhour THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dups
+FROM g JOIN f USING (m)
+GROUP BY g.hour
+""".strip()
