@@ -389,8 +389,6 @@ def q_repeat_buyers(sf_dir: str) -> ray.data.Dataset:
     combiner does it in one pass and one customer-dimension shuffle —
     per-block (custkey, n_y1, n_y2) partials -> bucketed sum -> both-positive
     filter."""
-    from .relational import combined_groupby_sum
-
     lo1, hi1 = _us(RB_Y1_LO), _us(RB_Y1_HI)
     lo2, hi2 = _us(RB_Y2_LO), _us(RB_Y2_HI)
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
@@ -409,17 +407,16 @@ def q_repeat_buyers(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"c_custkey": pa.array(u.astype(np.int64)),
                          "n_y1": pa.array(n1), "n_y2": pa.array(n2)})
 
-    per_cust = combined_groupby_sum(
-        orders.map_batches(partial, batch_format="pyarrow",
-                           batch_size=65536),
-        ["c_custkey"], ["n_y1", "n_y2"])
+    def sum_then_having(g: pd.DataFrame) -> pd.DataFrame:
+        # one bucketed exchange: finish the sums and apply the HAVING
+        # in-bucket (the native groupby().aggregate paid per-group cost at
+        # customer cardinality — measured 2.9 s vs 0.6 s at sf0.1)
+        c = g.groupby("c_custkey", as_index=False)[["n_y1", "n_y2"]].sum()
+        return c[(c["n_y1"] > 0) & (c["n_y2"] > 0)]
 
-    def both(b: pa.Table) -> pa.Table:
-        n1 = b["n_y1"].to_numpy(zero_copy_only=False)
-        n2 = b["n_y2"].to_numpy(zero_copy_only=False)
-        return b.filter(pa.array((n1 > 0) & (n2 > 0)))
-
-    return per_cust.map_batches(both, batch_format="pyarrow")
+    partials = orders.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=65536)
+    return bucketed_group_apply(partials, ["c_custkey"], sum_then_having)
 
 
 SQL_REPEAT_BUYERS = f"""

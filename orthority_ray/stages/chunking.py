@@ -41,7 +41,9 @@ from .grouping import bucketed_group_apply
 
 CHUNK_SIZE = 200
 CHUNK_STRIDE = 150
-BIGRAM_PER_MILLE = 1  # keep winners with n * 1000 >= total bigram count
+# bigram prevalence floor: keep pairs with n * 1000 >= total bigram count
+# (0.1% of bigram mass) — also bounds the bigram_coverage broadcast model
+# to <= 1000 entries by pigeonhole
 
 
 def _chunk_batch(b: pa.Table) -> pa.Table:
