@@ -835,7 +835,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "bigram_coverage", "token_fertility", "latest_events",
     "dedup_keep_best", "repeat_buyers", "order_share", "cell_cov_exact",
     "events_weekly", "lang_chars_median_cont", "ann_filtered",
-    "dup_rate_hourly",
+    "dup_rate_hourly", "training_shuffle",
 ]
 
 
@@ -957,6 +957,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": DI.incremental_dedup,
         "bpe_train": BP.bpe_train,
         "sequence_pack": PK.sequence_pack,
+        "training_shuffle": lambda sf: PK.training_shuffle(sf),
         "image_phash_dup": q_image_phash_dup,
         "ann_int8": ANN.ann_int8,
         "ann_pq": ANN.ann_pq,
@@ -1044,6 +1045,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": ANN.sql_embedding_neardup(0.45),
         "ann_filtered": ANN.SQL_ANN_FILTERED,
         "dup_rate_hourly": S.with_pages(D.SQL_DUP_RATE_HOURLY),
+        "training_shuffle": PK.sql_training_shuffle(),
         "embedding_neardup_blockpair": ANN.sql_embedding_neardup(0.45),
         "cell_stats": S.with_geo(
             """SELECT cell, COUNT(*) AS n,

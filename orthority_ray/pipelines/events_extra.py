@@ -84,12 +84,11 @@ def q_user_event_path(sf_dir: str) -> ray.data.Dataset:
         })
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.windows import _segment_starts
+
         d = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
         k = d["user_id"].to_numpy()
-        new = np.empty(k.shape[0], dtype=bool)
-        if k.shape[0]:
-            new[0] = True
-            new[1:] = k[1:] != k[:-1]
+        new = _segment_starts(k)
         starts = np.flatnonzero(new)
         seg_id = np.cumsum(new) - 1
         pos = np.arange(k.shape[0], dtype=np.int64) - starts[seg_id]

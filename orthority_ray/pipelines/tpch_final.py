@@ -53,7 +53,9 @@ def _exact_mul_gt(v: np.ndarray, mult: int, rhs: int) -> np.ndarray:
     if mult <= 0:
         raise ValueError("multiplier must be positive")
     lim = (2 ** 62) // mult
-    if abs(rhs) < 2 ** 62 and (np.abs(v) < lim).all():
+    # two-sided bound (not np.abs): np.abs(INT64_MIN) wraps back negative
+    # and would sneak the wraparound value past the envelope check
+    if abs(rhs) < 2 ** 62 and (v < lim).all() and (v > -lim).all():
         return v * np.int64(mult) > np.int64(rhs)
     return np.fromiter((int(x) * mult > rhs for x in v), dtype=bool,
                        count=v.shape[0])
@@ -231,7 +233,11 @@ def q_excess_suppliers(sf_dir: str) -> ray.data.Dataset:
 
     sup = pq.read_table(table_path(sf_dir, "supplier"),
                         columns=["s_suppkey", "s_name"])
-    names = np.empty(int(sup["s_suppkey"].to_numpy().max()) + 1, dtype=object)
+    # max+2 with a None sentinel in the last slot (the _dense_lookup
+    # convention): an out-of-dim suppkey clamps to the sentinel and is
+    # DROPPED, matching the SQL oracle's inner join on supplier
+    names = np.full(int(sup["s_suppkey"].to_numpy().max()) + 2, None,
+                    dtype=object)
     names[sup["s_suppkey"].to_numpy()] = sup["s_name"].to_pylist()
     # broadcast once (ray.put), not once per task via closure capture —
     # the name array is supplier-dimension-sized
@@ -246,10 +252,16 @@ def q_excess_suppliers(sf_dir: str) -> ray.data.Dataset:
             keep = _exact_mul_gt(q, 10 * n, Q20_NUM * tot)
             t = b.filter(pa.array(keep))
             sk = t["s_suppkey"].to_numpy(zero_copy_only=False)
-            return pa.table({"s_suppkey": t["s_suppkey"],
-                             "s_name": pa.array(list(self.names[sk]),
-                                                pa.string()),
-                             "qmilli": t["qmilli"]})
+            hi = self.names.shape[0]
+            safe = np.where((sk >= 0) & (sk < hi), sk, hi - 1)
+            name = self.names[safe]
+            in_dim = pa.array([x is not None for x in name])
+            return pa.table({
+                "s_suppkey": t["s_suppkey"].filter(in_dim),
+                "s_name": pa.array(
+                    [x for x in name if x is not None], pa.string()),
+                "qmilli": t["qmilli"].filter(in_dim),
+            })
 
     return per_supp.map_batches(
         cached_stage(Having, f"q20h:{names_ref.hex()}:{n}:{tot}"),
@@ -462,13 +474,12 @@ def q_order_share(sf_dir: str) -> ray.data.Dataset:
         })
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.windows import _segment_starts
+
         d = g.sort_values("o_custkey", kind="mergesort")
         k = d["o_custkey"].to_numpy()
         v = d["price_cents"].to_numpy()
-        new = np.empty(k.shape[0], dtype=bool)
-        if k.shape[0]:
-            new[0] = True
-            new[1:] = k[1:] != k[:-1]
+        new = _segment_starts(k)
         seg_id = np.cumsum(new) - 1
         totals = np.zeros(int(seg_id[-1]) + 1 if k.shape[0] else 0, np.int64)
         np.add.at(totals, seg_id, v)

@@ -78,3 +78,58 @@ def sequence_pack(sf_dir: str, capacity: int = CAPACITY) -> ray.data.Dataset:
         })
 
     return docs.map_batches(pack, batch_format="pyarrow", batch_size=None)
+
+
+# --- deterministic training shuffle --------------------------------------------
+
+SHUFFLE_SHARDS = 8
+_SHUF_MULT = 2654435761
+_SHUF_MOD = 4294967296
+
+
+def training_shuffle(sf_dir: str,
+                     shards: int = SHUFFLE_SHARDS) -> ray.data.Dataset:
+    """Deterministic corpus shuffle for training epochs: every document
+    gets a pseudo-random GLOBAL position (multiplicative-hash key, doc_id
+    tie-break) and a round-robin shard — the "shuffle once, shard for N
+    trainers" step of a training-data pipeline, reproducible across runs
+    and cluster sizes because the order is a pure function of doc_id.
+
+    Distribution: the order is realized by stages/windows.global_rank
+    (sampled range boundaries -> bounded per-bucket counts -> local sort +
+    offset), so no node ever holds the full corpus order."""
+    from ..pipelines.relational import _read
+    from ..stages.windows import global_rank
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def key(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        h = (ids * _SHUF_MULT) % _SHUF_MOD
+        return pa.table({"doc_id": b["doc_id"],
+                         "h": pa.array(h.astype(np.int64))})
+
+    ranked = global_rank(
+        docs.map_batches(key, batch_format="pyarrow"),
+        "h", "doc_id", ["doc_id", "h"], descending=False, rank_name="pos")
+
+    def shard_of(b: pa.Table) -> pa.Table:
+        pos = b["pos"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "pos": b["pos"],
+            "shard": pa.array(((pos - 1) % shards).astype(np.int64)),
+        })
+
+    return ranked.map_batches(shard_of, batch_format="pyarrow")
+
+
+def sql_training_shuffle(shards: int = SHUFFLE_SHARDS) -> str:
+    return f"""
+SELECT doc_id, pos, CAST((pos - 1) % {shards} AS BIGINT) AS shard FROM (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY (doc_id * {_SHUF_MULT}) % {_SHUF_MOD}, doc_id) AS pos
+  FROM documents
+)
+""".strip()

@@ -23,6 +23,10 @@ def test_exact_mul_gt_bigint_fallback_beyond_envelope():
     # rhs beyond the envelope forces the fallback too
     out2 = _exact_mul_gt(np.array([3], dtype=np.int64), 2, 2 ** 63)
     assert out2.tolist() == [False]
+    # INT64_MIN: np.abs wraps negative — the two-sided bound must route it
+    # to the big-int fallback (true product -2^64 is NOT > -1)
+    out3 = _exact_mul_gt(np.array([-2 ** 63], dtype=np.int64), 2, -1)
+    assert out3.tolist() == [False]
 
 
 def test_exact_mul_gt_rejects_nonpositive_multiplier():
