@@ -697,7 +697,28 @@ def q_host_page_join(sf_dir: str):
         # planner's right-side sampling pass (it would execute the whole
         # aggregate pipeline once just to learn ~1000)
         right_total=1000,
+        # FORCE the salted-shuffle path: with the default threshold the
+        # dimension-sized right side short-circuits to broadcast_join and
+        # the skew plan this query exists to pin would have NO oracle
+        # coverage; the broadcast strategy gets its own oracle row below
+        broadcast_threshold_rows=0,
     )
+
+
+def q_host_page_join_broadcast(sf_dir: str):
+    """Same join, same oracle — through the BROADCAST strategy (the
+    adaptive join's small-side short circuit), so both execution paths
+    are pinned by the value-hash gate."""
+    from orthority_ray.stages.hashjoin import broadcast_join
+    from orthority_ray.stages.urlstats import parse_urls
+
+    pages = parse_urls(
+        read_pages(sf_dir).select_columns(["url", "doc_id"])
+    ).select_columns(["doc_id", "host"])
+    per_host = R.combined_groupby_sum(pages, ["host"], [],
+                                      count_alias="host_pages")
+    return broadcast_join(pages, per_host, "host",
+                          ["host", "doc_id"], ["host", "host_pages"])
 
 
 SQL_HOST_PAGE_JOIN = """
@@ -736,8 +757,13 @@ def q_text_normalize(sf_dir: str):
 
     def fn(b):
         t = b["text"].combine_chunks()
-        norm = _pc.utf8_trim_whitespace(
-            _pc.replace_substring_regex(_pc.utf8_lower(t), r"\s+", " ")
+        # trim with an ASCII-space regex, NOT utf8_trim_whitespace: the
+        # oracle's trim() strips only ' ', while Arrow's kernel strips all
+        # Unicode whitespace — e.g. \x0b or NBSP survive RE2's \s collapse
+        # and would diverge byte-wise on non-ASCII edge whitespace
+        norm = _pc.replace_substring_regex(
+            _pc.replace_substring_regex(_pc.utf8_lower(t), r"\s+", " "),
+            r"^ +| +$", "",
         )
         return _pa.table(
             {
@@ -835,7 +861,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "bigram_coverage", "token_fertility", "latest_events",
     "dedup_keep_best", "repeat_buyers", "order_share", "cell_cov_exact",
     "events_weekly", "lang_chars_median_cont", "ann_filtered",
-    "dup_rate_hourly", "training_shuffle",
+    "dup_rate_hourly", "training_shuffle", "host_page_join_broadcast",
 ]
 
 
@@ -862,6 +888,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "host_stats": q_host_stats,
         "host_page_join": q_host_page_join,
+        "host_page_join_broadcast": q_host_page_join_broadcast,
         "training_prep": q_training_prep,
         "cms_user_counts": q_cms_user_counts,
         "repetition_stats": q_repetition_stats,
@@ -1032,6 +1059,7 @@ def oracle_sql() -> dict[str, str]:
         "quality": S.with_pages(T.SQL_QUALITY),
         "host_stats": S.with_pages(_SQL_HOST_STATS),
         "host_page_join": S.with_pages(SQL_HOST_PAGE_JOIN),
+        "host_page_join_broadcast": S.with_pages(SQL_HOST_PAGE_JOIN),
         "training_prep": S.with_pages(sql_training_prep()),
         "repetition_stats": S.with_pages(T.SQL_REPETITION),
         "url_redact": S.with_pages(_SQL_URL_REDACT),

@@ -27,7 +27,7 @@ import ray.data
 
 from ..stages.grouping import bucketed_group_apply
 from ..stages.windows import grouped_rolling_sum
-from .relational import _read, cents
+from .relational import DAY_US, _read, cents
 
 MOVING_WIN = 3
 PATH_N = 5
@@ -196,7 +196,6 @@ SELECT event_id, user_id, ts_us, v_cents, event_type FROM (
 """.strip()
 
 
-DAY_US = 86_400_000_000
 # 1970-01-01 was a Thursday; +3 days aligns integer week indices to Monday
 WEEK_SHIFT_DAYS = 3
 

@@ -72,6 +72,14 @@ def global_topk(ds: ray.data.Dataset, order_cols: list[str],
             .map_batches(final, batch_format="pyarrow", batch_size=None))
 
 
+def year_of_us(us: np.ndarray) -> np.ndarray:
+    """Calendar year of epoch-microsecond timestamps (int64 in, int64
+    out) — the one shared implementation (was copy-pasted five times
+    across the TPC-H modules; r3 review)."""
+    return (us.astype("datetime64[us]").astype("datetime64[Y]")
+            .astype(np.int64) + 1970)
+
+
 def _driver_sum(ds: ray.data.Dataset, cols: list[str]) -> dict[str, int]:
     """Sum int64 columns of a per-block-partial Dataset on the driver.  The
     input is one row per block (dimension-sized regardless of data volume),
@@ -759,7 +767,7 @@ def q_nation_volume(sf_dir: str) -> ray.data.Dataset:
             m = (ship >= lo) & (ship < hi)
             t = b.filter(pa.array(m))
             ship = ship[m]
-            yr = ship.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64) + 1970
+            yr = year_of_us(ship)
             skey = t["l_suppkey"].to_numpy(zero_copy_only=False)
             safe = np.where((skey >= 0) & (skey < self.snation.shape[0]), skey,
                             self.snation.shape[0] - 1)
@@ -1040,7 +1048,7 @@ def q_market_share(sf_dir: str) -> ray.data.Dataset:
         d = b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         t = b.filter(pa.array((d >= lo) & (d < hi)))
         d = d[(d >= lo) & (d < hi)]
-        yr = d.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64) + 1970
+        yr = year_of_us(d)
         return pa.table({"o_orderkey": t["o_orderkey"],
                          "c_custkey": t["o_custkey"],
                          "yr": pa.array(yr)})

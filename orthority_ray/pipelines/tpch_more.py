@@ -34,9 +34,9 @@ from ..core.config import cached_stage, table_path
 from ..stages.grouping import bucketed_group_apply
 from ..stages.hashjoin import hash_join
 from .relational import _read, cents, combined_groupby_sum
-from .tpch_extra import _us
+from .relational import DAY_US
+from .tpch_extra import _us, year_of_us
 
-DAY_US = 86_400_000_000
 
 
 # --- Q21: waiting suppliers ---------------------------------------------------
@@ -217,8 +217,7 @@ def q_late_shipments(sf_dir: str) -> ray.data.Dataset:
         m = ship > b["odate_us"].to_numpy(zero_copy_only=False) + late_us
         ship = ship[m]
         high = b["high"].to_numpy(zero_copy_only=False)[m]
-        yr = (ship.astype("datetime64[us]").astype("datetime64[Y]")
-              .astype(np.int64) + 1970)
+        yr = year_of_us(ship)
         return pa.table({
             "yr": pa.array(yr),
             "high_line_count": pa.array(high),
@@ -293,8 +292,7 @@ def q_nation_profit(sf_dir: str) -> ray.data.Dataset:
                    .astype(np.int64))
             ship = (b["l_shipdate"].cast(pa.int64())
                     .to_numpy(zero_copy_only=False)[m][keep])
-            yr = (ship.astype("datetime64[us]").astype("datetime64[Y]")
-                  .astype(np.int64) + 1970)
+            yr = year_of_us(ship)
             profit = cents(price * (1.0 - disc)) - self.rc[pkey] * qty
             return pa.table({
                 "nation": pa.array(nat),
@@ -426,8 +424,7 @@ def q_events_cube(sf_dir: str) -> pd.DataFrame:
 
     def prep(b: pa.Table) -> pa.Table:
         ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        yr = (ts.astype("datetime64[us]").astype("datetime64[Y]")
-              .astype(np.int64) + 1970)
+        yr = year_of_us(ts)
         return pa.table({"event_type": b["event_type"], "yr": pa.array(yr)})
 
     base = combined_groupby_sum(

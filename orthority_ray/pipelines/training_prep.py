@@ -75,13 +75,9 @@ def training_prep(sf_dir: str) -> ray.data.Dataset:
 
 
 def sql_training_prep(width: int = 32, bench_mod: int = 13) -> str:
-    quality_expr = r"""
-  CAST(CASE WHEN length(regexp_extract_all(text, '\S+')) BETWEEN 20 AND 200 THEN 500000 ELSE 0 END
- + CASE WHEN (length(replace(text, ' ', '')) * 10) // greatest(1, length(regexp_extract_all(text, '\S+'))) BETWEEN 25 AND 90 THEN 300000 ELSE 0 END
- + CASE WHEN 10 * length(list_filter(regexp_extract_all(lower(text), '\S+'),
-        x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x)))
-        >= length(regexp_extract_all(text, '\S+')) THEN 200000 ELSE 0 END AS BIGINT)
-""".strip()
+    # shared single source of truth with the quality oracle (r3 review:
+    # an embedded copy would silently drift if the heuristic is tuned)
+    from ..stages.textstats import SQL_QUALITY_EXPR as quality_expr
     return f"""
 , kept AS (
   SELECT doc_id, text FROM pages WHERE {quality_expr} = {QUALITY_PASS}

@@ -722,24 +722,28 @@ class _PqScan:
         sims = np.zeros((Q, B))
         for s_i in range(m):  # m table gathers, vectorized over (Q, B)
             sims += self.lut[:, s_i, :][:, codes[:, s_i]]
-        # ADC shortlist -> EXACT re-rank (the standard PQ serving shape):
-        # the approximate scores only pick `rerank` candidates per query;
-        # their true cosines come from the raw batch rows we already hold,
-        # so the emitted partials are exact for everything that survives
+        # ADC shortlist -> EXACT re-rank (the standard PQ serving shape).
+        # PARTITION-INVARIANCE (r3 review): a per-batch top-``rerank`` cut
+        # alone makes the output depend on block boundaries.  Instead each
+        # batch emits every candidate whose ADC score ties-or-beats its
+        # batch's rerank-th best (a superset of any global top-``rerank``
+        # member: a global winner has < rerank better candidates overall,
+        # hence < rerank in its own batch), carrying BOTH the integer ADC
+        # key and the exact cosine key; the merge then takes the GLOBAL
+        # ADC top-``rerank`` under a total order and re-ranks exactly —
+        # the result is a pure function of the data, not the partitioning.
+        adc_key = np.floor(sims * SIM_SCALE + 0.5).astype(np.int64)
         r = min(self.rerank, B)
-        short = np.argpartition(-sims, r - 1, axis=1)[:, :r]  # (Q, r)
-        qs = np.repeat(np.arange(Q), r)
-        rows = short.ravel()
-        exact = (mtx[rows] * self.qn[qs]).sum(axis=1).reshape(Q, r)
+        part = np.argpartition(-adc_key, r - 1, axis=1)[:, :r]
+        rth = adc_key[np.arange(Q)[:, None], part].min(axis=1)
+        qq, cc = np.nonzero(adc_key >= rth[:, None])
+        exact = (mtx[cc] * self.qn[qq]).sum(axis=1)
         key = np.floor(exact * SIM_SCALE + 0.5).astype(np.int64)
-        k = min(self.k, r)
-        part = np.argpartition(-key, k - 1, axis=1)[:, :k]
-        kth = key[np.arange(Q)[:, None], part].min(axis=1)
-        qq, cc = np.nonzero(key >= kth[:, None])
         return pa.table({
             "query_id": pa.array(self.qids[qq]),
-            "neighbor_id": pa.array(ids[short[qq, cc]]),
-            "sim_key": pa.array(key[qq, cc]),
+            "neighbor_id": pa.array(ids[cc]),
+            "adc_key": pa.array(adc_key[qq, cc]),
+            "sim_key": pa.array(key),
         })
 
 
@@ -760,7 +764,21 @@ def ann_pq(sf_dir: str, k: int = K, m: int = PQ_M, *,
                      queries_ref, books_ref, k),
         batch_format="pyarrow", batch_size=4096, concurrency=concurrency,
     )
-    return bucketed_group_apply(partials, ["query_id"], lambda g: _merge(g, k))
+
+    def merge_pq(g: pd.DataFrame, rerank: int = 64) -> pd.DataFrame:
+        # global ADC top-``rerank`` under the (adc desc, id asc) total
+        # order, then the exact-cosine top-k — both deterministic, so the
+        # result no longer depends on batch boundaries
+        g = g.sort_values(["query_id", "adc_key", "neighbor_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        qid = g["query_id"].to_numpy()
+        starts = np.concatenate([[0], np.flatnonzero(qid[1:] != qid[:-1]) + 1])
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        pos = np.arange(len(g)) - np.repeat(starts, sizes)
+        return _merge(g.loc[pos < rerank,
+                            ["query_id", "neighbor_id", "sim_key"]], k)
+
+    return bucketed_group_apply(partials, ["query_id"], merge_pq)
 
 
 # --- metadata-filtered ANN ----------------------------------------------------

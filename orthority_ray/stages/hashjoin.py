@@ -229,8 +229,14 @@ def _join_tables(l_tbl: pa.Table, r_tbl: pa.Table, key: str,
         l_tbl = l_tbl.take(pa.array(np.sort(first)))
     lk = l_tbl[key].to_numpy(zero_copy_only=False)
     rk = r_tbl[key].to_numpy(zero_copy_only=False)
-    order = np.argsort(rk, kind="stable")
-    rks = rk[order]
+    if rk.shape[0] < 2 or bool(np.all(rk[:-1] <= rk[1:])):
+        # pre-sorted right side (broadcast_join sorts once driver-side):
+        # an O(R) check instead of re-running argsort per probe batch
+        order = np.arange(rk.shape[0], dtype=np.int64)
+        rks = rk
+    else:
+        order = np.argsort(rk, kind="stable")
+        rks = rk[order]
     lo = np.searchsorted(rks, lk, "left")
     hi = np.searchsorted(rks, lk, "right")
     cnt = hi - lo
@@ -300,9 +306,21 @@ def broadcast_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
     if r_tbl is None:
         raise ValueError("broadcast_join: right side is empty")
     _key_hash(r_tbl[key])  # null-key check once, driver-side
-    r_ref = ray.put(r_tbl.combine_chunks())
+    # sort by key ONCE here: _join_tables detects the sorted side and
+    # skips its per-probe-batch argsort (was O(R log R) per 65k-row batch)
+    import pyarrow.compute as pc
+
+    r_tbl = r_tbl.combine_chunks()
+    r_tbl = r_tbl.take(pc.sort_indices(r_tbl[key]))
+    r_ref = ray.put(r_tbl)
 
     def probe(b: pa.Table) -> pa.Table:
+        if getattr(b[key], "null_count", 0):
+            # match hash_join's loud failure — a silent float64/NaN
+            # round-trip would just drop the rows (inner) or null-fill
+            # (left), diverging from the shuffle path on the same data
+            raise ValueError(
+                "null join keys are not supported; filter them first")
         rt = cached_get(r_ref)
         return _join_tables(b.select(left_cols), rt, key,
                             left_cols, right_cols, r_only, how)

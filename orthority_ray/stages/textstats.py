@@ -166,15 +166,18 @@ def quality(ds: ray.data.Dataset, *, concurrency: int | None = None) -> ray.data
                           concurrency=concurrency)
 
 
-SQL_QUALITY = r"""
-SELECT doc_id,
+# the one source of truth for the quality score's SQL twin — composed
+# oracles (training_prep, dedup_keep_best via SQL_QUALITY) must reuse it so
+# a heuristic tune can never desynchronize an oracle from the engine
+SQL_QUALITY_EXPR = r"""
   CAST(CASE WHEN length(regexp_extract_all(text, '\S+')) BETWEEN 20 AND 200 THEN 500000 ELSE 0 END
  + CASE WHEN (length(replace(text, ' ', '')) * 10) // greatest(1, length(regexp_extract_all(text, '\S+'))) BETWEEN 25 AND 90 THEN 300000 ELSE 0 END
  + CASE WHEN 10 * length(list_filter(regexp_extract_all(lower(text), '\S+'),
         x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x)))
-        >= length(regexp_extract_all(text, '\S+')) THEN 200000 ELSE 0 END AS BIGINT) AS quality
-FROM pages
+        >= length(regexp_extract_all(text, '\S+')) THEN 200000 ELSE 0 END AS BIGINT)
 """.strip()
+
+SQL_QUALITY = f"SELECT doc_id,\n  {SQL_QUALITY_EXPR} AS quality\nFROM pages"
 
 
 def _lang_profiles() -> np.ndarray:
