@@ -748,6 +748,7 @@ class _PqScan:
 
 
 def ann_pq(sf_dir: str, k: int = K, m: int = PQ_M, *,
+           batch_size: int = 4096,
            concurrency: int | None = None) -> ray.data.Dataset:
     """Product-quantization ANN (rows-only; recall vs the exact brute force
     asserted in tests): the third scale path next to IVF and LSH — memory,
@@ -762,7 +763,8 @@ def ann_pq(sf_dir: str, k: int = K, m: int = PQ_M, *,
     partials = ds.map_batches(
         cached_stage(_PqScan, f"ann:pq:{queries_ref.hex()}:{m}:{k}",
                      queries_ref, books_ref, k),
-        batch_format="pyarrow", batch_size=4096, concurrency=concurrency,
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
     )
 
     def merge_pq(g: pd.DataFrame, rerank: int = 64) -> pd.DataFrame:

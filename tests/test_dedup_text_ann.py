@@ -584,3 +584,18 @@ def test_ann_pq_rerank_recall(sf_small):
     pq = set(map(tuple, a[["query_id", "neighbor_id"]].values))
     assert len(a) == len(exact)
     assert len(ex & pq) / len(ex) >= 0.95
+
+
+def test_ann_pq_partition_invariant(sf_small):
+    """The ADC shortlist must be a pure function of the data, not the
+    batch boundaries (r3 review): radically different batch sizes change
+    every per-batch shortlist cut, yet the merged output must be
+    bit-identical because each batch emits a superset of the global
+    ADC top-rerank and the merge applies one total order."""
+    from orthority_ray.stages.ann import ann_pq
+
+    a = (ann_pq(sf_small, batch_size=64).to_pandas()
+         .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    b = (ann_pq(sf_small, batch_size=4096).to_pandas()
+         .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    assert a.equals(b)
