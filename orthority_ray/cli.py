@@ -58,13 +58,22 @@ def cmd_query(args) -> int:
         print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
         return 2
     res = qs[args.name](args.sf_dir)
-    if isinstance(res, ray.data.Dataset):
-        res = res.limit(args.limit).to_pandas() if args.limit else res.to_pandas()
+    ds = res if isinstance(res, ray.data.Dataset) else None
+    if ds is not None:
+        res = ds.limit(args.limit).to_pandas() if args.limit else ds.to_pandas()
     elif isinstance(res, pa.Table):
         res = res.to_pandas()
     if args.limit:
         res = res.head(args.limit)
     print(res.to_string(index=False))
+    if getattr(args, "stats", False):
+        # per-stage wall/CPU/rows from Ray Data's executor — the profiling
+        # loop the scale tuning in BASELINE.md was driven by
+        if ds is not None:
+            print("\n--- ds.stats() ---\n" + ds.stats())
+        else:
+            print("\n(stats: query returned a driver-side frame, "
+                  "no Dataset plan to report)")
     return 0
 
 
@@ -186,6 +195,8 @@ def main(argv=None) -> int:
     q.add_argument("name")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     q.add_argument("--limit", type=int, default=20)
+    q.add_argument("--stats", action="store_true",
+                   help="print ds.stats() (per-stage wall/rows) after the result")
     q.set_defaults(fn=cmd_query)
 
     t = sub.add_parser("tiles", help="print the cell -> tile routing table")
