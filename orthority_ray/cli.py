@@ -159,8 +159,11 @@ def cmd_ingest(args) -> int:
     _ray_session()
     from .sources.ingest import incremental_ingest
 
-    new, ds, commit = incremental_ingest(args.input, args.state)
+    new, ds, commit, bad = incremental_ingest(args.input, args.state)
+    if bad:
+        print(f"ingest: quarantined {len(bad)} unreadable file(s)")
     if not new:
+        commit()  # record quarantined files even when nothing is readable
         print("ingest: nothing new")
         return 0
     if args.out:

@@ -79,32 +79,71 @@ def ingested_files(state_dir: str) -> set[str]:
             if line.strip()}
 
 
+def quarantined_files(state_dir: str) -> set[str]:
+    p = Path(state_dir) / QUARANTINE_NAME
+    if not p.exists():
+        return set()
+    return {line.strip() for line in p.read_text().splitlines()
+            if line.strip()}
+
+
+QUARANTINE_NAME = "quarantined_files.txt"
+
+
 def incremental_ingest(
     spec: str, state_dir: str, columns: list[str] | None = None,
+    quarantine: bool = True,
 ):
-    """-> (new_files, dataset_over_new_files_or_None, commit_fn).
+    """-> (new_files, dataset_over_new_files_or_None, commit_fn,
+    quarantined_files_this_run).
 
     ``commit_fn()`` appends the new files to the manifest ATOMICALLY
     (temp file + os.replace), so a crash mid-run re-processes the same
     files next time (at-least-once, the lineage contract) and a committed
-    run skips them."""
+    run skips them.
+
+    ``quarantine=True`` (default): files whose parquet footer cannot be
+    read are split out instead of killing the whole drop — they go to a
+    separate quarantine manifest on commit (so a later fixed copy with the
+    same path is NOT retried automatically; operators triage the list),
+    and the returned dataset covers only the readable files.  Real crawl
+    drops contain truncated files; one bad shard must not block the other
+    9999."""
     import os
 
+    import pyarrow.parquet as pq
+
     fs, paths = resolve_inputs(spec)
-    done = ingested_files(state_dir)
+    done = ingested_files(state_dir) | quarantined_files(state_dir)
     new = [p for p in paths if p not in done]
+    bad: list[str] = []
+    if quarantine and new:
+        readable = []
+        for p in new:
+            try:
+                with fs.open(p, "rb") as f:
+                    pq.read_schema(f)
+                readable.append(p)
+            except Exception:
+                bad.append(p)
+        new = readable
     ds = None
     if new:
         ds = ray.data.read_parquet(new, filesystem=_ray_filesystem(fs),
                                    columns=columns)
 
-    def commit() -> None:
-        if not new:
-            return
-        target = _manifest_path(state_dir)
+    def _write_atomic(name: str, entries: set[str]) -> None:
+        target = Path(state_dir) / name
         target.parent.mkdir(parents=True, exist_ok=True)
         tmp = target.with_suffix(".tmp")
-        tmp.write_text("\n".join(sorted(done | set(new))) + "\n")
+        tmp.write_text("\n".join(sorted(entries)) + "\n")
         os.replace(tmp, target)
 
-    return new, ds, commit
+    def commit() -> None:
+        if new:
+            _write_atomic(MANIFEST_NAME, ingested_files(state_dir) | set(new))
+        if bad:
+            _write_atomic(QUARANTINE_NAME,
+                          quarantined_files(state_dir) | set(bad))
+
+    return new, ds, commit, bad

@@ -62,22 +62,38 @@ def test_memory_filesystem_resolves(ray_session):
 def test_incremental_ingest_commits_and_resumes(ray_session, shards,
                                                 tmp_path):
     state = tmp_path / "state"
-    new, ds, commit = incremental_ingest(str(shards), str(state))
+    new, ds, commit, bad = incremental_ingest(str(shards), str(state))
     assert len(new) == 3 and ds.count() == 6
     # crash before commit: nothing recorded, same files come back
-    new2, _, commit2 = incremental_ingest(str(shards), str(state))
+    new2, _, commit2, _ = incremental_ingest(str(shards), str(state))
     assert new2 == new
     commit2()
     assert len(ingested_files(str(state))) == 3
     # nothing new -> no dataset
-    new3, ds3, _ = incremental_ingest(str(shards), str(state))
+    new3, ds3, _, _ = incremental_ingest(str(shards), str(state))
     assert new3 == [] and ds3 is None
     # a fresh drop lands: only it is ingested
     pq.write_table(pa.table({"doc_id": pa.array([99], pa.int64()),
                              "v": pa.array([9], pa.int64())}),
                    shards / "part-0003.parquet")
-    new4, ds4, commit4 = incremental_ingest(str(shards), str(state))
+    new4, ds4, commit4, _ = incremental_ingest(str(shards), str(state))
     assert [p.split("/")[-1] for p in new4] == ["part-0003.parquet"]
     assert ds4.to_pandas()["doc_id"].tolist() == [99]
     commit4()
     assert len(ingested_files(str(state))) == 4
+
+
+def test_incremental_ingest_quarantines_corrupt_files(ray_session, shards,
+                                                      tmp_path):
+    from orthority_ray.sources.ingest import quarantined_files
+
+    state = tmp_path / "state"
+    (shards / "part-9999.parquet").write_bytes(b"not a parquet file")
+    new, ds, commit, bad = incremental_ingest(str(shards), str(state))
+    assert [p.split("/")[-1] for p in bad] == ["part-9999.parquet"]
+    assert len(new) == 3 and ds.count() == 6  # readable shards unaffected
+    commit()
+    assert len(quarantined_files(str(state))) == 1
+    # quarantined paths are not retried on the next run
+    new2, _, _, bad2 = incremental_ingest(str(shards), str(state))
+    assert new2 == [] and bad2 == []
