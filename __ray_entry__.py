@@ -862,6 +862,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "dedup_keep_best", "repeat_buyers", "order_share", "cell_cov_exact",
     "events_weekly", "lang_chars_median_cont", "ann_filtered",
     "dup_rate_hourly", "training_shuffle", "host_page_join_broadcast",
+    "value_gini",
 ]
 
 
@@ -966,6 +967,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "repeat_buyers": TL.q_repeat_buyers,
         "cell_cov_exact": q_cell_cov_exact,
         "events_weekly": EV.q_events_weekly,
+        "value_gini": EV.q_value_gini,
         "order_share": TL.q_order_share,
         "first_touch": TM.q_first_touch,
         "events_cube": TM.q_events_cube,
@@ -1149,6 +1151,7 @@ def oracle_sql() -> dict[str, str]:
             f", q AS ({T.SQL_QUALITY}), {D.SQL_DEDUP_KEEP_BEST_BODY}"),
         "repeat_buyers": TL.SQL_REPEAT_BUYERS,
         "events_weekly": EV.SQL_EVENTS_WEEKLY,
+        "value_gini": EV.SQL_VALUE_GINI,
         "cell_cov_exact": S.with_geo(
             """SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(COUNT(*) * SUM(lon_milli * lat_milli)

@@ -236,3 +236,73 @@ SELECT epoch_us(date_trunc('week', ts)) AS week_us,
          AS sum_cents
 FROM events GROUP BY 1
 """.strip()
+
+
+def q_value_gini(sf_dir: str) -> ray.data.Dataset:
+    """Per event type: the EXACT Gini dispersion numerator
+    D = sum_i sum_j |x_i - x_j| (integer cents) plus n and sum — enough
+    for any downstream Gini/mean-absolute-difference ratio with no float
+    on the wire.  Uses the sorted identity D = 2 * sum_i (2i - n - 1) *
+    x_(i); duplicates are collapsed first, so the exchange moves
+    (type, distinct-value, count) histogram rows and the per-type finish
+    is one vectorized prefix-sum pass (same fits-a-worker contract as
+    grouped_median's per-group histograms)."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = cents(b["value"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({"event_type": b["event_type"].to_pandas(),
+                           "v_cents": v,
+                           "c": np.ones(v.shape[0], np.int64)})
+        g = df.groupby(["event_type", "v_cents"], as_index=False)["c"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.windows import _segment_starts
+
+        d = (g.groupby(["event_type", "v_cents"], as_index=False)["c"].sum()
+             .sort_values(["event_type", "v_cents"], kind="mergesort"))
+        t = d["event_type"].to_numpy()
+        v = d["v_cents"].to_numpy().astype(np.int64)
+        c = d["c"].to_numpy().astype(np.int64)
+        new = _segment_starts(t)
+        seg_id = np.cumsum(new) - 1
+        # per-segment cumulative count/sum BEFORE each histogram row
+        cum_c = np.cumsum(c)
+        cum_s = np.cumsum(c * v)
+        starts = np.flatnonzero(new)
+        base_c = cum_c[starts] - c[starts]
+        base_s = cum_s[starts] - (c * v)[starts]
+        prev_c = np.concatenate([[0], cum_c[:-1]]) - base_c[seg_id]
+        prev_s = np.concatenate([[0], cum_s[:-1]]) - base_s[seg_id]
+        # ordered-pair distance sum: 2 * sum_k c_k*(v_k*C_{k-1} - S_{k-1})
+        term = c * (v * prev_c - prev_s)
+        types = t[starts]
+        n_seg = starts.shape[0]
+        gini = np.zeros(n_seg, np.int64)
+        np.add.at(gini, seg_id, term)
+        n = np.zeros(n_seg, np.int64)
+        np.add.at(n, seg_id, c)
+        s = np.zeros(n_seg, np.int64)
+        np.add.at(s, seg_id, c * v)
+        return pd.DataFrame({"event_type": types, "n": n,
+                             "sum_cents": s, "gini_num": 2 * gini})
+
+    parts = ev.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+    return bucketed_group_apply(parts, ["event_type"], finish)
+
+
+SQL_VALUE_GINI = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS sum_cents,
+       CAST(2 * SUM((2 * rn - n - 1) * v) AS BIGINT) AS gini_num
+FROM (
+  SELECT event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY floor(value * 100.0 + 0.5)) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+) GROUP BY event_type
+""".strip()
