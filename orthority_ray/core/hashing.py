@@ -106,3 +106,12 @@ def sql_flit(v: float) -> str:
     CAST stops DuckDB from typing short literals as DECIMAL (whose chained
     multiplications overflow)."""
     return f"CAST({v!r} AS DOUBLE)"
+
+
+def knuth32(k: "np.ndarray") -> "np.ndarray":
+    """The engine's ONE integer key hash (Knuth multiplicative, 32-bit
+    range): every int bucketing/salting path must use this so join
+    bucketing, salting and partitioning can never drift apart (r3 review;
+    the formula also appears verbatim inside SQL oracle strings, so the
+    constants are frozen)."""
+    return (k.astype(np.int64) * 2654435761) % 4294967296

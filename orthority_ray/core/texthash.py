@@ -23,6 +23,12 @@ import numpy as np
 FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 FNV_PRIME = np.uint64(0x100000001B3)
 WORD_MULT = np.uint64(131)
+# python-int twins for the rare long-span scalar fallback (np.uint64 mixed
+# with python int silently upcasts to float64 — wrong hashes)
+FNV_OFFSET_INT = 0xCBF29CE484222325
+FNV_PRIME_INT = 0x100000001B3
+WORD_MULT_INT = 131
+_LONG_SPAN = 4096  # bytes; spans above this hash via the scalar fallback
 DOC_MULT = np.uint64(1099511628211)
 
 
@@ -84,6 +90,22 @@ def _fold_spans(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray,
     if g == 0:
         return h
     lmax = int(lens.max()) if g else 0
+    # the position-parallel loop costs O(num_spans) per BYTE POSITION of
+    # the longest span — one pathological 1 MB token would gate the whole
+    # batch behind 10^6 full-width passes.  Spans beyond the threshold are
+    # rare; hash them individually (same recurrence, identical values) and
+    # keep the vector loop bounded by the 99.9%-case length (r3 review).
+    long = lens > _LONG_SPAN
+    if bool(long.any()):
+        for i in np.flatnonzero(long):
+            acc = FNV_OFFSET_INT if fnv else 0
+            s = int(starts[i])
+            for b in flat[s: s + int(lens[i])]:
+                acc = ((acc ^ int(b)) * FNV_PRIME_INT if fnv
+                       else acc * WORD_MULT_INT + int(b)) & 0xFFFFFFFFFFFFFFFF
+            h[i] = np.uint64(acc)
+        lens = np.where(long, 0, lens)
+        lmax = int(lens.max())
     cap = flat.size - 1 if flat.size else 0
     with np.errstate(over="ignore"):
         for k in range(lmax):
@@ -134,6 +156,14 @@ def hash_arrow_strings(col) -> np.ndarray:
     chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
     outs = []
     for arr in chunks:
+        if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
+                or pa.types.is_binary(arr.type)
+                or pa.types.is_large_binary(arr.type)):
+            # a dictionary/string_view column's buffers are NOT offsets+data;
+            # reinterpreting them would silently hash garbage (r3 review)
+            raise TypeError(
+                f"hash_arrow_strings needs an offset-based string/binary "
+                f"column, got {arr.type}; decode dictionary columns first")
         if arr.null_count:
             raise ValueError(
                 "null join/bucket keys are not supported; filter nulls "
@@ -179,6 +209,11 @@ def _gram_spans(buf: TokenBuf, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarr
     goff = np.cumsum(kd) - kd
     first = np.repeat(tok_base, kd) + (np.arange(total) - np.repeat(goff, kd))
     span = np.repeat(np.minimum(cnt, n), kd)  # tokens per gram; 0 for empty docs
+    if buf.tok_starts.shape[0] == 0:
+        # every doc in the batch is empty/whitespace: one empty gram each
+        # (indexing the empty tok_starts below would IndexError; r3 review)
+        z = np.zeros(int(kd.sum()), dtype=np.int64)
+        return z, z.copy(), kd
     nz = span > 0
     cap = max(buf.tok_starts.shape[0] - 1, 0)
     fi = np.minimum(first, cap)
@@ -259,22 +294,36 @@ def simhash_batch(texts: list[str]) -> np.ndarray:
     shifts = np.arange(64, dtype=np.uint64)
     ends = np.cumsum(counts)
     starts = ends - counts
-    d0 = 0
-    while d0 < n_docs:
-        d1 = int(np.searchsorted(ends, starts[d0] + _SIMHASH_TOKEN_CHUNK, "left")) + 1
-        d1 = min(max(d1, d0 + 1), n_docs)
-        c = counts[d0:d1]
-        nz = c > 0
-        if nz.any():
-            h = hashes[starts[d0] : ends[d1 - 1]]
-            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-            seg_starts = (starts[d0:d1] - starts[d0])[nz]
-            bitsum = np.add.reduceat(bits, seg_starts, axis=0)
-            maj = (bitsum * 2 > c[nz][:, None]).astype(np.uint64)
-            vals = (maj << shifts[None, :]).sum(axis=1, dtype=np.uint64)
-            idx = np.arange(d0, d1)[nz]
-            out[idx] = vals
-        d0 = d1
+    # stream the TOKEN axis in fixed chunks with a carry bitsum for the
+    # doc spanning a chunk boundary: the transient bit matrix is bounded
+    # by the chunk even for a single multi-million-token document (the
+    # old per-DOC chunking still allocated (doc_tokens, 64) for one huge
+    # doc; r3 review)
+    nzd = np.flatnonzero(counts > 0)
+    ns = starts[nzd]
+    ne = ends[nzd]
+    k = 0  # first unfinished nz doc
+    carry = np.zeros(64, dtype=np.int64)
+    t0 = 0
+    total = int(ne[-1])
+    while t0 < total:
+        t1 = min(t0 + _SIMHASH_TOKEN_CHUNK, total)
+        h = hashes[t0:t1]
+        bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        kend = k + int(np.searchsorted(ns[k:], t1, "left"))
+        seg = np.maximum(ns[k:kend], t0) - t0
+        bitsum = np.add.reduceat(bits, seg, axis=0)
+        if ns[k] < t0:
+            bitsum[0] += carry
+        done = int(np.searchsorted(ne[k:kend], t1, "right"))
+        if done:
+            di = nzd[k : k + done]
+            maj = (bitsum[:done] * 2 > counts[di][:, None]).astype(np.uint64)
+            out[di] = (maj << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        if done < kend - k:  # last doc continues past this chunk
+            carry = bitsum[-1]
+        k += done
+        t0 = t1
     return out
 
 

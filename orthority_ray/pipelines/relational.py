@@ -73,7 +73,9 @@ def bucketed_sum(partials: ray.data.Dataset, key: str, val: str,
 
     def tag(b: pa.Table) -> pa.Table:
         k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
-        bucket = ((k * 2654435761) % 4294967296) % n_buckets
+        from ..core.hashing import knuth32
+
+        bucket = knuth32(k) % n_buckets
         return b.append_column("__bucket", pa.array(bucket))
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:

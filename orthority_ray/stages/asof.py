@@ -63,7 +63,9 @@ def asof_join(
     def tag(side: int, cols: list[str], pad: list[str]):
         def f(batch: pa.Table) -> pa.Table:
             k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
-            bucket = ((k * 2654435761) % 4294967296) % n_buckets
+            from ..core.hashing import knuth32
+
+            bucket = knuth32(k) % n_buckets
             out = {key: pa.array(k),
                    time_col: batch[time_col].cast(pa.int64())}
             for c in cols:

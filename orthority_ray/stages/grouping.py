@@ -50,7 +50,15 @@ def bucketed_group_apply(
     ``n_buckets`` bounds the wide step's group count — size it to a few ×
     cluster cores so buckets stay parallel and per-group reduce overhead
     stays constant.  ``batch_size`` bundles the tag stage so the sort
-    shuffle sees few, large partials (see combined_groupby_sum's note)."""
+    shuffle sees few, large partials (see combined_groupby_sum's note).
+
+    SCALE CONTRACT: each bucket materializes as ONE pandas DataFrame, so
+    per-reducer memory is O(input / n_buckets).  The default 64 fits the
+    pre-aggregated/dimension-sized inputs most callers feed it; a caller
+    streaming a DATA-PROPORTIONAL table through here must size
+    ``n_buckets`` from the input (rows / target_bucket_rows — the sampled
+    protocol in hashjoin.plan_hash_join / stages/salting.py), not the
+    default."""
 
     def tag(b: pa.Table) -> pa.Table:
         df = b.select(keys).to_pandas()  # hash only the key columns
@@ -69,13 +77,16 @@ def bucketed_group_apply(
 
 
 _TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+# cache only small sizes: one 50k-id group would pin two n(n-1)/2 int64
+# arrays (~20 GB) in the worker forever; big groups are rare, recompute
+_TRIU_CACHE_MAX_N = 1024
 
 
 def _triu(n: int) -> tuple[np.ndarray, np.ndarray]:
     t = _TRIU_CACHE.get(n)
     if t is None:
         t = np.triu_indices(n, k=1)
-        if len(_TRIU_CACHE) < 4096:
+        if n <= _TRIU_CACHE_MAX_N and len(_TRIU_CACHE) < 4096:
             _TRIU_CACHE[n] = t
     return t
 
@@ -92,13 +103,14 @@ def grouped_pairs(df: pd.DataFrame, keys: list[str], id_col: str,
     d = df[keys + [id_col]].sort_values(keys + [id_col], kind="mergesort")
     d = d.drop_duplicates()  # distinct ids within each group
     ids = d[id_col].to_numpy()
-    gkey = np.zeros(len(d), dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for k in keys:
-            gkey = gkey * np.uint64(0x9E3779B97F4A7C15) + pd.util.hash_array(
-                np.asarray(d[k].to_numpy())
-            )
-    boundary = np.flatnonzero(np.diff(gkey)) + 1
+    # group boundaries by DIRECT adjacent comparison on the sorted keys —
+    # no hash combine, so no (however unlikely) collision can ever merge
+    # two adjacent groups into cross-group pairs (r3 review)
+    change = np.zeros(len(d), dtype=bool)
+    for k in keys:
+        kv = d[k].to_numpy()
+        change[1:] |= kv[1:] != kv[:-1]
+    boundary = np.flatnonzero(change)
     starts = np.concatenate([[0], boundary])
     ends = np.concatenate([boundary, [len(d)]])
     parts_a: list[np.ndarray] = []
@@ -120,11 +132,14 @@ def grouped_pairs(df: pd.DataFrame, keys: list[str], id_col: str,
 
 def distinct_rows(ds: ray.data.Dataset, keys: list[str],
                   n_buckets: int = 64) -> ray.data.Dataset:
-    """DISTINCT over ``keys`` (first row of each group after a sort on the
-    keys — deterministic) via one bucket shuffle + vectorized
-    ``drop_duplicates`` per bucket."""
+    """DISTINCT over ``keys`` via one bucket shuffle + vectorized
+    ``drop_duplicates`` per bucket.  The surviving row is deterministic:
+    the sort covers ALL columns (keys first), so the representative does
+    not depend on shuffle arrival order even when non-key columns are not
+    functionally dependent on the keys (r3 review)."""
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(keys, kind="mergesort").drop_duplicates(keys)
+        order = keys + [c for c in g.columns if c not in keys]
+        return g.sort_values(order, kind="mergesort").drop_duplicates(keys)
 
     return bucketed_group_apply(ds, keys, fn, n_buckets=n_buckets)

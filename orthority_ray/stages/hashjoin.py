@@ -42,8 +42,10 @@ def _key_hash(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
         from ..core.texthash import hash_arrow_strings
 
         return hash_arrow_strings(col).astype(np.uint64)
-    k = col.to_numpy(zero_copy_only=False).astype(np.int64)
-    return (((k * 2654435761) % 4294967296)).astype(np.uint64)
+    from ..core.hashing import knuth32
+
+    k = col.to_numpy(zero_copy_only=False)
+    return knuth32(k).astype(np.uint64)
 
 
 def _bucket_of(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> np.ndarray:

@@ -76,7 +76,9 @@ def salted_cell_moments(geo_ds: ray.data.Dataset, cols: list[str],
         cell = batch["cell"].to_numpy(zero_copy_only=False)
         doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
         is_hot = np.isin(cell, hot)
-        salt = np.where(is_hot, ((doc_id * 2654435761) % 4294967296) % n_salts, 0)
+        from ..core.hashing import knuth32
+
+        salt = np.where(is_hot, knuth32(doc_id) % n_salts, 0)
         x = np.stack([batch[c].to_numpy(zero_copy_only=False) for c in cols], axis=1)
         key = cell * n_salts + salt
         order = np.argsort(key, kind="stable")

@@ -47,7 +47,9 @@ def _digests(keys: np.ndarray, payloads: list[str]) -> np.ndarray:
 
 
 def _bucket(keys: np.ndarray, n_buckets: int) -> np.ndarray:
-    return ((keys.astype(np.int64) * 2654435761) % 4294967296) % n_buckets
+    from ..core.hashing import knuth32
+
+    return knuth32(keys) % n_buckets
 
 
 def _summaries(ds: ray.data.Dataset, key: str, payload: str,

@@ -152,3 +152,60 @@ def test_hash_arrow_strings_rejects_nulls():
 
     with pytest.raises(ValueError, match="null join/bucket keys"):
         TH.hash_arrow_strings(pa.array(["a", None, "b"]))
+
+
+def test_all_empty_batch_does_not_crash():
+    # r3 review: a batch whose every text is empty/whitespace used to
+    # IndexError inside _gram_spans and kill the MinHash stage
+    h, c = TH.shingle_hashes_batch(["", "   ", "\t"])
+    assert c.tolist() == [1, 1, 1]
+    assert h.shape == (3,)
+
+
+def test_long_span_fallback_bit_identical():
+    # one pathological multi-KB token routes through the scalar fallback;
+    # values must equal the vectorized recurrence exactly
+    import hashlib  # noqa: F401  (reference below is hand-rolled FNV)
+
+    long_tok = bytes(range(256)) * 64  # 16 KiB, > _LONG_SPAN
+    grams = [b"abc", long_tok, b""]
+
+    def fnv(b):
+        h = 0xCBF29CE484222325
+        for x in b:
+            h = ((h ^ x) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    got = TH.fnv1a_bulk(grams)
+    assert got.tolist() == [fnv(g) for g in grams]
+
+
+def test_simhash_streams_giant_doc():
+    # a single doc far beyond the token chunk must produce the same bits
+    # as the naive per-text majority vote (bounded transient memory)
+    rng = np.random.RandomState(11)
+    vocab = ["aa", "bb", "cc", "dd"]
+    giant = " ".join(rng.choice(vocab, 3 * TH._SIMHASH_TOKEN_CHUNK + 17))
+    texts = ["aa bb", giant, ""]
+    got = TH.simhash_batch(texts)
+
+    def naive(text):
+        toks = text.split()
+        if not toks:
+            return 0
+        hs = [int(h) for h in TH.fnv1a_bulk([t.encode() for t in toks])]
+        v = 0
+        for b in range(64):
+            if sum((h >> b) & 1 for h in hs) * 2 > len(hs):
+                v |= 1 << b
+        return v
+
+    assert got.tolist() == [naive(t) for t in texts]
+
+
+def test_hash_arrow_strings_rejects_dictionary():
+    import pyarrow as pa
+    import pytest
+
+    with pytest.raises(TypeError):
+        TH.hash_arrow_strings(pa.array(["a", "b"]).dictionary_encode())
