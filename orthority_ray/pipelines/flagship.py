@@ -43,11 +43,18 @@ def part_of(doc_id: np.ndarray, n_parts: int) -> np.ndarray:
     return ((doc_id.astype(np.int64) * 2654435761) % 4294967296) % n_parts
 
 
-def input_fingerprint(sf_dir: str, replicate: int = 1) -> str:
+def input_fingerprint(sf_dir: str, replicate: int = 1,
+                      n_parts: int | None = None) -> str:
+    """Identity of a partition's INPUT: source + size + replication + the
+    partitioning width.  ``n_parts`` matters because part p's CONTENT is a
+    function of it — without it, a rerun with a different n_parts trusted
+    old same-numbered manifests and silently kept wrong partition contents
+    (caught by test_rerun_with_fewer_parts_prunes_stale_partitions)."""
     from ..core.config import parquet_bytes, table_path
 
     rep = f":x{replicate}" if replicate > 1 else ""
-    return f"{sf_dir}:{parquet_bytes(table_path(sf_dir, 'lineitem'))}{rep}"
+    parts = f":p{n_parts}" if n_parts is not None else ""
+    return f"{sf_dir}:{parquet_bytes(table_path(sf_dir, 'lineitem'))}{rep}{parts}"
 
 
 def run_flagship(sf_dir: str, out_dir: str, n_parts: int = N_PARTS,
@@ -58,11 +65,28 @@ def run_flagship(sf_dir: str, out_dir: str, n_parts: int = N_PARTS,
     crawl from the same input files (sources/pages.read_page_keys_replicated)
     — the payload-scale path used by the spill/resume demonstration in
     BASELINE.md §3."""
-    fp = input_fingerprint(sf_dir, replicate)
+    fp = input_fingerprint(sf_dir, replicate, n_parts)
     planned = list(range(n_parts))
     missing = lineage.plan_missing(out_dir, planned, fp) if resume else planned
     out_path = Path(out_dir)
     out_path.mkdir(parents=True, exist_ok=True)
+    # prune manifests/data of partitions OUTSIDE the current plan: a rerun
+    # with a smaller n_parts otherwise leaves stale part dirs that the
+    # tile-layout glob would read as duplicate rows (r3 review)
+    planned_set = set(planned)
+    for p, man in lineage.completed_partitions(out_dir).items():
+        if p not in planned_set:
+            lineage.manifest_path(out_dir, p).unlink(missing_ok=True)
+            stale = out_path / f"part={p:05d}"
+            if stale.exists():
+                import shutil
+
+                shutil.rmtree(stale)
+
+    if not missing:
+        # fully-resumed run: nothing to compute, so don't pay the full
+        # input scan for the (deterministic, already-written) routing table
+        return lineage.load_manifest_table(out_dir)
 
     # tile routing table: deterministic on the FULL input (independent of
     # which partitions remain), cheap int-only scan + combiner aggregate.
@@ -81,9 +105,7 @@ def run_flagship(sf_dir: str, out_dir: str, n_parts: int = N_PARTS,
     route_tiles = tiles_pdf["tile_id"].to_numpy().astype(np.int64)[order]
     cell_ref = ray.put((route_cells, route_tiles))
 
-    if not missing:
-        return lineage.load_manifest_table(out_dir)
-    missing_set = set(missing)
+    missing_arr = np.asarray(sorted(missing), dtype=np.int64)
 
     if replicate > 1:
         ds = pages_from_keys(read_page_keys_replicated(sf_dir, replicate), sf_dir)
@@ -93,14 +115,14 @@ def run_flagship(sf_dir: str, out_dir: str, n_parts: int = N_PARTS,
     def transform(batch: pa.Table) -> pa.Table:
         doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
         part = part_of(doc_id, n_parts)
-        keep = np.isin(part, list(missing_set))
+        keep = np.isin(part, missing_arr)
         batch = batch.filter(pa.array(keep))
-        if batch.num_rows == 0:
-            return batch.append_column("part", pa.array([], pa.int64()))
+        # no zero-row early return: extract/geocode handle empty tables,
+        # and an early return would emit a block MISSING their columns —
+        # schema-divergent blocks crash the downstream shuffle (r3 review)
         batch = extract_batch(batch)
         batch = geocode_batch(batch)
-        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
-        return batch.append_column("part", pa.array(part_of(doc_id, n_parts)))
+        return batch.append_column("part", pa.array(part[keep]))
 
     staged = ds.map_batches(transform, batch_format="pyarrow", batch_size=16384)
 

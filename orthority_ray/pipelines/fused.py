@@ -28,7 +28,7 @@ import ray
 import ray.data
 
 from ..core.geometry import make_tile_rings, points_in_rings, ring_bboxes
-from ..sources.pages import _BROADCAST_CACHE, PageSynth, load_documents
+from ..sources.pages import PageSynth, cached_instance, load_documents
 from ..stages.extract import extract_batch
 from ..stages.geocode import geocode_batch
 from ..stages.tiles import N_ASSIGN_TILES
@@ -39,6 +39,8 @@ def fused_cell_aggregate(sf_dir: str, replicate: int = 1,
                          chunk: int = 16384) -> ray.data.Dataset:
     """-> Dataset(cell, n_docs, n_join_pairs): per-cell partials, pre-reduced
     per block, ready for a tiny ``groupby(cell)`` final aggregate."""
+    if not 1 <= replicate <= 207:
+        raise ValueError(f"replicate must be in [1, 207], got {replicate}")
     if rings is None:
         rings = make_tile_rings()
     docs_ref = ray.put(load_documents(sf_dir))
@@ -47,15 +49,22 @@ def fused_cell_aggregate(sf_dir: str, replicate: int = 1,
     def fused(batch: pa.Table) -> pa.Table:
         base = batch["doc_id"].to_numpy(zero_copy_only=False)
         if replicate > 1:
+            # same aliasing/overflow guards as read_page_keys_replicated —
+            # the fused path previously dropped them (r3 review)
+            if base.size and int(base.max()) >= (1 << 24):
+                raise ValueError(
+                    "base doc_id >= 2^24 would alias the next replica")
             doc_id = np.concatenate([base + r * (1 << 24) for r in range(replicate)])
         else:
             doc_id = base
-        key = "pagesynth:" + docs_ref.hex()
-        ps = _BROADCAST_CACHE.get(key)
-        if ps is None:
-            ps = PageSynth(docs_ref)
-            _BROADCAST_CACHE[key] = ps
-        agg: dict[int, list[int]] = {}
+        if doc_id.shape[0] == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_join_pairs": pa.array([], pa.int64())})
+        # per-worker instance via the ONE broadcast-cache write path (a
+        # direct _BROADCAST_CACHE[key] write bypassed its eviction bound)
+        ps = cached_instance("pagesynth:" + docs_ref.hex(),
+                             lambda: PageSynth(docs_ref))
         cells_acc, docs_acc, pairs_acc = [], [], []
         for s in range(0, doc_id.shape[0], chunk):
             b = ps._synth(doc_id[s : s + chunk])
@@ -122,6 +131,11 @@ def fused_headline(sf_dir: str, replicate: int = 1,
         cells_acc.append(b["cell"].to_numpy(zero_copy_only=False))
         docs_acc.append(b["n_docs"].to_numpy(zero_copy_only=False))
         pairs_acc.append(b["n_join_pairs"].to_numpy(zero_copy_only=False))
+    if not cells_acc:  # empty input: typed empty routing table, not a crash
+        empty = pd.DataFrame({"cell": pd.Series([], dtype=np.int64),
+                              "n_docs": pd.Series([], dtype=np.int64),
+                              "tile_id": pd.Series([], dtype=np.int64)})
+        return empty, 0
     cell_all = np.concatenate(cells_acc)
     order = np.argsort(cell_all, kind="stable")
     cs, idx = np.unique(cell_all[order], return_index=True)

@@ -151,11 +151,13 @@ def read_page_keys_replicated(sf_dir: str, replicate: int) -> ray.data.Dataset:
         override_num_blocks=read_blocks(),
     )
 
-    if not 1 <= replicate <= 300:
-        # doc_id * H1 in core/hashing must stay under 2^63 (the never-
-        # negative-% invariant numpy and DuckDB share); 300 * 2^24 ids is
-        # comfortably inside that envelope
-        raise ValueError(f"replicate must be in [1, 300], got {replicate}")
+    if not 1 <= replicate <= 207:
+        # doc_id * H1 (2654435761) in core/hashing must stay under 2^63 —
+        # the invariant numpy and the DuckDB BIGINT oracle share.  Max safe
+        # doc_id is 2^63 / 2654435761 = 3,474,701,543, i.e. replicate 207
+        # at the 2^24 stride (the previous bound of 300 admitted values
+        # whose oracle-side multiply would overflow BIGINT; r3 review)
+        raise ValueError(f"replicate must be in [1, 207], got {replicate}")
 
     def keys(batch: pa.Table) -> pa.Table:
         ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -592,7 +592,7 @@ def write_dedup_layout(sf_dir: str, out_dir: str, n_parts: int = 16,
     from ..sources.pages import read_pages
     from ..state import lineage
 
-    fp = "dedup:" + input_fingerprint(sf_dir)
+    fp = "dedup:" + input_fingerprint(sf_dir, n_parts=n_parts)
     planned = list(range(n_parts))
     missing = lineage.plan_missing(out_dir, planned, fp) if resume else planned
     if not missing:

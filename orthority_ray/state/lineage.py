@@ -59,6 +59,14 @@ def write_partition(out_dir: str | Path, part: int, tbl: pa.Table,
     """Write one partition's parquet + manifest (idempotent: overwrites)."""
     out_dir = Path(out_dir)
     pdir = out_dir / f"part={part:05d}"
+    # invalidate-then-rewrite: drop any existing manifest BEFORE touching
+    # the data dir — a crash between rmtree and the new commit must leave
+    # "orphaned data at worst", never a manifest claiming data that is
+    # gone (an at-least-once retry of an already-committed partition hit
+    # exactly that window; r3 review)
+    old_mp = manifest_path(out_dir, part)
+    if old_mp.exists():
+        old_mp.unlink()
     if pdir.exists():
         shutil.rmtree(pdir)
     pdir.mkdir(parents=True, exist_ok=True)

@@ -150,5 +150,6 @@ def test_flagship_replicated_scale_resume(sf_unit, tmp_path):
     # a replicate=1 run against the same out_dir must NOT reuse x3 output
     from orthority_ray.pipelines.flagship import input_fingerprint
 
-    missing = lineage.plan_missing(out, list(range(8)), input_fingerprint(sf_unit))
+    missing = lineage.plan_missing(out, list(range(8)),
+                                   input_fingerprint(sf_unit, n_parts=8))
     assert missing == list(range(8))

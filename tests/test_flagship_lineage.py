@@ -48,7 +48,8 @@ def test_flagship_stale_fingerprint_forces_recompute(sf_unit, out_dir):
     man = json.loads(mp.read_text())
     man["input_fingerprint"] = "stale"
     mp.write_text(json.dumps(man))
-    missing = lineage.plan_missing(out_dir, list(range(4)), input_fingerprint(sf_unit))
+    missing = lineage.plan_missing(out_dir, list(range(4)),
+                                   input_fingerprint(sf_unit, n_parts=4))
     assert missing == [1]
 
 
@@ -84,3 +85,27 @@ def test_row_checksum_order_insensitive():
     t3 = pa.table({"a": pa.array([3, 1, 2], pa.int64()), "b": pa.array([7, 8, 9], pa.int64())})
     cs = lambda t: lineage.row_checksum(t, ["a", "b"])
     assert cs(t1) == cs(t2) != cs(t3)
+
+
+def test_rerun_with_fewer_parts_prunes_stale_partitions(sf_unit, tmp_path):
+    """Re-partitioning the same out_dir must not leave stale part dirs that
+    the tile-layout glob would read as duplicate rows (r3 review)."""
+    import glob
+
+    from orthority_ray.pipelines.flagship import write_tile_layout
+    from orthority_ray.state.lineage import completed_partitions
+
+    out = str(tmp_path / "repart")
+    run_flagship(sf_unit, out, n_parts=8)
+    rows8 = sum(
+        __import__("pyarrow.parquet", fromlist=["read_table"])
+        .read_table(p).num_rows
+        for p in glob.glob(f"{out}/part=*/data.parquet"))
+    man = run_flagship(sf_unit, out, n_parts=4)
+    assert sorted(completed_partitions(out)) == [0, 1, 2, 3]
+    assert len(man) == 4
+    rows4 = sum(
+        __import__("pyarrow.parquet", fromlist=["read_table"])
+        .read_table(p).num_rows
+        for p in glob.glob(f"{out}/part=*/data.parquet"))
+    assert rows4 == rows8  # same corpus, no duplicated stale rows
