@@ -46,7 +46,9 @@ def add_text_md5(batch: pa.Table, col: str = "text") -> pa.Table:
         h = _MD5_CACHE.get(t)
         if h is None:
             h = hashlib.md5(t).hexdigest()
-            if len(_MD5_CACHE) < 200_000:
+            # entry-count cap alone is byte-unbounded when keys are whole
+            # page payloads — only cache small texts (r3 review)
+            if len(t) <= 4096 and len(_MD5_CACHE) < 200_000:
                 _MD5_CACHE[t] = h
         uniq_md5.append(h)
     md5 = pa.array(uniq_md5, pa.string()).take(enc.indices)
@@ -82,33 +84,45 @@ def exact_dedup_groups(ds: ray.data.Dataset, col: str = "text") -> ray.data.Data
     )
 
 
-def exact_dedup(ds: ray.data.Dataset, col: str = "text") -> ray.data.Dataset:
-    """Keep one row (min doc_id, then first by url for full determinism) per
+def exact_dedup(ds: ray.data.Dataset, col: str = "text",
+                n_buckets: int = 64) -> ray.data.Dataset:
+    """Keep one row (min doc_id, then first by url when present) per
     distinct text — the classic hash-partition + per-group-first.
 
     Block-local combiner first: each batch keeps ONE candidate row per
-    distinct md5 (its (doc_id, url)-minimal row), so the payload shuffle
+    distinct md5 (its (doc_id[, url])-minimal row), so the payload shuffle
     moves <= distinct-per-block rows; min-of-block-minima = global minimum,
-    so the final representative is unchanged."""
+    so the final representative is unchanged.  The tiebreak adapts to the
+    input schema: doc_id alone already determines the winner on url-less
+    tables (a hard-coded url KeyError'd inside the map task; r3 review).
+
+    ``n_buckets`` follows grouping.bucketed_group_apply's SCALE CONTRACT:
+    the shuffled side is the DISTINCT payload, so size it from the distinct
+    corpus volume at crawl scale (write_dedup_layout sizes it from the
+    input bytes)."""
     hashed = ds.map_batches(lambda b: add_text_md5(b, col), batch_format="pyarrow",
                             batch_size=8192)
 
+    def tiebreak(cols) -> list[str]:
+        return ["doc_id", "url"] if "url" in cols else ["doc_id"]
+
     def local_first(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
-        df = df.sort_values(["doc_id", "url"], kind="mergesort")
+        df = df.sort_values(tiebreak(df.columns), kind="mergesort")
         df = df.drop_duplicates("text_md5", keep="first")
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def bucket_first(g: pd.DataFrame) -> pd.DataFrame:
-        # per md5: the (doc_id, url)-minimal row, vectorized over all
-        # groups in the bucket (per-group map_groups measured ~0.8 ms/group)
-        g = g.sort_values(["text_md5", "doc_id", "url"], kind="mergesort")
+        # per md5: the tiebreak-minimal row, vectorized over all groups in
+        # the bucket (per-group map_groups measured ~0.8 ms/group)
+        g = g.sort_values(["text_md5", *tiebreak(g.columns)], kind="mergesort")
         return g.drop_duplicates("text_md5", keep="first")
 
     from .grouping import bucketed_group_apply
 
     pre = hashed.map_batches(local_first, batch_format="pyarrow", batch_size=65536)
-    return bucketed_group_apply(pre, ["text_md5"], bucket_first)
+    return bucketed_group_apply(pre, ["text_md5"], bucket_first,
+                                n_buckets=n_buckets)
 
 
 SQL_EXACT_DEDUP_GROUPS = """
@@ -150,17 +164,33 @@ def minhash_signatures_batch(texts: list[str], n: int = 3) -> np.ndarray:
     flat, counts = TH.shingle_hashes_batch(texts, n)  # every doc has >= 1 gram
     ends = np.cumsum(counts)
     starts = ends - counts
-    d0 = 0
+    # stream the GRAM axis with a running-min carry for the doc spanning a
+    # chunk boundary: the permute matrix is bounded by the chunk even for a
+    # single multi-million-shingle document (the old per-DOC chunking still
+    # allocated (doc_grams, 64) for one huge doc — the same blowup
+    # texthash.simhash_batch was fixed for; r3 review)
+    k = 0  # first unfinished doc
+    carry = np.empty(0, dtype=np.uint64)
+    t0 = 0
+    total = int(ends[-1])
     with np.errstate(over="ignore"):
-        while d0 < n_docs:
-            d1 = int(np.searchsorted(ends, starts[d0] + _SHINGLE_CHUNK, "left")) + 1
-            d1 = min(max(d1, d0 + 1), n_docs)
-            sh = flat[starts[d0] : ends[d1 - 1]]
+        while t0 < total:
+            t1 = min(t0 + _SHINGLE_CHUNK, total)
+            sh = flat[t0:t1]
             perm = np.multiply(sh[:, None], _PERM_A[None, :])
             perm += _PERM_B[None, :]
-            seg = starts[d0:d1] - starts[d0]
-            out[d0:d1] = np.minimum.reduceat(perm, seg, axis=0)
-            d0 = d1
+            kend = k + int(np.searchsorted(starts[k:], t1, "left"))
+            seg = np.maximum(starts[k:kend], t0) - t0
+            mins = np.minimum.reduceat(perm, seg, axis=0)
+            if starts[k] < t0:
+                mins[0] = np.minimum(mins[0], carry)
+            done = int(np.searchsorted(ends[k:kend], t1, "right"))
+            if done:
+                out[k : k + done] = mins[:done]
+            if done < kend - k:  # last doc continues past this chunk
+                carry = mins[-1]
+            k += done
+            t0 = t1
     return out
 
 
@@ -244,7 +274,8 @@ def ngram_jaccard_pm_batch(texts_a: list[str], texts_b: list[str], n: int = 3) -
 
 
 def minhash_candidate_pairs(ds: ray.data.Dataset, *, concurrency: int | None = None,
-                            pre_dedup: bool = True) -> ray.data.Dataset:
+                            pre_dedup: bool = True,
+                            n_buckets: int = 64) -> ray.data.Dataset:
     """LSH bucket groupby -> candidate (a, b) pairs, a < b, deduped.
 
     ``pre_dedup=True`` (default, and REQUIRED at crawl scale): run exact
@@ -256,7 +287,7 @@ def minhash_candidate_pairs(ds: ray.data.Dataset, *, concurrency: int | None = N
     expands them via the exact_dedup_groups table.
     """
     if pre_dedup:
-        ds = exact_dedup(ds)
+        ds = exact_dedup(ds, n_buckets=n_buckets)
     from ..core.config import cached_stage
 
     bands = ds.map_batches(cached_stage(MinHasher, "dedup:minhash:3"),
@@ -266,13 +297,17 @@ def minhash_candidate_pairs(ds: ray.data.Dataset, *, concurrency: int | None = N
 
     # bucket count bounds the wide step's group count (buckets hold whole
     # (band, band_hash) groups); pair expansion is vectorized per bucket
+    # n_buckets follows grouping's SCALE CONTRACT: the exploded band rows
+    # and the candidate pairs are data-proportional, so size it from the
+    # post-dedup corpus at crawl scale (the default fits the test corpora)
     cand = bucketed_group_apply(
         bands,
         ["band", "band_hash"],
         lambda g: grouped_pairs(g, ["band", "band_hash"], "doc_id", "doc_a", "doc_b"),
+        n_buckets=n_buckets,
     )
     # dedup pairs found in several bands
-    return distinct_rows(cand, ["doc_a", "doc_b"])
+    return distinct_rows(cand, ["doc_a", "doc_b"], n_buckets=n_buckets)
 
 
 class JaccardVerifier:
@@ -594,18 +629,44 @@ def write_dedup_layout(sf_dir: str, out_dir: str, n_parts: int = 16,
 
     fp = "dedup:" + input_fingerprint(sf_dir, n_parts=n_parts)
     planned = list(range(n_parts))
+    # prune partitions outside the current plan (same re-partitioning
+    # hazard run_flagship fixed: stale part dirs double-count in any
+    # part=*/data.parquet read; r3 review)
+    from pathlib import Path
+    import shutil as _sh
+
+    planned_set = set(planned)
+    for p in lineage.completed_partitions(out_dir):
+        if p not in planned_set:
+            lineage.manifest_path(out_dir, p).unlink(missing_ok=True)
+            stale = Path(out_dir) / f"part={p:05d}"
+            if stale.exists():
+                _sh.rmtree(stale)
     missing = lineage.plan_missing(out_dir, planned, fp) if resume else planned
     if not missing:
         return lineage.load_manifest_table(out_dir)
     missing_set = frozenset(missing)
 
-    reps = exact_dedup(read_pages(sf_dir))
+    # html is reconstructable from text and NOT part of the layout — drop
+    # it BEFORE the payload shuffle (it rode the exchange only to be
+    # select()'d away after, ~doubling moved bytes; r3 review).  Bucket
+    # count sized from the input volume per the grouping SCALE CONTRACT.
+    from ..core.config import parquet_bytes, table_path as _tp
+
+    n_buckets = max(64, int(parquet_bytes(_tp(sf_dir, "lineitem"))
+                            // (64 << 20)))
+    reps = exact_dedup(
+        read_pages(sf_dir).select_columns(
+            ["doc_id", "url", "warc_ts", "lang", "text"]),
+        n_buckets=n_buckets)
 
     out_cols = ["doc_id", "url", "warc_ts", "lang", "text_md5", "text"]
 
+    from ..pipelines.flagship import part_of
+
     def with_part(b: pa.Table) -> pa.Table:
         d = b["doc_id"].to_numpy(zero_copy_only=False)
-        part = ((d * 2654435761) % 4294967296) % n_parts
+        part = part_of(d, n_parts)
         # canonical column set (html payload dropped: the dedup layout is
         # the text corpus); EVERY partition — including empty ones below —
         # must carry exactly this schema (ADVICE r1: mixed part schemas

@@ -8,10 +8,12 @@ can dedup WITHIN a dataset; it cannot dedup a stream AGAINST yesterday's
 corpus without re-shuffling the whole corpus per increment.  The index
 actors hold that state once.
 
-* ``DedupShard`` — one Ray actor per hash range; holds a plain Python set
-  of 16-byte md5 digests.  At 10^12 docs: ~hundreds of shards x tens of
-  GB; each shard is single-writer (actor serialization IS the concurrency
-  control), adds are idempotent, so retried tasks are safe.
+* ``DedupShard`` — one Ray actor per hash range; holds a dict of 16-byte
+  md5 digests -> admitting-owner token.  At 10^12 docs: ~hundreds of
+  shards x tens of GB; each shard is single-writer (actor serialization IS
+  the concurrency control), and both ``add`` and ``probe_add`` are
+  idempotent under task retries (the owner token makes a re-executed
+  ingest-and-dedup batch reproduce its own labels).
 * routing — md5's first 8 bytes mod n_shards, computed vectorized per
   batch; each batch makes ONE ``contains``/``add`` call per shard it
   touches (not per row).
@@ -35,8 +37,6 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..core.config import table_path
-
 N_SHARDS = 8
 _MUT_MOD = 7
 _MUT_SUFFIX = " v2"
@@ -54,26 +54,52 @@ class DedupShard:
     resources instead of CPU shares."""
 
     def __init__(self) -> None:
-        self._seen: set[bytes] = set()
+        # digest -> owner token (None for corpus builds).  The owner makes
+        # probe_add IDEMPOTENT under Ray's at-least-once task retries: a
+        # re-executed batch sees its OWN earlier admissions as "mine, not a
+        # duplicate" instead of self-poisoning its labels (r3 review).
+        self._seen: dict[bytes, bytes | None] = {}
 
     def add(self, digests: list[bytes]) -> int:
         before = len(self._seen)
-        self._seen.update(digests)
+        for d in digests:
+            self._seen.setdefault(d, None)
         return len(self._seen) - before
 
     def contains(self, digests: list[bytes]) -> list[bool]:
         s = self._seen
         return [d in s for d in digests]
 
+    def probe_add(self, digests: list[bytes], owner: bytes) -> list[bool]:
+        """One atomic probe-and-admit round trip: True = duplicate (first
+        admitted by the corpus build or ANOTHER batch), False = first
+        occurrence (admitted now, or re-seen by the same owner on retry)."""
+        s = self._seen
+        out = []
+        for d in digests:
+            if d not in s:
+                s[d] = owner
+                out.append(False)
+            else:
+                out.append(s[d] != owner)
+        return out
+
     def size(self) -> int:
         return len(self._seen)
 
 
 def _digests(texts: pa.ChunkedArray | pa.Array) -> list[bytes]:
+    """md5 per row via dictionary encoding: hashlib runs once per DISTINCT
+    text (the add_text_md5 convention the module docstring cites — crawl
+    batches are duplicate-heavy, a per-row loop re-hashed every copy)."""
     import hashlib
 
-    return [hashlib.md5(t.encode("utf-8")).digest()
-            for t in texts.to_pylist()]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    enc = texts.cast(pa.binary()).dictionary_encode()
+    uniq = [hashlib.md5(t).digest() for t in enc.dictionary.to_pylist()]
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    return [uniq[i] for i in idx]
 
 
 def _shard_of(digests: list[bytes], n_shards: int) -> np.ndarray:
@@ -130,28 +156,37 @@ def query_index(ds: ray.data.Dataset, index: DedupIndex, col: str = "text",
                 out_col: str = "is_dup", keep: list[str] | None = None,
                 add_missing: bool = False) -> ray.data.Dataset:
     """Label each row with ``out_col`` = 1 iff its text is already in the
-    index.  ``add_missing=True`` additionally admits unseen texts to the
-    index (ingest-and-dedup in one pass; batches racing on the same new
-    text may then both see it as new — first-writer semantics are only
-    per-shard-call atomic, which is the documented streaming behavior)."""
+    index.  ``add_missing=True`` additionally admits unseen texts in the
+    SAME shard round trip (``probe_add``): first-writer semantics across
+    racing batches are per-shard-call atomic, and the operation is
+    IDEMPOTENT under Ray's at-least-once task retries — each shard records
+    the admitting batch's owner token (a digest of the batch's own
+    digests, stable across re-execution), so a retried batch sees its own
+    earlier admissions as first occurrences again instead of flipping its
+    labels to is_dup=1 (r3 review)."""
     shards = index.shards
     n = len(shards)
 
     def probe(b: pa.Table) -> pa.Table:
+        import hashlib
+
         d = _digests(b[col])
         sid = _shard_of(d, n)
         hit = np.zeros(len(d), dtype=bool)
         uniq = np.unique(sid)
-        replies = ray.get([
-            shards[s].contains.remote([d[i] for i in np.nonzero(sid == s)[0]])
-            for s in uniq])
+        if add_missing:
+            owner = hashlib.md5(b"".join(d)).digest()
+            replies = ray.get([
+                shards[s].probe_add.remote(
+                    [d[i] for i in np.nonzero(sid == s)[0]], owner)
+                for s in uniq])
+        else:
+            replies = ray.get([
+                shards[s].contains.remote(
+                    [d[i] for i in np.nonzero(sid == s)[0]])
+                for s in uniq])
         for s, rep in zip(uniq, replies):
             hit[np.nonzero(sid == s)[0]] = rep
-        if add_missing:
-            ray.get([
-                shards[s].add.remote(
-                    [d[i] for i in np.nonzero((sid == s) & ~hit)[0]])
-                for s in np.unique(sid[~hit])])
         cols = {c: b[c] for c in (keep or b.column_names) if c != out_col}
         cols[out_col] = pa.array(hit.astype(np.int64))
         return pa.table(cols)
@@ -164,8 +199,11 @@ def incremental_dedup(sf_dir: str) -> ray.data.Dataset:
     every page row (with the %7 mutation applied) against it."""
     from ..sources.pages import read_pages
 
-    docs = ray.data.read_parquet(table_path(sf_dir, "documents"),
-                                 columns=["text"])
+    from ..pipelines.relational import _read
+
+    # session-cached fan-out read: a bare single-file read_parquet is ONE
+    # serial block, serializing the whole ingest (r3 review)
+    docs = _read(sf_dir, "documents", ["text"])
     index = DedupIndex.create()
     build_index(docs, index)
 

@@ -67,3 +67,31 @@ def test_index_close_kills_actors(ray_session):
     time.sleep(0.2)
     with _pytest.raises(_ray.exceptions.RayActorError):
         _ray.get(shard.size.remote())
+
+
+def test_probe_add_idempotent_under_retry(ray_session):
+    """A re-executed ingest-and-dedup batch must label its rows identically
+    (r3 review: the old contains-then-add flipped first occurrences to
+    is_dup=1 on Ray task retry)."""
+    import hashlib
+
+    import ray as _ray
+
+    from orthority_ray.stages.dedup_index import DedupIndex, _digests
+    import pyarrow as pa
+
+    idx = DedupIndex.create(n_shards=2)
+    try:
+        texts = pa.array(["aa", "bb", "aa", "cc"])
+        d = _digests(texts)
+        owner = hashlib.md5(b"".join(d)).digest()
+        shard = idx.shards[0]
+        first = _ray.get(shard.probe_add.remote(d, owner))
+        # same batch re-executes (same owner): identical labels, not all-dup
+        retry = _ray.get(shard.probe_add.remote(d, owner))
+        assert retry == first
+        # a DIFFERENT batch sees them as duplicates
+        other = hashlib.md5(b"other").digest()
+        assert _ray.get(shard.probe_add.remote(d, other)) == [True] * 4
+    finally:
+        idx.close()
