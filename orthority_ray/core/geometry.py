@@ -21,7 +21,8 @@ import math
 
 import numpy as np
 
-from .hashing import SITE_LON_MULT, SITE_LAT_MULT, LON_RANGE, LAT_RANGE
+from . import hashing as H
+from .hashing import LAT_RANGE, LON_RANGE, SITE_LAT_MULT, SITE_LON_MULT
 
 N_TILES = 64
 N_VERTS = 8
@@ -39,10 +40,14 @@ def make_tile_rings(n_tiles: int = N_TILES) -> np.ndarray:
     geocode sites (so the PIP join has realistic selectivity + skew); the rest
     are spread deterministically.  Radii 1.5-3 degrees, per-tile rotation."""
     rings = np.empty((n_tiles, N_VERTS, 2), dtype=np.float64)
+    # hot-site centers come from the ONE site-center definition — an
+    # inline copy here would silently stop covering the hot sites if the
+    # geocoder's formula ever changed (r3 review)
+    site_lon_m, site_lat_m = H.site_center_milli(np.arange(min(10, n_tiles)))
     for t in range(n_tiles):
         if t < 10:
-            cx = ((t * SITE_LON_MULT) % LON_RANGE) / 1000.0 - 180.0
-            cy = ((t * SITE_LAT_MULT) % LAT_RANGE) / 1000.0 - 85.0
+            cx = float(site_lon_m[t]) / 1000.0 - 180.0
+            cy = float(site_lat_m[t]) / 1000.0 - 85.0
         else:
             cx = ((t * 48271) % 340000 + 10000) / 1000.0 - 180.0
             cy = ((t * 69621) % 150000 + 10000) / 1000.0 - 85.0
@@ -105,8 +110,12 @@ def sql_pip_predicate(ring: np.ndarray, px: str = "lon", py: str = "lat") -> str
     terms = []
     n = ring.shape[0]
     for j in range(n):
-        x1, y1 = ring[j]
-        x2, y2 = ring[(j + 1) % n]
+        # float() first: repr(np.float64) under numpy >= 2.0 renders
+        # 'np.float64(...)', which is not SQL (r3 review; pyproject allows
+        # any numpy >= 1.24).  python-float repr stays exact (shortest
+        # roundtrip representation).
+        x1, y1 = float(ring[j][0]), float(ring[j][1])
+        x2, y2 = float(ring[(j + 1) % n][0]), float(ring[(j + 1) % n][1])
         terms.append(
             f"(({x2!r} - {x1!r}) * ({py} - {y1!r}) - ({y2!r} - {y1!r}) * ({px} - {x1!r})) >= 0.0"
         )

@@ -46,11 +46,15 @@ _EMPTY_PARTIAL = pa.table(
 
 
 def make_queries(geo_ds: ray.data.Dataset) -> np.ndarray:
-    """(Q, 3) [qid, lon, lat] — distinct query docs, ascending qid.
+    """(Q, 5) [qid, lon, lat, lon_milli, lat_milli] — distinct query docs,
+    ascending qid.
 
     Selected with a vectorized filter + distinct over a tiny result; the
     take is bounded by #queries (page_count / QUERY_MOD), safe to
-    materialize.
+    materialize.  The EXACT integer millidegrees travel with the degrees
+    (r3 review): the cell-ring scorer previously reconstructed them from
+    float degrees, a lossy roundtrip that could misplace a query sitting
+    exactly on a cell boundary and void the ring-close proof's slack.
     """
     def sel(batch: pa.Table) -> pa.Table:
         d = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -61,7 +65,9 @@ def make_queries(geo_ds: ray.data.Dataset) -> np.ndarray:
     qids = np.unique(np.array([r["qid"] for r in parts], dtype=np.int64))
     lon_m, lat_m = H.geocode_milli(qids)
     qlon, qlat = H.milli_to_deg(lon_m, lat_m)
-    return np.stack([qids.astype(np.float64), qlon, qlat], axis=1)
+    return np.stack([qids.astype(np.float64), qlon, qlat,
+                     lon_m.astype(np.float64), lat_m.astype(np.float64)],
+                    axis=1)
 
 
 class _PartialTopK:
@@ -175,8 +181,19 @@ class _PartialTopKCellRing(_PartialTopK):
     def __init__(self, queries_ref, k: int = K, cs: int = C.KNN_CELL_SIZE):
         super().__init__(queries_ref, k)
         self.cs = cs
-        qlon_m = ((self.qlon + 180.0) * 1000.0).astype(np.int64)
-        qlat_m = ((self.qlat + 85.0) * 1000.0).astype(np.int64)
+        q = ray.get(queries_ref)
+        if q.shape[1] >= 5:
+            # exact integer millis from the broadcast matrix — no float
+            # roundtrip (milli values < 2^53 are float64-exact); a lossy
+            # re-derivation could misplace a query sitting exactly on a
+            # cell boundary and void the ring-close proof's slack
+            qlon_m = q[:, 3].astype(np.int64)
+            qlat_m = q[:, 4].astype(np.int64)
+        else:
+            # (Q, 3) matrices (off-grid/test queries): floor assignment is
+            # the correct containing cell for any interior float position
+            qlon_m = ((self.qlon + 180.0) * 1000.0).astype(np.int64)
+            qlat_m = ((self.qlat + 85.0) * 1000.0).astype(np.int64)
         self.qcell = C.encode(qlon_m, qlat_m, cs)
         self.ncols = C.ncols(cs)
         self.nrows = C.nrows(cs)

@@ -5,12 +5,14 @@ Engine analog of the reference's `_mask_dem` rasterized PIP mask
 re-expressed for a huge point side and a small polygon side:
 
 - the tile-ring table (64 convex 8-gons, ``core/geometry.py``) is broadcast
-  once via ``ray.put`` and loaded per actor in ``__init__`` (the STRtree
-  analog: a bbox prefilter + half-plane tests, shapely not available);
-- pages stream through a ``map_batches`` actor pool; NO shuffle — with a
-  small polygon side a broadcast join beats hash-partitioning every page by
-  cell (SURVEY.md §4 "broadcast small sides").  A cell-partitioned variant
-  would only win if the polygon table itself were too big to broadcast.
+  once via ``ray.put`` and cached per WORKER PROCESS (stateless tasks via
+  ``cached_stage`` — an actor pool's process spawns would dominate this
+  light stage; the STRtree analog is a bbox prefilter + half-plane tests,
+  shapely not available);
+- pages stream through ``map_batches``; NO shuffle — with a small polygon
+  side a broadcast join beats hash-partitioning every page by cell
+  (SURVEY.md §4 "broadcast small sides").  ``pip_join_cell_indexed`` is
+  the large-tile-table scale path (cell->tiles candidate index).
 
 Output: one row per (page, containing tile) pair — pages in several
 overlapping tiles emit several rows; pages in none emit none (inner join).
@@ -25,7 +27,6 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..core.config import pool
 from ..core.geometry import make_tile_rings, points_in_rings, ring_bboxes
 
 
@@ -122,8 +123,8 @@ def pip_join(geo_ds: ray.data.Dataset, rings: np.ndarray | None = None,
     )
 
 
-def pip_join_cell_indexed(geo_ds: ray.data.Dataset, rings: np.ndarray | None = None
-                          ) -> ray.data.Dataset:
+def pip_join_cell_indexed(geo_ds: ray.data.Dataset, rings: np.ndarray | None = None,
+                          *, concurrency: int | None = None) -> ray.data.Dataset:
     """Cell-sharded PIP join (the large-tile-table scale path): candidate
     tiles per point come from the broadcast cell->tiles index instead of a
     scan over every tile.  Identical output to :func:`pip_join`."""
@@ -136,5 +137,5 @@ def pip_join_cell_indexed(geo_ds: ray.data.Dataset, rings: np.ndarray | None = N
     return geo_ds.map_batches(
         cached_stage(PipJoin, "pipjoinc:" + rings_ref.hex(), rings_ref,
                      use_cell_index=True),
-        batch_format="pyarrow", batch_size=32768,
+        batch_format="pyarrow", batch_size=32768, concurrency=concurrency,
     )
