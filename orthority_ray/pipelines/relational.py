@@ -62,6 +62,63 @@ def cents(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 100.0 + 0.5).astype(np.int64)
 
 
+def dense_int_dim(sf_dir: str, table: str, key_col: str, val_col: str) -> np.ndarray:
+    """Dense key -> int value broadcast array for a dim table: slot [k] holds
+    the value for key k, -1 for keys absent from the dim, and one spare -1
+    slot at the end so the standard clamped probe
+    ``np.where((k >= 0) & (k < len(arr)), k, len(arr) - 1)`` reads -1 for any
+    out-of-range key.  Callers drop rows with value -1 (inner-join
+    semantics — r2 ADVICE item 4).  Was copy-pasted per query (r3 review)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(table_path(sf_dir, table), columns=[key_col, val_col])
+    keys = t[key_col].to_numpy().astype(np.int64)
+    arr = np.full((int(keys.max()) + 2) if len(keys) else 2, -1, dtype=np.int64)
+    arr[keys] = t[val_col].to_numpy().astype(np.int64)
+    return arr
+
+
+def dense_str_decode(sf_dir: str, table: str, key_col: str, val_col: str) -> np.ndarray:
+    """Dense key -> string broadcast array (object dtype; miss slots hold
+    None, spare trailing None slot for the clamped probe).  Callers drop rows
+    that decode to None (inner-join semantics)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(table_path(sf_dir, table), columns=[key_col, val_col])
+    keys = t[key_col].to_numpy().astype(np.int64)
+    arr = np.full((int(keys.max()) + 2) if len(keys) else 2, None, dtype=object)
+    arr[keys] = t[val_col].to_pylist()
+    return arr
+
+
+def global_topk(ds: ray.data.Dataset, order_cols: list[str],
+                ascending: list[bool], k: int,
+                rank_name: str | None = "rank") -> ray.data.Dataset:
+    """Global top-k WITHOUT a global sort: per-block partial top-k, then one
+    tiny merge block (k rows per input block into the final task).  Ties are
+    broken by the caller-supplied deterministic order columns."""
+
+    def keys(b: pa.Table):
+        cols = [b[c].to_numpy(zero_copy_only=False) for c in order_cols]
+        # np.lexsort sorts ascending by last key first
+        return np.lexsort(tuple(c if asc else -c
+                                for c, asc in zip(cols, ascending))[::-1])
+
+    def local(b: pa.Table) -> pa.Table:
+        return b.take(keys(b)[:k]) if b.num_rows else b
+
+    def final(b: pa.Table) -> pa.Table:
+        b = b.take(keys(b)[:k])
+        if rank_name:
+            b = b.append_column(
+                rank_name, pa.array(np.arange(1, b.num_rows + 1, dtype=np.int64)))
+        return b
+
+    return (ds.map_batches(local, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
 def bucketed_sum(partials: ray.data.Dataset, key: str, val: str,
                  n_buckets: int = 64) -> ray.data.Dataset:
     """High-cardinality groupby-sum: hash keys into ``n_buckets`` and sum
@@ -175,19 +232,32 @@ def q_customers_per_region(sf_dir: str) -> ray.data.Dataset:
     import pyarrow.parquet as pq
 
     nation = pq.read_table(table_path(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"])
-    region = pq.read_table(table_path(sf_dir, "region"), columns=["r_regionkey", "r_name"])
-    n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
-    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
-    lookup_ref = ray.put((n2r, r2name))
+    # compose the two tiny dims driver-side into ONE dense nationkey ->
+    # region-name decode array (None = miss at either hop); the per-batch
+    # probe is a single vectorized gather with drop-on-miss inner-join
+    # semantics instead of the old per-row dict loop that KeyError'd on any
+    # FK miss (r3 review)
+    r2name = dense_str_decode(sf_dir, "region", "r_regionkey", "r_name")
+    nk_arr = nation["n_nationkey"].to_numpy().astype(np.int64)
+    rk_arr = nation["n_regionkey"].to_numpy().astype(np.int64)
+    n2name = np.full(int(nk_arr.max()) + 2 if len(nk_arr) else 2, None,
+                     dtype=object)
+    rk_safe = np.where((rk_arr >= 0) & (rk_arr < r2name.shape[0]), rk_arr,
+                       r2name.shape[0] - 1)
+    n2name[nk_arr] = r2name[rk_safe]
+    lookup_ref = ray.put(n2name)
 
     class JoinFn:
         def __init__(self):
-            self.n2r, self.r2name = ray.get(lookup_ref)
+            self.n2name = ray.get(lookup_ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             nk = b["c_nationkey"].to_numpy(zero_copy_only=False)
-            names = [self.r2name[self.n2r[int(k)]] for k in nk]
-            return pa.table({"r_name": pa.array(names, pa.string())})
+            safe = np.where((nk >= 0) & (nk < self.n2name.shape[0]), nk,
+                            self.n2name.shape[0] - 1)
+            nm = self.n2name[safe]
+            keep = nm != None  # noqa: E711 (elementwise on object array)
+            return pa.table({"r_name": pa.array(nm[keep], pa.string())})
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     from ..core.config import cached_stage
@@ -229,27 +299,10 @@ def q_top_orders(sf_dir: str) -> ray.data.Dataset:
     partials = li.map_batches(prep, batch_format="pyarrow", batch_size=None)
     agg = bucketed_sum(partials, "l_orderkey", "rev_cents")
 
-    # top-k WITHOUT a global sort: per-block partial top-k, then one tiny
-    # final merge block (global sort of all orders would shuffle everything
-    # for 20 output rows)
-    def local_top(b: pa.Table) -> pa.Table:
-        rev = b["rev_cents"].to_numpy(zero_copy_only=False)
-        key = b["l_orderkey"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((key, -rev))[:TOPK_ORDERS]
-        return b.take(order)
-
-    def final_top(b: pa.Table) -> pa.Table:
-        rev = b["rev_cents"].to_numpy(zero_copy_only=False)
-        key = b["l_orderkey"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((key, -rev))[:TOPK_ORDERS]
-        b = b.take(order)
-        return b.append_column("rank", pa.array(np.arange(1, b.num_rows + 1, dtype=np.int64)))
-
-    return (
-        agg.map_batches(local_top, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(final_top, batch_format="pyarrow", batch_size=None)
-    )
+    # top-k WITHOUT a global sort (global sort of all orders would shuffle
+    # everything for 20 output rows) — the shared per-block + merge helper
+    return global_topk(agg, ["rev_cents", "l_orderkey"], [False, True],
+                       TOPK_ORDERS)
 
 
 SQL_TOP_ORDERS = f"""
@@ -328,9 +381,9 @@ GROUP BY o.o_orderpriority
 def q_supplier_balance(sf_dir: str) -> ray.data.Dataset:
     import pyarrow.parquet as pq
 
-    nation = pq.read_table(table_path(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
-    n2name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
-    ref = ray.put(n2name)
+    # dense decode + drop-on-miss (inner-join semantics) replaces the old
+    # per-row dict loop that KeyError'd on a dim miss (r3 review)
+    ref = ray.put(dense_str_decode(sf_dir, "nation", "n_nationkey", "n_name"))
 
     def tag(b: pa.Table) -> pa.Table:
         from ..sources.pages import cached_get
@@ -338,10 +391,14 @@ def q_supplier_balance(sf_dir: str) -> ray.data.Dataset:
         nk = b["s_nationkey"].to_numpy(zero_copy_only=False)
         bal = b["s_acctbal"].to_numpy(zero_copy_only=False)
         lookup = cached_get(ref)
+        safe = np.where((nk >= 0) & (nk < lookup.shape[0]), nk,
+                        lookup.shape[0] - 1)
+        nm = lookup[safe]
+        keep = nm != None  # noqa: E711 (elementwise on object array)
         return pa.table(
             {
-                "n_name": pa.array([lookup[int(k)] for k in nk], pa.string()),
-                "bal_cents": pa.array(cents(bal)),
+                "n_name": pa.array(nm[keep], pa.string()),
+                "bal_cents": pa.array(cents(bal)[keep]),
             }
         )
 
@@ -599,17 +656,15 @@ GROUP BY user_id
 def q_parts_by_brand(sf_dir: str) -> ray.data.Dataset:
     """part grouped by brand with lineitem usage counts — a large-side join
     expressed as broadcast lookup (part table is the small side here)."""
-    import pyarrow.parquet as pq
-
-    part = pq.read_table(table_path(sf_dir, "part"), columns=["p_partkey", "p_brand"])
     # dictionary-encode the broadcast side: partkey -> small int brand CODE
-    # (dense array indexed by key), so only int64 codes travel through the
-    # map + combiner + shuffle; the 25-row final result decodes to strings.
-    brands = sorted(set(part["p_brand"].to_pylist())) + ["NONE"]
-    code_of = {b: i for i, b in enumerate(brands)}
-    keys = np.asarray(part["p_partkey"].to_pylist(), dtype=np.int64)
-    codes = np.full(int(keys.max()) + 2, code_of["NONE"], dtype=np.int64)
-    codes[keys] = [code_of[b] for b in part["p_brand"].to_pylist()]
+    # (dense array indexed by key, shared _brand_codes helper), so only int64
+    # codes travel through the map + combiner + shuffle; the 25-row final
+    # result decodes to strings.  The miss code decodes to 'NONE' —
+    # LEFT-join semantics matching this query's COALESCE oracle.
+    from .tpch_extra import _brand_codes  # deferred: tpch_extra imports us
+
+    codes, vals, _miss = _brand_codes(sf_dir, "p_brand")
+    brands = vals + ["NONE"]  # slot len(vals) == the miss code
     ref = ray.put(codes)
 
     class Lookup:
@@ -1394,28 +1449,45 @@ def q_event_outliers(sf_dir: str) -> ray.data.Dataset:
     # per-user moment table is user-dimension-sized; broadcast as sorted
     # parallel arrays for a vectorized searchsorted probe
     moments = moments.sort_values("user_id")
-    mom_ref = ray.put((moments["user_id"].to_numpy(), moments["n"].to_numpy(),
-                       moments["s"].to_numpy(), moments["ss"].to_numpy()))
+    n_np = moments["n"].to_numpy()
+    s_np = moments["s"].to_numpy()
+    ss_np = moments["ss"].to_numpy()
+    # full rhs envelope, checked ONCE driver-side over the dimension-sized
+    # moment table (r3 review: the old per-batch guard covered only |dev|,
+    # so n*ss / s*s could wrap int64 silently).  Float64 upper bounds with a
+    # 2x margin (2^61) are exact enough at these magnitudes; under the
+    # envelope the int64 products below cannot wrap.
+    K2 = ANOM_K * ANOM_K
+    nf, sf, ssf = (a.astype(np.float64) for a in (n_np, s_np, ss_np))
+    if max(float(np.max(nf * ssf, initial=0.0)),
+           float(np.max(sf * sf, initial=0.0))) * K2 >= float(2 ** 61):
+        raise ValueError("event_outliers int64 envelope exceeded: "
+                         "K^2 * n*ss or K^2 * s^2 too large for the "
+                         "cross-multiplied z-score")
+    var_n2 = n_np * ss_np - s_np * s_np    # n^2 * variance (biased), exact
+    mom_ref = ray.put((moments["user_id"].to_numpy(), n_np, s_np,
+                       K2 * var_n2))
 
     def flag(b: pa.Table) -> pa.Table:
-        users, n, s, ss = cached_get(mom_ref)
+        users, n, s, rhs_all = cached_get(mom_ref)
         u = b["user_id"].to_numpy(zero_copy_only=False)
         v = cents(b["value"].to_numpy(zero_copy_only=False))
         idx = np.searchsorted(users, u)
-        ni, si, ssi = n[idx], s[idx], ss[idx]
-        var_n2 = ni * ssi - si * si        # n^2 * variance (biased)
-        dev = v * ni - si                  # n * (v - mean)
-        if int(np.abs(dev).max(initial=0)) >= 3_000_000_000:  # dev^2 < 2^63
+        ni, si = n[idx], s[idx]
+        # float pre-check so the guard itself cannot be fooled by int64
+        # wraparound in v*ni
+        devf = v.astype(np.float64) * ni - si.astype(np.float64)
+        if float(np.abs(devf).max(initial=0.0)) >= 3.0e9:  # dev^2 < 2^63
             # correctness-critical envelope — a bare assert would vanish
             # under python -O and turn the overflow into silent wrong rows
             raise ValueError("event_outliers int64 envelope exceeded: "
                              "n*(v-mean) too large for cross-multiplied z-score")
-        lhs = dev * dev
-        rhs = ANOM_K * ANOM_K * var_n2
-        t = b.filter(pa.array(lhs > rhs))
+        dev = v * ni - si                  # n * (v - mean)
+        m = dev * dev > rhs_all[idx]
+        t = b.filter(pa.array(m))
         return pa.table({"event_id": t["event_id"],
                          "user_id": t["user_id"],
-                         "v_cents": pa.array(v[lhs > rhs])})
+                         "v_cents": pa.array(v[m])})
 
     return ev.map_batches(flag, batch_format="pyarrow", batch_size=65536)
 

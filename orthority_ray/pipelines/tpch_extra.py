@@ -36,7 +36,11 @@ import ray.data
 
 from ..core.config import table_path
 
-from .relational import _read, bucketed_sum, cents, combined_groupby_sum
+# dense_int_dim / global_topk live in relational.py (shared with its own
+# queries); re-exported here because the analogs and tests import them from
+# this module
+from .relational import (_read, bucketed_sum, cents, combined_groupby_sum,
+                         dense_int_dim, dense_str_decode, global_topk)
 
 
 def _us(date: str) -> int:
@@ -44,32 +48,6 @@ def _us(date: str) -> int:
     return int(np.datetime64(date, "us").astype(np.int64))
 
 
-def global_topk(ds: ray.data.Dataset, order_cols: list[str],
-                ascending: list[bool], k: int,
-                rank_name: str | None = "rank") -> ray.data.Dataset:
-    """Global top-k WITHOUT a global sort: per-block partial top-k, then one
-    tiny merge block (k rows per input block into the final task).  Ties are
-    broken by the caller-supplied deterministic order columns."""
-
-    def keys(b: pa.Table):
-        cols = [b[c].to_numpy(zero_copy_only=False) for c in order_cols]
-        # np.lexsort sorts ascending by last key first
-        return np.lexsort(tuple(c if asc else -c
-                                for c, asc in zip(cols, ascending))[::-1])
-
-    def local(b: pa.Table) -> pa.Table:
-        return b.take(keys(b)[:k]) if b.num_rows else b
-
-    def final(b: pa.Table) -> pa.Table:
-        b = b.take(keys(b)[:k])
-        if rank_name:
-            b = b.append_column(
-                rank_name, pa.array(np.arange(1, b.num_rows + 1, dtype=np.int64)))
-        return b
-
-    return (ds.map_batches(local, batch_format="pyarrow")
-            .repartition(1)
-            .map_batches(final, batch_format="pyarrow", batch_size=None))
 
 
 def year_of_us(us: np.ndarray) -> np.ndarray:
@@ -296,16 +274,19 @@ def q_returned_customers(sf_dir: str) -> ray.data.Dataset:
 
     import pyarrow.parquet as pq
 
-    nation = pq.read_table(table_path(sf_dir, "nation"),
-                           columns=["n_nationkey", "n_name"])
-    names = np.empty(int(pc.max(nation["n_nationkey"]).as_py()) + 1, dtype=object)
-    names[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_pylist()
+    names = dense_str_decode(sf_dir, "nation", "n_nationkey", "n_name")
 
     def decode(b: pa.Table) -> pa.Table:
         nk = b["c_nationkey"].to_numpy(zero_copy_only=False)
-        return pa.table({"c_custkey": b["c_custkey"],
-                         "n_name": pa.array(names[nk], pa.string()),
-                         "rev_cents": b["rev_cents"]})
+        safe = np.where((nk >= 0) & (nk < names.shape[0]), nk,
+                        names.shape[0] - 1)
+        nm = names[safe]
+        # inner-join semantics: drop customers whose nationkey misses the dim
+        keep = nm != None  # noqa: E711 (elementwise on object array)
+        t = b.filter(pa.array(keep))
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "n_name": pa.array(nm[keep], pa.string()),
+                         "rev_cents": t["rev_cents"]})
 
     return global_topk(with_nation.map_batches(decode, batch_format="pyarrow"),
                        ["rev_cents", "c_custkey"], [False, True], Q10_K)
@@ -335,18 +316,24 @@ ORDER BY 3 DESC, 1 ASC LIMIT {Q10_K}
 Q14_LO, Q14_HI = "1997-09-01", "1997-12-01"
 
 
-def _brand_codes(sf_dir: str, col: str) -> tuple[np.ndarray, list[str]]:
+def _brand_codes(sf_dir: str, col: str) -> tuple[np.ndarray, list[str], int]:
     """Dense partkey -> attribute-code array for broadcast (part is the
-    small dim side here; the codes array ships once via ray.put)."""
+    small dim side here; the codes array ships once via ray.put).  Returns
+    (codes, vals, miss): the miss sentinel is ``len(vals)`` — one PAST the
+    real value codes, so a genuine attribute value spelled "NONE" can never
+    collide with it (r3 review: the old appended-"NONE" sentinel silently
+    dropped real-'NONE' parts from Q14's numerator/denominator)."""
     import pyarrow.parquet as pq
 
     part = pq.read_table(table_path(sf_dir, "part"), columns=["p_partkey", col])
-    vals = sorted(set(part[col].to_pylist())) + ["NONE"]
+    vals = sorted(set(part[col].to_pylist()))
+    miss = len(vals)
     code_of = {v: i for i, v in enumerate(vals)}
     keys = part["p_partkey"].to_numpy()
-    codes = np.full(int(keys.max()) + 2, code_of["NONE"], dtype=np.int64)
+    codes = np.full((int(keys.max()) + 2) if len(keys) else 2, miss,
+                    dtype=np.int64)
     codes[keys] = [code_of[v] for v in part[col].to_pylist()]
-    return codes, vals
+    return codes, vals, miss
 
 
 def q_promo_revenue(sf_dir: str) -> pd.DataFrame:
@@ -356,9 +343,10 @@ def q_promo_revenue(sf_dir: str) -> pd.DataFrame:
     per-block partial -> driver add."""
     from ..core.config import cached_stage
 
-    codes, vals = _brand_codes(sf_dir, "p_type")
-    promo_code = vals.index("PROMO")
-    none_code = len(vals) - 1  # _brand_codes appends the "NONE" sentinel last
+    codes, vals, none_code = _brand_codes(sf_dir, "p_type")
+    # a type absent at this scale factor matches nothing (-1 never appears
+    # in codes) instead of crashing query build with ValueError (r3 review)
+    promo_code = vals.index("PROMO") if "PROMO" in vals else -1
     ref = ray.put(codes)
     lo, hi = _us(Q14_LO), _us(Q14_HI)
 
@@ -442,20 +430,35 @@ def q_top_supplier(sf_dir: str) -> ray.data.Dataset:
     per_supp = bucketed_sum(
         li.map_batches(partial, batch_format="pyarrow", batch_size=65536),
         "s_suppkey", "rev_cents").materialize()
-    best = int(per_supp.max("rev_cents"))
+    best_raw = per_supp.max("rev_cents") if per_supp.count() else None
+    if best_raw is None:
+        # no lineitem in the window at this scale factor: the SQL oracle's
+        # CTE is empty, so the join yields 0 rows (r3 review: int(None)
+        # crashed here instead)
+        return ray.data.from_arrow(pa.table({
+            "s_suppkey": pa.array([], pa.int64()),
+            "s_name": pa.array([], pa.string()),
+            "rev_cents": pa.array([], pa.int64())}))
+    best = int(best_raw)
 
-    import pyarrow.parquet as pq
-
-    sup = pq.read_table(table_path(sf_dir, "supplier"),
-                        columns=["s_suppkey", "s_name"])
-    names = np.empty(int(pc.max(sup["s_suppkey"]).as_py()) + 1, dtype=object)
-    names[sup["s_suppkey"].to_numpy()] = sup["s_name"].to_pylist()
+    # supplier-dimension-sized decode array: ship once via ray.put (the r2
+    # pattern), not per-task closure capture
+    names_ref = ray.put(dense_str_decode(sf_dir, "supplier", "s_suppkey",
+                                         "s_name"))
 
     def winners(b: pa.Table) -> pa.Table:
+        from ..sources.pages import cached_get
+
+        names = cached_get(names_ref)
         t = b.filter(pc.equal(b["rev_cents"], best))
         sk = t["s_suppkey"].to_numpy(zero_copy_only=False)
+        safe = np.where((sk >= 0) & (sk < names.shape[0]), sk,
+                        names.shape[0] - 1)
+        nm = names[safe]
+        # inner-join semantics: drop winners whose suppkey misses the dim
+        t = t.filter(pa.array(nm != None))  # noqa: E711 (elementwise)
         return pa.table({"s_suppkey": t["s_suppkey"],
-                         "s_name": pa.array(names[sk], pa.string()),
+                         "s_name": pa.array(nm[nm != None], pa.string()),  # noqa: E711
                          "rev_cents": t["rev_cents"]})
 
     return per_supp.map_batches(winners, batch_format="pyarrow")
@@ -491,8 +494,12 @@ def q_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
     from ..core.config import cached_stage
     from ..stages.hashjoin import hash_join
 
-    codes, vals = _brand_codes(sf_dir, "p_brand")
-    brand_code = vals.index(Q17_BRAND)
+    codes, vals, _miss = _brand_codes(sf_dir, "p_brand")
+    # a brand absent at this scale factor matches nothing (-1 never appears
+    # in codes), mirroring the SQL join's 0 rows (r3 review)
+    brand_code = vals.index(Q17_BRAND) if Q17_BRAND in vals else -1
+    if brand_code < 0:
+        return pd.DataFrame({"n_rows": [0], "sum_price_cents": [0]})
     ref = ray.put(codes)
 
     class BrandRows:
@@ -582,7 +589,7 @@ def q_brand_volume(sf_dir: str) -> pd.DataFrame:
     disjunctive filter -> per-block partial -> driver add."""
     from ..core.config import cached_stage
 
-    codes, vals = _brand_codes(sf_dir, "p_brand")
+    codes, vals, _miss = _brand_codes(sf_dir, "p_brand")
     # a brand absent at this scale factor matches nothing (code -1 never
     # appears in the codes array), mirroring the SQL predicate's 0 rows
     terms = [(vals.index(b) if b in vals else -1, lo, hi)
@@ -633,7 +640,7 @@ WHERE {_sql_q19_terms()}
 # --- Q22: global sales opportunity -------------------------------------------
 
 
-def q_sales_opportunity(sf_dir: str) -> ray.data.Dataset:
+def q_sales_opportunity(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q22 analog: per-nation count + balance of customers with an
     above-average positive balance and NO orders.  The average comparison is
     cross-multiplied (``bal * n_pos > sum_pos``), the "no orders" test is
@@ -749,13 +756,7 @@ def q_nation_volume(sf_dir: str) -> ray.data.Dataset:
         ["c_custkey", "o_orderkey"], ["c_custkey", "cust_nation"],
     )
 
-    import pyarrow.parquet as pq
-
-    sup = pq.read_table(table_path(sf_dir, "supplier"),
-                        columns=["s_suppkey", "s_nationkey"])
-    sk = sup["s_suppkey"].to_numpy()
-    snation = np.full(int(sk.max()) + 2, -1, dtype=np.int64)
-    snation[sk] = sup["s_nationkey"].to_numpy().astype(np.int64)
+    snation = dense_int_dim(sf_dir, "supplier", "s_suppkey", "s_nationkey")
     ref = ray.put(snation)
 
     class LiPrep:
@@ -848,7 +849,9 @@ def q_local_volume(sf_dir: str) -> ray.data.Dataset:
     region_nations = nation["n_nationkey"].to_numpy()[nmask].astype(np.int64)
     names = {int(k): v for k, v in zip(
         nation["n_nationkey"].to_numpy(), nation["n_name"].to_pylist())}
-    nations_ref = ray.put(frozenset(int(n) for n in region_nations))
+    # broadcast the numpy array directly (Q8's pattern): no per-batch
+    # set-iteration/np.fromiter rebuild on the customer hot path (r3 review)
+    nations_ref = ray.put(region_nations)
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
@@ -866,7 +869,7 @@ def q_local_volume(sf_dir: str) -> ray.data.Dataset:
 
         def __call__(self, b: pa.Table) -> pa.Table:
             nk = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-            keep = np.isin(nk, np.fromiter(self.nations, np.int64))
+            keep = np.isin(nk, self.nations)
             t = b.filter(pa.array(keep))
             return pa.table({
                 "c_custkey": t["c_custkey"],
@@ -882,11 +885,7 @@ def q_local_volume(sf_dir: str) -> ray.data.Dataset:
         types={"o_orderkey": pa.int64(), "cust_nation": pa.int64()},
     )
 
-    sup = pq.read_table(table_path(sf_dir, "supplier"),
-                        columns=["s_suppkey", "s_nationkey"])
-    sk = sup["s_suppkey"].to_numpy()
-    snation = np.full(int(sk.max()) + 2, -1, dtype=np.int64)
-    snation[sk] = sup["s_nationkey"].to_numpy().astype(np.int64)
+    snation = dense_int_dim(sf_dir, "supplier", "s_suppkey", "s_nationkey")
     sref = ray.put(snation)
 
     class LiPrep:
@@ -1005,11 +1004,7 @@ def q_market_share(sf_dir: str) -> ray.data.Dataset:
     pk = part["p_partkey"].to_numpy()
     promo = np.zeros(int(pk.max()) + 2, dtype=bool)
     promo[pk[np.array(part["p_type"].to_pylist()) == Q8_TYPE]] = True
-    sup = pq.read_table(table_path(sf_dir, "supplier"),
-                        columns=["s_suppkey", "s_nationkey"])
-    sk = sup["s_suppkey"].to_numpy()
-    snation = np.full(int(sk.max()) + 2, -1, dtype=np.int64)
-    snation[sk] = sup["s_nationkey"].to_numpy().astype(np.int64)
+    snation = dense_int_dim(sf_dir, "supplier", "s_suppkey", "s_nationkey")
     dims_ref = ray.put({"promo": promo, "snation": snation})
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey",
@@ -1046,9 +1041,9 @@ def q_market_share(sf_dir: str) -> ray.data.Dataset:
 
     def ord_prep(b: pa.Table) -> pa.Table:
         d = b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        t = b.filter(pa.array((d >= lo) & (d < hi)))
-        d = d[(d >= lo) & (d < hi)]
-        yr = year_of_us(d)
+        m = (d >= lo) & (d < hi)
+        t = b.filter(pa.array(m))
+        yr = year_of_us(d[m])
         return pa.table({"o_orderkey": t["o_orderkey"],
                          "c_custkey": t["o_custkey"],
                          "yr": pa.array(yr)})
