@@ -186,18 +186,25 @@ class ZSurface:
         for zk in ladder:
             x, y, _ = camera.pixel_to_world_z(j, i, zk)
             diff = zk - self.sample(x, y)  # >0: ray point above surface
+            finite = np.isfinite(diff)
             if prev_diff is not None:
-                crossing = (~done) & (prev_diff > 0) & (diff <= 0)
+                crossing = (~done) & (prev_diff > 0) & finite & (diff <= 0)
                 if crossing.any():
-                    z_hi[crossing] = prev_z
+                    z_hi[crossing] = prev_z[crossing]
                     z_lo[crossing] = zk
                     d_hi[crossing] = prev_diff[crossing]
                     d_lo[crossing] = diff[crossing]
                     done |= crossing
-                prev_diff = np.where(done, prev_diff, diff)
+                # keep the last FINITE sample per ray: a nodata/off-grid rung
+                # must not overwrite prev_diff with NaN, or a ray whose ladder
+                # jumps the nodata margin loses its bracket and silently falls
+                # back to the min-z point (same hardening the refine phase has)
+                upd = (~done) & finite
+                prev_diff = np.where(upd, diff, prev_diff)
+                prev_z = np.where(upd, zk, prev_z)
             else:
                 prev_diff = diff
-            prev_z = zk
+                prev_z = np.full(n, zk)
             if done.all():
                 break
         hit_z = np.full(n, zmin)  # min-z fallback for non-crossing rays

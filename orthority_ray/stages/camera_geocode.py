@@ -146,28 +146,40 @@ def dem_geocode(ds: ray.data.Dataset, datum: str = "ellipsoid",
 # --- oracle SQL for the pinhole subset --------------------------------------
 
 
+def sql_pinhole_chain() -> dict[str, str]:
+    """The literal-coefficient SQL expression chain of the pinhole flat-z
+    geocode: doc hash -> sub-pixel (j, i) -> normalized (xn, yn) -> world ray
+    (rx, ry, rz) -> plane intersection (x, y).  ONE definition shared by
+    :func:`sql_pinhole_geocode` and ``remap.sql_remap_checker`` — both
+    oracles' bit-exactness depends on this exact op-order matching
+    ``FrameCamera.pixel_to_world_z``, so the chain must not be duplicated."""
+    bank = P.build_camera_bank()
+    cam: FrameCamera = bank["pinhole"]
+    K, R, T = cam.K, cam.R, cam.T
+    jw, ih = P.IM_SIZE[0] * 1000, P.IM_SIZE[1] * 1000
+    e: dict[str, str] = {}
+    e["j"] = f"(CAST({H.SQL_H1} % {jw} AS DOUBLE) / 1000.0)"
+    e["i"] = f"(CAST({H.SQL_H2} % {ih} AS DOUBLE) / 1000.0)"
+    e["xn"] = f"(({e['j']} - {FL(K[0, 2])}) / {FL(K[0, 0])})"
+    e["yn"] = f"(({e['i']} - {FL(K[1, 2])}) / {FL(K[1, 1])})"
+    e["rx"] = f"({FL(R[0, 0])} * {e['xn']} + {FL(R[0, 1])} * {e['yn']} + {FL(R[0, 2])})"
+    e["ry"] = f"({FL(R[1, 0])} * {e['xn']} + {FL(R[1, 1])} * {e['yn']} + {FL(R[1, 2])})"
+    e["rz"] = f"({FL(R[2, 0])} * {e['xn']} + {FL(R[2, 1])} * {e['yn']} + {FL(R[2, 2])})"
+    e["lam"] = f"(({FL(FLAT_Z)} - {FL(T[2])}) / {e['rz']})"
+    e["x"] = f"({FL(T[0])} + {e['lam']} * {e['rx']})"
+    e["y"] = f"({FL(T[1])} + {e['lam']} * {e['ry']})"
+    return e
+
+
 def sql_pinhole_geocode() -> str:
     """DuckDB SQL computing (doc_id, x_mm, y_mm) for the pinhole-camera docs,
     with K/R/T folded into literal coefficients — the same op-order as
     ``FrameCamera.pixel_to_world_z`` so floor-scaled ints match exactly."""
-    bank = P.build_camera_bank()
-    cam: FrameCamera = bank["pinhole"]
-    K, R, T = cam.K, cam.R, cam.T
+    e = sql_pinhole_chain()
     n_cams = len(P.CAM_IDS)
-    jw, ih = P.IM_SIZE[0] * 1000, P.IM_SIZE[1] * 1000
-    j = f"(CAST({H.SQL_H1} % {jw} AS DOUBLE) / 1000.0)"
-    i = f"(CAST({H.SQL_H2} % {ih} AS DOUBLE) / 1000.0)"
-    xn = f"(({j} - {FL(K[0, 2])}) / {FL(K[0, 0])})"
-    yn = f"(({i} - {FL(K[1, 2])}) / {FL(K[1, 1])})"
-    rx = f"({FL(R[0, 0])} * {xn} + {FL(R[0, 1])} * {yn} + {FL(R[0, 2])})"
-    ry = f"({FL(R[1, 0])} * {xn} + {FL(R[1, 1])} * {yn} + {FL(R[1, 2])})"
-    rz = f"({FL(R[2, 0])} * {xn} + {FL(R[2, 1])} * {yn} + {FL(R[2, 2])})"
-    lam = f"(({FL(FLAT_Z)} - {FL(T[2])}) / {rz})"
-    x = f"({FL(T[0])} + {lam} * {rx})"
-    y = f"({FL(T[1])} + {lam} * {ry})"
     return (
-        f"SELECT doc_id, CAST(floor({x} * 1000.0) AS BIGINT) AS x_mm, "
-        f"CAST(floor({y} * 1000.0) AS BIGINT) AS y_mm "
+        f"SELECT doc_id, CAST(floor({e['x']} * 1000.0) AS BIGINT) AS x_mm, "
+        f"CAST(floor({e['y']} * 1000.0) AS BIGINT) AS y_mm "
         f"FROM pages WHERE {H.SQL_H1} % {n_cams} = 0"
     )
 

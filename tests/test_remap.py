@@ -30,8 +30,13 @@ def test_remap_roundtrip_recovers_own_pixel(sf_unit):
     assert ok.mean() > 0.95
     assert np.abs(out["src_j"].to_numpy()[ok] - j[ok]).max() < 1e-6
     img = checkerboard()
-    expect = img[np.floor(i[ok]).astype(int), np.floor(j[ok]).astype(int)]
-    assert (out["value"].to_numpy()[ok] == expect).all()
+    # nearest = ROUND (floor(x+0.5), cv2 INTER_NEAREST semantics); skip
+    # samples within round-trip noise of a .5 tie boundary, where the
+    # original and round-tripped coordinate may legitimately round apart
+    tie = (np.abs((j % 1.0) - 0.5) < 1e-6) | (np.abs((i % 1.0) - 0.5) < 1e-6)
+    m = ok & ~tie
+    expect = img[np.floor(i[m] + 0.5).astype(int), np.floor(j[m] + 0.5).astype(int)]
+    assert (out["value"].to_numpy()[m] == expect).all()
 
 
 def test_remap_bilinear_smooth(sf_unit):
@@ -120,6 +125,44 @@ def test_undistort_grid_cached():
     # distorted positions differ from identity away from the center
     jj = np.arange(200, dtype=np.float32)
     assert np.abs(g1[0][10] - jj).max() > 0.5
+
+
+def test_remap_via_undistorted_matches_direct(sf_unit):
+    """St2 production path (reference distort=False remap: undistort the
+    source once through the cached grids, then pinhole-only projection):
+    identical to the direct distorted remap for the pinhole camera, and a
+    sane bounded resampling elsewhere."""
+    from orthority_ray.stages.camera_geocode import doc_pixels
+
+    geo = camera_geocode(read_page_keys(sf_unit).limit(3000))
+    direct = remap(geo, interp="bilinear").to_pandas().sort_values("doc_id").reset_index(drop=True)
+    via = (
+        remap(geo, interp="bilinear", via_undistorted=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (direct["doc_id"].values == via["doc_id"].values).all()
+    cam_idx = doc_pixels(direct["doc_id"].to_numpy())[2]
+    both = direct["valid"].to_numpy() & via["valid"].to_numpy()
+    # pinhole: undistort grid is the identity and distort=False == distort=True,
+    # so the two paths agree exactly wherever both sampled in-frame
+    pin = both & (cam_idx == 0)
+    assert pin.sum() > 200
+    np.testing.assert_array_equal(
+        direct["value"].to_numpy()[pin], via["value"].to_numpy()[pin]
+    )
+    # distorted models: double interpolation, values stay in the checker range
+    v = via["value"].to_numpy()[both]
+    assert np.isfinite(v).all() and (v >= 0).all() and (v <= 1).all()
+    assert both.mean() > 0.8  # distorted cameras lose a NaN margin in the undistorted frame
+    # the undistorted image is built once per camera and cached
+    r = Remapper(interp="bilinear", via_undistorted=True)
+    u1 = r.undistort_image("brown")
+    assert r.undistort_image("brown") is u1
+    # pinhole undistorted image == source away from the bilinear border
+    up = r.undistort_image("pinhole")
+    np.testing.assert_array_equal(up[:-1, :-1], r.image[:-1, :-1])
 
 
 def test_remap_checker_matches_oracle(sf_unit):
