@@ -275,6 +275,29 @@ def q_value_gini(sf_dir: str) -> ray.data.Dataset:
         base_s = cum_s[starts] - (c * v)[starts]
         prev_c = np.concatenate([[0], cum_c[:-1]]) - base_c[seg_id]
         prev_s = np.concatenate([[0], cum_s[:-1]]) - base_s[seg_id]
+        # int64 envelope (r3 review): gini_num grows ~ n^2 * mean|dv|, so
+        # at scale it can wrap int64 while the SQL oracle promotes to
+        # HUGEINT.  The guard is a pure FLOAT64 mirror of the int
+        # arithmetic (it must not read the int64 intermediates — they may
+        # already be wrapped): re-derive cum_s/prev_s in float, then bound
+        # every int64 quantity below — each cum_s prefix, v*prev_c,
+        # prev_s, and the per-segment |term| sums (dominated by
+        # sum(c*(|v|*prev_c + |prev_s|)) since c >= 1) — against 2^62
+        # (2x margin; float cumsum error ~n*eps is negligible vs it).
+        cf = c.astype(np.float64)
+        vf = v.astype(np.float64)
+        cum_sf = np.cumsum(cf * vf)
+        base_sf = cum_sf[starts] - (cf * vf)[starts]
+        prev_sf = np.concatenate([[0.0], cum_sf[:-1]]) - base_sf[seg_id]
+        prev_cf = prev_c.astype(np.float64)
+        bound = 2.0 * float(
+            np.sum(cf * (np.abs(vf) * prev_cf + np.abs(prev_sf))))
+        cum_s_peak = float(np.max(np.abs(cum_sf), initial=0.0))
+        if max(bound, cum_s_peak) >= float(2 ** 62):
+            raise ValueError(
+                "value_gini int64 envelope exceeded: pair-distance sum "
+                "too large for exact int64 gini_num (needs a big-int or "
+                "two-limb accumulator at this scale)")
         # ordered-pair distance sum: 2 * sum_k c_k*(v_k*C_{k-1} - S_{k-1})
         term = c * (v * prev_c - prev_s)
         types = t[starts]

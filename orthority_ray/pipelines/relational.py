@@ -379,8 +379,6 @@ GROUP BY o.o_orderpriority
 
 
 def q_supplier_balance(sf_dir: str) -> ray.data.Dataset:
-    import pyarrow.parquet as pq
-
     # dense decode + drop-on-miss (inner-join semantics) replaces the old
     # per-row dict loop that KeyError'd on a dim miss (r3 review)
     ref = ray.put(dense_str_decode(sf_dir, "nation", "n_nationkey", "n_name"))
@@ -601,13 +599,22 @@ def q_event_sessions(sf_dir: str) -> ray.data.Dataset:
     streaming-shaped groupby-window pattern from ray_guide.md)."""
     ev = _read(sf_dir, "events", ["user_id", "ts"])
 
+    def epoch(b: pa.Table) -> pa.Table:
+        # cast at the ARROW layer so the gap integers are always
+        # microseconds — a pandas ns coercion would turn GAP_US into
+        # 1.8 s and silently inflate session counts (r3 review)
+        return pa.table({"user_id": b["user_id"],
+                         "ts": b["ts"].cast(pa.int64())})
+
+    ev = ev.map_batches(epoch, batch_format="pyarrow", batch_size=65536)
+
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         # vectorized across ALL users in the bucket: one sort, session
         # breaks on user change or gap > 30 min, per-session lengths via
         # bincount, then a pandas groupby for the per-user rollup
         d = g.sort_values(["user_id", "ts"], kind="mergesort")
         uid = d["user_id"].to_numpy()
-        ts = d["ts"].astype("int64").to_numpy()
+        ts = d["ts"].to_numpy().astype(np.int64)
         new_sess = np.empty(len(d), dtype=bool)
         new_sess[0] = True
         new_sess[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > GAP_US)

@@ -38,7 +38,7 @@ import ray.data
 
 from ..core.config import cached_stage, table_path
 from ..stages.grouping import bucketed_group_apply
-from .relational import _read, bucketed_sum, cents
+from .relational import _read, bucketed_sum, cents, dense_str_decode
 from .tpch_extra import _us
 
 # --- shared helpers -----------------------------------------------------------
@@ -231,16 +231,10 @@ def q_excess_suppliers(sf_dir: str) -> ray.data.Dataset:
             {"s_suppkey": np.int64, "s_name": object, "qmilli": np.int64}))
     tot = int(per_supp.sum("qmilli"))
 
-    sup = pq.read_table(table_path(sf_dir, "supplier"),
-                        columns=["s_suppkey", "s_name"])
-    # max+2 with a None sentinel in the last slot (the _dense_lookup
-    # convention): an out-of-dim suppkey clamps to the sentinel and is
-    # DROPPED, matching the SQL oracle's inner join on supplier
-    names = np.full(int(sup["s_suppkey"].to_numpy().max()) + 2, None,
-                    dtype=object)
-    names[sup["s_suppkey"].to_numpy()] = sup["s_name"].to_pylist()
-    # broadcast once (ray.put), not once per task via closure capture —
-    # the name array is supplier-dimension-sized
+    # shared dense key->name decode (None-sentinel last slot; out-of-dim
+    # suppkeys clamp to it and are DROPPED, matching the oracle's inner
+    # join); broadcast once (ray.put), not per task via closure capture
+    names = dense_str_decode(sf_dir, "supplier", "s_suppkey", "s_name")
     names_ref = ray.put(names)
 
     class Having:

@@ -35,7 +35,7 @@ from ..stages.grouping import bucketed_group_apply
 from ..stages.hashjoin import hash_join
 from .relational import _read, cents, combined_groupby_sum
 from .relational import DAY_US
-from .tpch_extra import _us, year_of_us
+from .tpch_extra import year_of_us
 
 
 
@@ -288,8 +288,12 @@ def q_nation_profit(sf_dir: str) -> ray.data.Dataset:
             pkey = safe[m][keep]
             price = b["l_extendedprice"].to_numpy(zero_copy_only=False)[m][keep]
             disc = b["l_discount"].to_numpy(zero_copy_only=False)[m][keep]
-            qty = (b["l_quantity"].to_numpy(zero_copy_only=False)[m][keep]
-                   .astype(np.int64))
+            # floor() on BOTH sides (r3 review): a bare astype truncates
+            # while SQL CAST rounds-to-nearest; floor is the repo-wide
+            # quantity convention and the two agree for any input
+            qty = np.floor(
+                b["l_quantity"].to_numpy(zero_copy_only=False)[m][keep]
+            ).astype(np.int64)
             ship = (b["l_shipdate"].cast(pa.int64())
                     .to_numpy(zero_copy_only=False)[m][keep])
             yr = year_of_us(ship)
@@ -315,7 +319,7 @@ SELECT CAST(s.s_nationkey AS BIGINT) AS nation,
        COUNT(*) AS n_rows,
        CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)
                 - CAST(floor(p.p_retailprice * 100.0 + 0.5) AS BIGINT)
-                  * CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS profit_cents
+                  * CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS profit_cents
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -333,9 +337,13 @@ def q_event_pivot(sf_dir: str) -> ray.data.Dataset:
     """Long->wide pivot: one row per user with one count column per event
     type plus the total value in cents.  Shape: per-block combiner turns
     each batch into <= distinct(user) rows with the type axis already
-    widened (a 5-column one-hot matmul-free count), so the only shuffle is
-    a user-keyed sum of pre-widened partials."""
+    widened (a 5-column one-hot matmul-free count), then a BUCKETED sum of
+    the pre-widened partials — user_id cardinality grows with the data, so
+    the wide step's group count must stay a constant, not per-user (the
+    measured penalty of the native sort-based aggregate at data-
+    proportional group counts; r3 review, same reason as repeat_buyers)."""
     ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    sum_cols = [f"n_{t}" for t in _EVENT_TYPES] + ["value_cents"]
 
     def widen(b: pa.Table) -> pa.Table:
         et = b["event_type"]
@@ -344,12 +352,17 @@ def q_event_pivot(sf_dir: str) -> ray.data.Dataset:
             cols[f"n_{t}"] = pc.equal(et, t).cast(pa.int64())
         cols["value_cents"] = pa.array(
             cents(b["value"].to_numpy(zero_copy_only=False)))
-        return pa.table(cols)
+        df = pa.table(cols).to_pandas()
+        return pa.Table.from_pandas(
+            df.groupby("user_id", as_index=False, sort=False)[sum_cols].sum(),
+            preserve_index=False)
 
-    sum_cols = [f"n_{t}" for t in _EVENT_TYPES] + ["value_cents"]
-    return combined_groupby_sum(
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", as_index=False, sort=False)[sum_cols].sum()
+
+    return bucketed_group_apply(
         ev.map_batches(widen, batch_format="pyarrow", batch_size=65536),
-        ["user_id"], sum_cols)
+        ["user_id"], finish)
 
 
 SQL_EVENT_PIVOT = """

@@ -40,6 +40,15 @@ def self_window_count(
     """-> (id_col, out_count): per row, how many same-``key`` rows have
     ``time in (t, t + window_us]``.  Times must be int64-castable."""
 
+    def epoch(b: pa.Table) -> pa.Table:
+        # Cast the time column to int64 at the ARROW layer so the epoch
+        # integers are always in the column's storage unit (microseconds
+        # for timestamp[us]) regardless of how pandas later materializes
+        # timestamps — a ns coercion in to_pandas would silently turn a
+        # 5-minute window_us into 0.3 ms (r3 review).
+        i = b.schema.get_field_index(time_col)
+        return b.set_column(i, time_col, b[time_col].cast(pa.int64()))
+
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         d = g.sort_values([key, time_col], kind="mergesort")
         ids = d[id_col].to_numpy()
@@ -56,6 +65,7 @@ def self_window_count(
         return pd.DataFrame({id_col: ids, out_count: n})
 
     return bucketed_group_apply(
-        ds.select_columns([key, time_col, id_col]), [key], per_bucket,
-        n_buckets=n_buckets,
+        ds.select_columns([key, time_col, id_col])
+        .map_batches(epoch, batch_format="pyarrow", batch_size=65536),
+        [key], per_bucket, n_buckets=n_buckets,
     )
