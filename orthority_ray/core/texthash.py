@@ -18,7 +18,48 @@ process-invariant (no builtin ``hash``, no RNG).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
+
+# --- the engine-wide token boundary ------------------------------------------
+#
+# Tokens are maximal runs of non-whitespace where whitespace is RE2's ``\s``
+# = [\t\n\f\r ] — exactly what every DuckDB oracle's ``\s+`` split means (RE2
+# has NO \x0b and NO Unicode whitespace in \s).  Python's ``str.split()`` and
+# Arrow's ``utf8_split_whitespace`` split on *Unicode* whitespace (NBSP,
+#  , \x1c-\x1f, ...), which silently diverges from the oracles on
+# non-ASCII input (r3 review) — so every tokenizer in the repo goes through
+# these definitions instead.
+TOKEN_SPLIT_REGEX = r"\s+"  # for Arrow split_pattern_regex (RE2-backed)
+_TOKEN_RE_BYTES = re.compile(rb"[^ \t\n\f\r]+")  # UTF-8 bytes >= 0x80 never match
+TOKEN_RE = re.compile(r"[^ \t\n\f\r]+")
+
+
+def split_tokens_arrow(col):
+    """RE2 whitespace split of an Arrow string column/array -> list<string>
+    (empty slots kept, exactly like the SQL ``string_split_regex(text,
+    '\\s+')`` the oracles use — callers filter ``''``).
+
+    Fast path: Arrow's non-regex ``ascii_split_whitespace`` emits the
+    byte-identical slot structure for every input WITHOUT a vertical tab
+    (its ASCII whitespace set is RE2's \\s plus \\x0b; empirically pinned
+    against ``split_pattern_regex`` in tests/test_texthash.py), and is ~9x
+    faster than the RE2 kernel.  A cheap memchr-style \\x0b probe routes
+    the rare batch containing one through the exact regex split."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if int(pc.sum(pc.count_substring(col, "\x0b")).as_py() or 0):
+        toks = pc.split_pattern_regex(col, TOKEN_SPLIT_REGEX)
+    else:
+        toks = pc.ascii_split_whitespace(col)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    return toks
+
 
 FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 FNV_PRIME = np.uint64(0x100000001B3)
@@ -38,11 +79,12 @@ DOC_MULT = np.uint64(1099511628211)
 class TokenBuf:
     """Whitespace-normalized texts in one flat uint8 buffer.
 
-    ``flat`` holds ``" ".join(t.split()).encode()`` for every text,
-    concatenated; ``tok_starts``/``tok_lens`` are the global byte spans of
-    every token; ``counts`` is tokens per text.  Single spaces separate
-    tokens, and 0x20 can only be a separator (UTF-8 continuation bytes are
-    >= 0x80), so token boundaries are exactly the space positions.
+    ``flat`` holds the space-joined RE2 tokens (see TOKEN_RE) of every
+    text, utf-8 encoded and concatenated; ``tok_starts``/``tok_lens`` are
+    the global byte spans of every token; ``counts`` is tokens per text.
+    Single spaces separate tokens, and 0x20 can only be a separator (UTF-8
+    continuation bytes are >= 0x80), so token boundaries are exactly the
+    space positions.
     """
 
     __slots__ = ("flat", "tok_starts", "tok_lens", "counts")
@@ -56,7 +98,8 @@ class TokenBuf:
 
 
 def tokenize(texts: list[str]) -> TokenBuf:
-    parts = [" ".join(t.split()).encode("utf-8") for t in texts]
+    parts = [b" ".join(_TOKEN_RE_BYTES.findall(t.encode("utf-8")))
+             for t in texts]
     doc_lens = np.fromiter((len(p) for p in parts), dtype=np.int64, count=len(parts))
     doc_starts = np.cumsum(doc_lens) - doc_lens
     flat = np.frombuffer(b"".join(parts), dtype=np.uint8)
@@ -266,7 +309,7 @@ def split_words(texts: list[str]) -> tuple[list[bytes], np.ndarray]:
     flat: list[bytes] = []
     counts = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
-        w = t.split()
+        w = TOKEN_RE.findall(t)
         counts[i] = len(w)
         for x in w:
             flat.append(x.encode("utf-8"))
@@ -328,11 +371,19 @@ def simhash_batch(texts: list[str]) -> np.ndarray:
 
 
 def stopword_counts(buf: TokenBuf, stopwords: tuple[str, ...]) -> np.ndarray:
-    """Exact per-doc stopword counts, vectorized: tokens no longer than 7
-    bytes are packed into a uint64 key (top byte = length, so "a" != "a\\0")
-    and membership-tested against the packed stopword keys with np.isin.
-    Exact string comparison — not a hash — because keys encode the full
-    content."""
+    """Exact per-doc CASE-INSENSITIVE stopword counts, vectorized: tokens no
+    longer than 7 bytes are packed into a uint64 key (top byte = length, so
+    "a" != "a\\0") with ASCII letters lower-folded, and membership-tested
+    against the packed stopword keys with np.isin.  Exact string comparison
+    — not a hash — because keys encode the full content.
+
+    The ASCII-only fold equals SQL ``lower()`` for this membership test on
+    ANY input: stopwords are pure ASCII, and the only Unicode codepoints
+    whose lower() maps into ASCII are U+212A (-> 'k'; no stopword contains
+    'k') and U+0130 (-> 'i' + combining dot, a 2-codepoint string no
+    stopword equals), so non-ASCII tokens can never fold into a stopword
+    on either side (r3 review: the engine was case-SENSITIVE while the
+    quality oracle lowercased)."""
     sw = [w.encode("utf-8") for w in stopwords]
     assert all(len(w) <= 7 for w in sw), "stopwords longer than 7 bytes"
 
@@ -340,7 +391,8 @@ def stopword_counts(buf: TokenBuf, stopwords: tuple[str, ...]) -> np.ndarray:
         key = lens.astype(np.uint64) << np.uint64(56)
         cap = flat.size - 1 if flat.size else 0
         for k in range(7):
-            b = np.where(lens > k, flat[np.minimum(starts + k, cap)], 0).astype(np.uint64)
+            b = np.where(lens > k, flat[np.minimum(starts + k, cap)], 0)
+            b = np.where((b >= 0x41) & (b <= 0x5A), b + 0x20, b).astype(np.uint64)
             key |= b << np.uint64(48 - 8 * k)
         return key
 

@@ -43,7 +43,9 @@ def word_histogram(pages: ray.data.Dataset) -> ray.data.Dataset:
     from ..stages.grouping import bucketed_group_apply
 
     def tok_counts(b: pa.Table) -> pa.Table:
-        t = pc.list_flatten(pc.utf8_split_whitespace(b["text"].combine_chunks()))
+        from ..core.texthash import split_tokens_arrow
+
+        t = pc.list_flatten(split_tokens_arrow(b["text"]))
         t = t.filter(pc.not_equal(t, ""))
         vc = pc.value_counts(t)
         return pa.table({"word": vc.field("values"),
@@ -183,9 +185,11 @@ def reference_bpe(texts: list[str], n_merges: int = N_MERGES) -> pd.DataFrame:
     """Single-process reference (same algorithm, no Ray) for tests."""
     from collections import Counter
 
+    from ..core.texthash import TOKEN_RE
+
     words = Counter()
     for t in texts:
-        words.update(w for w in t.split() if w)
+        words.update(TOKEN_RE.findall(t))
     sym = {w: tuple(list(w) + [END_MARK]) for w in words}
     merges = []
     for rank in range(n_merges):
@@ -256,7 +260,9 @@ class BpeEncoder:
         return n
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        toks = pc.utf8_split_whitespace(b["text"].combine_chunks())
+        from ..core.texthash import split_tokens_arrow
+
+        toks = split_tokens_arrow(b["text"])
         flat = pc.list_flatten(toks)
         keep = pc.not_equal(flat, "")
         flat = flat.filter(keep)

@@ -96,29 +96,38 @@ FROM (SELECT doc_id, text,
 """.strip()
 
 
-def _bigram_partial(b: pa.Table) -> pa.Table:
-    """Per-block distinct (tok_a, tok_b) counts from raw split positions."""
-    text = b["text"].combine_chunks() if isinstance(
-        b["text"], pa.ChunkedArray) else b["text"]
-    toks = pc.split_pattern_regex(text, r"\s+")
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
+def _adjacent_pairs(text_col) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Shared bigram-adjacency kernel (r3 review: was inlined twice, in
+    ``_bigram_partial`` and ``bigram_coverage``'s Scorer): RE2-split the
+    text column and return ``(flat_tokens, pair_idx, offsets)`` where
+    ``pair_idx`` holds every flat index i such that (flat[i], flat[i+1])
+    is a valid within-document bigram — i+1 is not a document start and
+    both tokens are non-empty — and ``offsets`` are the normalized list
+    offsets (for pair -> owning-document lookup)."""
+    from ..core.texthash import split_tokens_arrow
+
+    toks = split_tokens_arrow(text_col)
     flat = toks.flatten()
     offsets = toks.offsets.to_numpy(zero_copy_only=False)
     offsets = offsets - offsets[0]  # normalize a possibly-sliced ListArray
     n = len(flat)
     if n < 2:
-        return pa.table({"tok_a": pa.array([], pa.string()),
-                         "tok_b": pa.array([], pa.string()),
-                         "n": pa.array([], pa.int64())})
-    # adjacency mask over flat[i], flat[i+1]: same document (i+1 is not a
-    # document start) and both tokens non-empty
+        return flat, np.empty(0, dtype=np.int64), offsets
     starts = np.zeros(n + 1, dtype=bool)
     starts[offsets[1:-1]] = True  # first token index of docs 1..D-1
     nonempty = pc.not_equal(pc.utf8_length(flat), 0).to_numpy(
         zero_copy_only=False)
     pair_ok = (~starts[1:n]) & nonempty[:-1] & nonempty[1:]
-    idx = np.flatnonzero(pair_ok)
+    return flat, np.flatnonzero(pair_ok), offsets
+
+
+def _bigram_partial(b: pa.Table) -> pa.Table:
+    """Per-block distinct (tok_a, tok_b) counts from raw split positions."""
+    flat, idx, _ = _adjacent_pairs(b["text"])
+    if not idx.size:
+        return pa.table({"tok_a": pa.array([], pa.string()),
+                         "tok_b": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
     a = flat.take(pa.array(idx))
     c = flat.take(pa.array(idx + 1))
     df = pd.DataFrame({"tok_a": a.to_pandas(), "tok_b": c.to_pandas()})
@@ -219,27 +228,12 @@ def bigram_coverage(sf_dir: str) -> ray.data.Dataset:
             self.common = ray.get(model_ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            text = b["text"]
-            if isinstance(text, pa.ChunkedArray):
-                text = text.combine_chunks()
-            toks = pc.split_pattern_regex(text, r"\s+")
-            if isinstance(toks, pa.ChunkedArray):
-                toks = toks.combine_chunks()
-            flat = toks.flatten()
-            offsets = toks.offsets.to_numpy(zero_copy_only=False)
-            offsets = offsets - offsets[0]
-            n = len(flat)
+            flat, idx, offsets = _adjacent_pairs(b["text"])
             doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)
-            if n < 2:
+            if not idx.size:
                 return pa.table({"doc_id": pa.array([], pa.int64()),
                                  "n_bigrams": pa.array([], pa.int64()),
                                  "n_common": pa.array([], pa.int64())})
-            starts = np.zeros(n + 1, dtype=bool)
-            starts[offsets[1:-1]] = True
-            nonempty = pc.not_equal(pc.utf8_length(flat), 0).to_numpy(
-                zero_copy_only=False)
-            pair_ok = (~starts[1:n]) & nonempty[:-1] & nonempty[1:]
-            idx = np.flatnonzero(pair_ok)
             # pair -> owning document: searchsorted over the list offsets
             owner = np.searchsorted(offsets, idx, side="right") - 1
             a = flat.take(pa.array(idx)).to_pandas()
@@ -292,12 +286,11 @@ def token_fertility(sf_dir: str) -> ray.data.Dataset:
     docs = _read(sf_dir, "documents", ["lang", "text"])
 
     def partial(b: pa.Table) -> pa.Table:
-        text = b["text"]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        toks = pc.split_pattern_regex(text, r"\s+")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
+        from ..core.texthash import split_tokens_arrow
+
+        text = b["text"].combine_chunks() if isinstance(
+            b["text"], pa.ChunkedArray) else b["text"]
+        toks = split_tokens_arrow(text)
         ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         # empty split slots don't count as tokens (matches list_filter)
         flat = toks.flatten()

@@ -175,7 +175,25 @@ def query_index(ds: ray.data.Dataset, index: DedupIndex, col: str = "text",
         hit = np.zeros(len(d), dtype=bool)
         uniq = np.unique(sid)
         if add_missing:
-            owner = hashlib.md5(b"".join(d)).digest()
+            # the owner token must identify THIS batch, stable across task
+            # retries: text digests alone collide for two different batches
+            # with identical text sequences (duplicate-heavy streams), which
+            # would mislabel genuine cross-batch duplicates as firsts (r3
+            # review) — so fold the batch's other columns (its row
+            # identities, e.g. doc_id) into the token too
+            h = hashlib.md5(b"".join(d))
+            for c in b.column_names:
+                if c == col:
+                    continue
+                arr = b[c].combine_chunks() if isinstance(
+                    b[c], pa.ChunkedArray) else b[c]
+                v = arr.to_numpy(zero_copy_only=False)
+                if v.dtype.kind in "biufmM":
+                    h.update(v.tobytes())
+                else:  # object/string columns: canonical utf-8 join
+                    h.update(b"\x00".join(
+                        str(x).encode("utf-8") for x in v))
+            owner = h.digest()
             replies = ray.get([
                 shards[s].probe_add.remote(
                     [d[i] for i in np.nonzero(sid == s)[0]], owner)

@@ -21,7 +21,6 @@ tests/test_packing.py.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -60,7 +59,9 @@ def sequence_pack(sf_dir: str, capacity: int = CAPACITY) -> ray.data.Dataset:
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def pack(b: pa.Table) -> pa.Table:
-        toks = pc.utf8_split_whitespace(b["text"].combine_chunks())
+        from ..core.texthash import split_tokens_arrow
+
+        toks = split_tokens_arrow(b["text"])
         flat = pc.list_flatten(toks)
         parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
         nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)

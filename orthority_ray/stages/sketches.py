@@ -245,6 +245,12 @@ def hll_grouped(ds: ray.data.Dataset, group_col: str, col: str,
             "g": b[group_col].to_pylist(),
             "v": b[col].to_numpy(zero_copy_only=False),
         })
+        if not len(df):
+            # empty upstream block: pd.concat([]) raises, so emit a typed
+            # empty partial instead of killing the map task (r3 review)
+            return pa.table({"register": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64()),
+                             group_col: pa.array([], pa.string())})
         outs = []
         for g, sub in df.groupby("g", sort=False):
             part = _hll_partial(sub["v"].to_numpy()).to_pandas()

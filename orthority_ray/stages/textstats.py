@@ -21,8 +21,9 @@ import pyarrow as pa
 import ray.data
 
 from ..core import texthash as TH
-from ..core.config import pool
 
+# matched CASE-INSENSITIVELY (TH.stopword_counts ASCII-folds; the SQL twin
+# lowercases) — the standard stopword semantic
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
 # deterministic 6-language n-gram profile for the synthetic corpus: the
@@ -115,8 +116,8 @@ def text_features(ds: ray.data.Dataset, *, concurrency: int | None = None) -> ra
                           concurrency=concurrency)
 
 
-# token count via whitespace split — SQL parity with DuckDB:
-#   len(t.split()) == number of \S+ runs == length(regexp_extract_all(text, '\S+')).
+# token count via the RE2 whitespace split (TH.TOKEN_RE == DuckDB's \S+ runs
+# for ANY input, not just ASCII — see texthash.py's token-boundary note):
 SQL_TEXT_FEATURES = r"""
 SELECT doc_id,
        CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
@@ -371,7 +372,7 @@ def fit_token_model(pages: ray.data.Dataset) -> tuple[pa.Array, np.ndarray]:
     import ray
 
     def part(b: pa.Table) -> pa.Table:
-        t = pc.list_flatten(pc.utf8_split_whitespace(b["text"].combine_chunks()))
+        t = pc.list_flatten(TH.split_tokens_arrow(b["text"]))
         t = t.filter(pc.not_equal(t, ""))
         vc = pc.value_counts(t)
         return pa.table({"token": vc.field("values"),
@@ -401,7 +402,7 @@ class TypicalityScorer:
     def __call__(self, b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        toks = pc.utf8_split_whitespace(b["text"].combine_chunks())
+        toks = TH.split_tokens_arrow(b["text"])
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
         flat = pc.list_flatten(toks)
         doc_idx = np.repeat(np.arange(lens.shape[0], dtype=np.int64), lens)
@@ -471,18 +472,23 @@ FROM pages p LEFT JOIN score s ON p.doc_id = s.doc_id
 # --- BPE-ish regex token counting (brief: "whitespace + a BPE-ish regex") ---
 
 BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+# the Python twin spells RE2's \s out ([\t\n\f\r ] — no \x0b, no Unicode
+# whitespace): Python's \s is Unicode-wide, so compiling BPE_PATTERN
+# directly would count NBSP & co. differently from the DuckDB oracle
+# (r3 review)
+_BPE_PATTERN_PY = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\t\n\f\r ]+"
 
 
 class BpeCounter:
     """Letter-run / digit-run / punct-run token counter — the BPE-style
     pre-tokenizer split — over url AND text.  The regex compiles ONCE per
-    worker (__init__); the pattern is RE2-compatible so the DuckDB oracle
-    uses the identical expression (`regexp_extract_all`)."""
+    worker (__init__); the DuckDB oracle evaluates the RE2 spelling of the
+    identical pattern (`regexp_extract_all`)."""
 
     def __init__(self):
         import re
 
-        self.rx = re.compile(BPE_PATTERN)
+        self.rx = re.compile(_BPE_PATTERN_PY)
 
     def _counts(self, vals: list[str]) -> np.ndarray:
         findall = self.rx.findall

@@ -22,9 +22,10 @@ DISTINCT text once, weight by its multiplicity):
    (the oracle's ``dpages`` CTE; the pages table may repeat doc_ids), and
    texts ship once per (block, distinct text), never per doc;
 2. rep-level token counts: ONE vectorized tokenize pass over the
-   representatives (Arrow ``utf8_split_whitespace`` + ``list_parent_indices``,
+   representatives (RE2 ``split_pattern_regex`` + ``list_parent_indices``,
    zero Python per token), matching the `vocabulary` oracle's
-   ``string_split_regex(text, '\\s+')`` / ``token <> ''`` contract;
+   ``string_split_regex(text, '\\s+')`` / ``token <> ''`` contract exactly
+   (incl. non-ASCII whitespace — see texthash.py's token-boundary note);
 3. df attach: one bucketed groupby on token — every (rep, token) row of a
    token lands in one bucket, so ``sum(n_docs)`` is the exact global df;
 4. per-rep top-k (a rep's ranking is identical for every doc sharing its
@@ -105,7 +106,9 @@ def _rep_tf(reps: ray.data.Dataset) -> ray.data.Dataset:
     """(text_md5, token, tf, n_docs, min_doc) — distinct tokens per rep."""
 
     def tf(b: pa.Table) -> pa.Table:
-        toks = pc.utf8_split_whitespace(b["text"].combine_chunks())
+        from ..core.texthash import split_tokens_arrow
+
+        toks = split_tokens_arrow(b["text"])
         flat = pc.list_flatten(toks)
         parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
         keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
@@ -143,10 +146,35 @@ def _with_df(rep_tf: ray.data.Dataset) -> ray.data.Dataset:
     return bucketed_group_apply(rep_tf, ["token"], attach)
 
 
+def _expand_to_docs(rows: ray.data.Dataset, rep_rows: ray.data.Dataset,
+                    right_cols: list[str],
+                    types: dict) -> ray.data.Dataset:
+    """The shared md5 expansion join: rep-level result rows fan out to
+    per-doc rows through ONE bucketed ``hash_join`` on text_md5.  Left rows
+    (from :func:`_doc_text_rows`) are only block-distinct; doc_id determines
+    text_md5, so the join's in-bucket ``left_dedup`` finishes the global doc
+    dedup inside the exchange the join already makes — no separate dedup
+    shuffle.  ``right_cols`` must start with "text_md5"; output columns are
+    doc_id + the rest of ``right_cols``."""
+    from ..stages.hashjoin import hash_join
+
+    def doc_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["doc_id"], 0))
+        return t.select(["doc_id", "text_md5"])
+
+    left = rows.map_batches(doc_rows, batch_format="pyarrow",
+                            batch_size=65536)
+    joined = hash_join(left, rep_rows, "text_md5",
+                       ["doc_id", "text_md5"], right_cols,
+                       left_dedup="doc_id",
+                       types={"doc_id": pa.int64(), **types})
+    return joined.select_columns(
+        ["doc_id"] + [c for c in right_cols if c != "text_md5"])
+
+
 def tfidf_topk(pages: ray.data.Dataset, k: int = K_TOP) -> ray.data.Dataset:
     """Per doc: top-``k`` tokens by ``(tf * SCALE) // df`` (ties: token asc)."""
     from ..stages.grouping import bucketed_group_apply
-    from ..stages.hashjoin import hash_join
 
     rows = _doc_text_rows(pages)
     scored = _with_df(_rep_tf(_reps(rows)))
@@ -161,24 +189,11 @@ def tfidf_topk(pages: ray.data.Dataset, k: int = K_TOP) -> ray.data.Dataset:
         return g[["text_md5", "token", "tf", "df", "score", "rnk"]]
 
     rep_topk = bucketed_group_apply(scored, ["text_md5"], topk)
-
-    def doc_rows(b: pa.Table) -> pa.Table:
-        t = b.filter(pc.greater_equal(b["doc_id"], 0))
-        return t.select(["doc_id", "text_md5"])
-
-    left = rows.map_batches(doc_rows, batch_format="pyarrow",
-                            batch_size=65536)
-    # left rows are only block-distinct; doc_id determines text_md5, so the
-    # join's in-bucket dedup (left_dedup) finishes the global dedup inside
-    # the ONE exchange the join already makes — no separate dedup shuffle
-    joined = hash_join(left, rep_topk, "text_md5",
-                       ["doc_id", "text_md5"],
-                       ["text_md5", "token", "tf", "df", "score", "rnk"],
-                       left_dedup="doc_id",
-                       types={"doc_id": pa.int64(), "token": pa.string(),
-                              "tf": pa.int64(), "df": pa.int64(),
-                              "score": pa.int64(), "rnk": pa.int64()})
-    return joined.select_columns(["doc_id", "token", "tf", "df", "score", "rnk"])
+    return _expand_to_docs(
+        rows, rep_topk,
+        ["text_md5", "token", "tf", "df", "score", "rnk"],
+        types={"token": pa.string(), "tf": pa.int64(), "df": pa.int64(),
+               "score": pa.int64(), "rnk": pa.int64()})
 
 
 def posting_stats(pages: ray.data.Dataset) -> ray.data.Dataset:
@@ -245,36 +260,53 @@ def token_cooccurrence(pages: ray.data.Dataset) -> ray.data.Dataset:
     (each distinct text once, weighted by its doc count), and the pair
     rows shuffle once into a bucketed sum; the total-docs scalar is a
     dimension-sized aggregate of the rep table."""
-    from ..stages.grouping import bucketed_group_apply
+    from ..stages.grouping import _triu, bucketed_group_apply
 
     rows = _doc_text_rows(pages)
-    rep_tf = _rep_tf(_reps(rows)).materialize()
-
-    total_docs = int(sum(
-        r["n"] for r in rep_tf.map_batches(
-            lambda b: pa.table({"n": pa.array(
-                [int(pd.DataFrame({"m": b["text_md5"].to_pylist(),
-                                   "n": b["n_docs"].to_numpy(zero_copy_only=False)})
-                     .drop_duplicates("m")["n"].sum())], pa.int64())}),
-            batch_format="pyarrow", batch_size=None).take_all()))
+    reps = _reps(rows).materialize()
+    # total distinct docs = sum of per-rep distinct-doc counts over the REP
+    # table (every doc has exactly one rep).  Summing over rep_tf instead
+    # would drop token-less (empty/whitespace) texts' docs and shift the
+    # prevalence threshold vs the oracle's COUNT(*) FROM dpages (r3 review).
+    total_docs = int(reps.sum("n_docs") or 0)
+    rep_tf = _rep_tf(reps).materialize()  # tokenized once; pairs pass reuses
 
     def pairs(b: pa.Table) -> pa.Table:
+        # within-rep unordered pair expansion, vectorized over whole reps
+        # (cached triu indices per group size — grouping.grouped_pairs'
+        # shape); tokens are already distinct per rep, and sorting by
+        # (md5, token) makes tok_a < tok_b by construction
         df = pd.DataFrame({
-            "md5": b["text_md5"].to_pylist(),
-            "token": b["token"].to_pylist(),
+            "md5": b["text_md5"].to_numpy(zero_copy_only=False),
+            "token": b["token"].to_numpy(zero_copy_only=False),
             "n_docs": b["n_docs"].to_numpy(zero_copy_only=False),
         }).sort_values(["md5", "token"], kind="mergesort")
-        out_a, out_b, out_n = [], [], []
-        for (_, n), g in df.groupby(["md5", "n_docs"], sort=False):
-            toks = g["token"].tolist()
-            for i in range(len(toks)):
-                for j in range(i + 1, len(toks)):
-                    out_a.append(toks[i])
-                    out_b.append(toks[j])
-                    out_n.append(n)
-        return pa.table({"tok_a": pa.array(out_a, pa.string()),
-                         "tok_b": pa.array(out_b, pa.string()),
-                         "n": pa.array(np.asarray(out_n, np.int64))})
+        md5 = df["md5"].to_numpy()
+        tok = df["token"].to_numpy()
+        nd = df["n_docs"].to_numpy()
+        change = np.zeros(len(df), dtype=bool)
+        if len(df):
+            change[1:] = md5[1:] != md5[:-1]
+        boundary = np.flatnonzero(change)
+        starts = np.concatenate([[0], boundary]) if len(df) else boundary
+        ends = np.concatenate([boundary, [len(df)]]) if len(df) else boundary
+        parts_a, parts_b, parts_n = [], [], []
+        for s, e in zip(starts, ends):
+            c = e - s
+            if c < 2:
+                continue
+            ia, ib = _triu(int(c))
+            parts_a.append(tok[s + ia])
+            parts_b.append(tok[s + ib])
+            parts_n.append(np.full(ia.shape[0], nd[s], np.int64))
+        if not parts_a:
+            return pa.table({"tok_a": pa.array([], pa.string()),
+                             "tok_b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "tok_a": pa.array(np.concatenate(parts_a), pa.string()),
+            "tok_b": pa.array(np.concatenate(parts_b), pa.string()),
+            "n": pa.array(np.concatenate(parts_n))})
 
     # batch_size=None: a rep's token rows never straddle a BLOCK (each
     # _rep_tf call emits whole reps), but a sliced batch_size batch could
@@ -315,7 +347,6 @@ def boolean_search(pages: ray.data.Dataset,
     term-filtered slice of the rep-token table, then the usual md5
     expansion join emits (doc_id, tf_total)."""
     from ..stages.grouping import bucketed_group_apply
-    from ..stages.hashjoin import hash_join
 
     rows = _doc_text_rows(pages)
     rep_tf = _rep_tf(_reps(rows))
@@ -335,18 +366,8 @@ def boolean_search(pages: ray.data.Dataset,
         rep_tf.map_batches(only_terms, batch_format="pyarrow",
                            batch_size=None),
         ["text_md5"], match)
-
-    def doc_rows(b: pa.Table) -> pa.Table:
-        t = b.filter(pc.greater_equal(b["doc_id"], 0))
-        return t.select(["doc_id", "text_md5"])
-
-    left = rows.map_batches(doc_rows, batch_format="pyarrow",
-                            batch_size=65536)
-    joined = hash_join(left, rep_hits, "text_md5",
-                       ["doc_id", "text_md5"], ["text_md5", "tf_total"],
-                       left_dedup="doc_id",
-                       types={"doc_id": pa.int64(), "tf_total": pa.int64()})
-    return joined.select_columns(["doc_id", "tf_total"])
+    return _expand_to_docs(rows, rep_hits, ["text_md5", "tf_total"],
+                           types={"tf_total": pa.int64()})
 
 
 def sql_boolean_search(terms: tuple[str, ...] = SEARCH_TERMS) -> str:
@@ -371,8 +392,6 @@ def phrase_search(pages: ray.data.Dataset,
     (Arrow ``count_substring`` == DuckDB's replace-length arithmetic for a
     non-self-overlapping phrase).  Counting runs once per DISTINCT text
     (rep level), then the md5 expansion join labels the docs."""
-    from ..stages.hashjoin import hash_join
-
     rows = _doc_text_rows(pages)
     reps = _reps(rows)
 
@@ -384,18 +403,8 @@ def phrase_search(pages: ray.data.Dataset,
 
     rep_hits = reps.map_batches(hits, batch_format="pyarrow",
                                 batch_size=None)
-
-    def doc_rows(b: pa.Table) -> pa.Table:
-        t = b.filter(pc.greater_equal(b["doc_id"], 0))
-        return t.select(["doc_id", "text_md5"])
-
-    left = rows.map_batches(doc_rows, batch_format="pyarrow",
-                            batch_size=65536)
-    joined = hash_join(left, rep_hits, "text_md5",
-                       ["doc_id", "text_md5"], ["text_md5", "n_hits"],
-                       left_dedup="doc_id",
-                       types={"doc_id": pa.int64(), "n_hits": pa.int64()})
-    return joined.select_columns(["doc_id", "n_hits"])
+    return _expand_to_docs(rows, rep_hits, ["text_md5", "n_hits"],
+                           types={"n_hits": pa.int64()})
 
 
 def sql_phrase_search(phrase: str = PHRASE) -> str:

@@ -6,10 +6,21 @@ implementations they replaced (stages/dedup.py / stages/textstats.py round 1)
 outputs depends on it.  The reference loops are inlined here as ground truth.
 """
 
+import re
+
 import numpy as np
 import pytest
 
 from orthority_ray.core import texthash as TH
+
+# the engine token boundary: RE2 \s == [\t\n\f\r ] (NO \x0b, NO Unicode
+# whitespace) — spelled out independently of texthash.TOKEN_RE so the test
+# stays a spec, not a mirror
+_REF_TOKEN_RE = re.compile(r"[^ \t\n\f\r]+")
+
+
+def _ref_tokens(text: str) -> list[str]:
+    return _REF_TOKEN_RE.findall(text)
 
 
 def _ref_fnv1a(g: bytes) -> int:
@@ -20,7 +31,7 @@ def _ref_fnv1a(g: bytes) -> int:
 
 
 def _ref_shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    words = text.split()
+    words = _ref_tokens(text)
     if len(words) < n:
         grams = [" ".join(words)] if words else [""]
     else:
@@ -29,7 +40,7 @@ def _ref_shingle_hashes(text: str, n: int = 3) -> np.ndarray:
 
 
 def _ref_simhash64(text: str) -> int:
-    toks = text.split()
+    toks = _ref_tokens(text)
     if not toks:
         return 0
     hashes = np.array([_ref_fnv1a(t.encode("utf-8")) for t in toks], dtype=np.uint64)
@@ -43,7 +54,7 @@ def _ref_simhash64(text: str) -> int:
 
 def _ref_fingerprint(text: str) -> int:
     h = 0
-    for w in text.split():
+    for w in _ref_tokens(text):
         hw = 0
         for b in w.encode("utf-8"):
             hw = (hw * 131 + b) & 0xFFFFFFFFFFFFFFFF
@@ -59,6 +70,10 @@ def _corpus():
         k = int(rng.integers(0, 60))
         texts.append(" ".join(rng.choice(words, k)))
     texts.append("  leading and   multiple   spaces  ")
+    # non-ASCII whitespace & \x0b are TOKEN characters (RE2 \s semantics;
+    # Python str.split() would treat them as separators)
+    texts.append("nbsp\xa0joined and line seps")
+    texts.append("vt\x0bjoined \x1c ctl x\x85y")
     texts.append("\tmixed\nwhitespace and unicode 漢字 teste")
     return texts
 
@@ -190,7 +205,7 @@ def test_simhash_streams_giant_doc():
     got = TH.simhash_batch(texts)
 
     def naive(text):
-        toks = text.split()
+        toks = _ref_tokens(text)
         if not toks:
             return 0
         hs = [int(h) for h in TH.fnv1a_bulk([t.encode() for t in toks])]
@@ -201,6 +216,80 @@ def test_simhash_streams_giant_doc():
         return v
 
     assert got.tolist() == [naive(t) for t in texts]
+
+
+def test_tokenize_matches_duckdb_re2_split():
+    # the engine-wide token boundary must equal the oracles' RE2 \s+ split
+    # for ANY input — including NBSP, line/para separators, \x0b, \x85 and
+    # control chars, where Python str.split() / Arrow utf8_split_whitespace
+    # diverge (r3 review)
+    import duckdb
+
+    texts = _corpus()
+    buf = TH.tokenize(texts)
+    pos = 0
+    for t, c in zip(texts, buf.counts):
+        duck = duckdb.sql(
+            "SELECT list_filter(regexp_extract_all(?, '\\S+'), x -> x <> '')",
+            params=[t]).fetchone()[0]
+        got = []
+        for k in range(int(c)):
+            s = int(buf.tok_starts[pos + k])
+            e = s + int(buf.tok_lens[pos + k])
+            got.append(buf.flat[s:e].tobytes().decode("utf-8"))
+        assert got == duck, repr(t)
+        pos += int(c)
+
+
+def test_split_tokens_arrow_matches_tokenize():
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    texts = _corpus()
+    toks = TH.split_tokens_arrow(pa.array(texts))
+    flat = pc.list_flatten(toks)
+    nonempty = flat.filter(pc.not_equal(flat, ""))
+    buf = TH.tokenize(texts)
+    want = []
+    for s, ln in zip(buf.tok_starts, buf.tok_lens):
+        want.append(buf.flat[int(s):int(s) + int(ln)].tobytes().decode())
+    assert nonempty.to_pylist() == want
+
+
+def test_split_tokens_arrow_fast_path_equals_regex():
+    # the ascii_split_whitespace fast path must emit the BYTE-IDENTICAL
+    # slot structure as RE2 split_pattern_regex('\s+'), and the \x0b probe
+    # must route vertical-tab batches through the exact regex kernel
+    import random
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    random.seed(3)
+    alphabet = [chr(c) for c in range(1, 128)] + ["é", "漢", "\xa0", " ", " "]
+    texts = ["".join(random.choice(alphabet)
+                     for _ in range(random.randrange(0, 60)))
+             for _ in range(2000)]
+    texts += ["a\x0bb c", "", " ", "plain text"]
+    arr = pa.array(texts)
+    got = TH.split_tokens_arrow(arr)  # \x0b present -> regex path
+    want = pc.split_pattern_regex(arr, r"\s+")
+    assert got.to_pylist() == want.to_pylist()
+    no_vt = pa.array([t for t in texts if "\x0b" not in t])
+    got2 = TH.split_tokens_arrow(no_vt)  # fast path
+    want2 = pc.split_pattern_regex(no_vt, r"\s+")
+    assert got2.to_pylist() == want2.to_pylist()
+
+
+def test_stopword_counts_case_insensitive():
+    # engine side of the quality oracle's lower(): 'The'/'OF'/'aNd' count
+    sw = ("the", "a", "of", "and")
+    texts = ["The cat OF the house", "aNd A ox", "no stops here", ""]
+    got = TH.stopword_counts(TH.tokenize(texts), sw)
+    assert got.tolist() == [3, 2, 0, 0]
+    # '@' (0x40) and '`'-adjacent bytes must NOT fold into letters
+    got2 = TH.stopword_counts(TH.tokenize(["@ a `"]), sw)
+    assert got2.tolist() == [1]
 
 
 def test_hash_arrow_strings_rejects_dictionary():
