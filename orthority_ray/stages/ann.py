@@ -52,10 +52,15 @@ def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 
 
 def load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    """(qids, Q x d unit matrix) — the broadcast side (vec_id % QUERY_MOD
-    == 0).  Selected with a DISTRIBUTED per-batch filter; only the ~N/997
+    """(qids, Q x d ~unit matrix) — the broadcast side (vec_id % QUERY_MOD
+    == 0).  Selected with a DISTRIBUTED per-batch filter; only the ~N/50
     query rows ever reach the driver (a full-table driver read here was a
-    10^12-scale landmine the zero-materialization gate could not see)."""
+    10^12-scale landmine the zero-materialization gate could not see).
+    SCALE CONTRACT: the query side must stay broadcast-sized — QUERY_MOD=50
+    (2% of the corpus) is a test-scale density; a 10^12-row corpus needs a
+    fixed query set or a much larger modulus, not 2% of the table.  Rows
+    are only ~unit (float32 storage error ~1e-7): scorers whose key is
+    round(cosine * SCALE) must renormalize, and all of them do."""
 
     def sel(b: pa.Table) -> pa.Table:
         ids = b["vec_id"].to_numpy(zero_copy_only=False)
@@ -107,6 +112,28 @@ class _PartialTopSim:
                 "query_id": pa.array(self.qids[cols]),
                 "neighbor_id": pa.array(ids[rows]),
                 "sim_key": pa.array(sim_key[rows, cols]),
+            }
+        )
+
+    def _topk_from_candidates(self, ids, cand_q, cand_r, cand_k) -> pa.Table:
+        """Shared tail of the pruned scorers (IVF / LSH): one global sort
+        of the (query, key, id) candidate triples + segment rank picks each
+        query's per-batch top-k — no per-query Python."""
+        q_arr = np.concatenate(cand_q)
+        r_arr = np.concatenate(cand_r)
+        k_arr = np.concatenate(cand_k)
+        n_arr = ids[r_arr]
+        order = np.lexsort((n_arr, -k_arr, q_arr))  # (query, -key, id)
+        q_s, k_s, n_s = q_arr[order], k_arr[order], n_arr[order]
+        starts = np.concatenate([[0], np.flatnonzero(q_s[1:] != q_s[:-1]) + 1])
+        sizes = np.diff(np.concatenate([starts, [len(q_s)]]))
+        rank = np.arange(len(q_s)) - np.repeat(starts, sizes)
+        keep = rank < self.k
+        return pa.table(
+            {
+                "query_id": pa.array(self.qids[q_s[keep]]),
+                "neighbor_id": pa.array(n_s[keep]),
+                "sim_key": pa.array(k_s[keep]),
             }
         )
 
@@ -229,23 +256,7 @@ class _IvfPartial(_PartialTopSim):
             cand_k.append(key.ravel())
         if not cand_q:
             return empty
-        q_arr = np.concatenate(cand_q)
-        r_arr = np.concatenate(cand_r)
-        k_arr = np.concatenate(cand_k)
-        n_arr = ids[r_arr]
-        order = np.lexsort((n_arr, -k_arr, q_arr))  # (query, -key, id)
-        q_s, k_s, n_s = q_arr[order], k_arr[order], n_arr[order]
-        starts = np.concatenate([[0], np.flatnonzero(q_s[1:] != q_s[:-1]) + 1])
-        sizes = np.diff(np.concatenate([starts, [len(q_s)]]))
-        rank = np.arange(len(q_s)) - np.repeat(starts, sizes)
-        keep = rank < self.k
-        return pa.table(
-            {
-                "query_id": pa.array(self.qids[q_s[keep]]),
-                "neighbor_id": pa.array(n_s[keep]),
-                "sim_key": pa.array(k_s[keep]),
-            }
-        )
+        return self._topk_from_candidates(ids, cand_q, cand_r, cand_k)
 
 
 def ann_ivf(sf_dir: str, k: int = K, nlist: int = N_LIST, nprobe: int = N_PROBE,
@@ -284,43 +295,61 @@ def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
 
 
 class _LshPartial(_PartialTopSim):
-    """Partial top-k scoring only same-bucket (+1-bit-flip) vectors."""
+    """Partial top-k scoring only same-bucket (+1-bit-flip) vectors.
+
+    Loops over the <= 2^N_PLANES BUCKETS (bounded, 16), not the queries
+    (~N/QUERY_MOD, which grows with the corpus): each bucket's rows are
+    scored once against exactly the queries probing it — the same pruned
+    candidate set as the per-query formulation (r3 review: the old
+    per-query loop paid O(Q) interpreter iterations x an np.isin over the
+    batch per query), then the shared global-sort tail picks each query's
+    per-batch top-k."""
 
     def __init__(self, queries_ref, k: int = K):
         super().__init__(queries_ref, k)
         self.planes = _planes(self.q.shape[1])
         qb = _bucket_of(self.q, self.planes)
-        flips = qb[:, None] ^ (1 << np.arange(N_PLANES))[None, :]
-        self.q_buckets = [set([int(b)] + f.tolist()) for b, f in zip(qb, flips)]
+        probes = np.concatenate([qb[:, None],
+                                 qb[:, None] ^ (1 << np.arange(N_PLANES))[None, :]],
+                                axis=1)  # (Q, N_PLANES + 1)
+        Q = qb.shape[0]
+        # bucket -> sorted array of probing query indices
+        self.bucket_probes: dict[int, np.ndarray] = {}
+        flat_b = probes.ravel()
+        flat_q = np.repeat(np.arange(Q), N_PLANES + 1)
+        order = np.argsort(flat_b, kind="stable")
+        fb, fq = flat_b[order], flat_q[order]
+        starts = np.flatnonzero(np.concatenate([[True], fb[1:] != fb[:-1]]))
+        ends = np.concatenate([starts[1:], [fb.shape[0]]])
+        for s, e in zip(starts, ends):
+            self.bucket_probes[int(fb[s])] = np.unique(fq[s:e])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, m = _emb_matrix(batch)
         empty = pa.table({"query_id": pa.array([], pa.int64()),
                           "neighbor_id": pa.array([], pa.int64()),
                           "sim_key": pa.array([], pa.int64())})
-        if len(ids) == 0:
+        if len(ids) == 0 or len(self.qids) == 0:
             return empty
         vb = _bucket_of(m, self.planes)
-        out = []
-        for c in range(len(self.qids)):
-            mask = np.isin(vb, list(self.q_buckets[c]))
-            if not mask.any():
+        order = np.argsort(vb, kind="stable")
+        vb_s = vb[order]
+        starts = np.flatnonzero(np.concatenate([[True], vb_s[1:] != vb_s[:-1]]))
+        ends = np.concatenate([starts[1:], [vb_s.shape[0]]])
+        cand_q, cand_r, cand_k = [], [], []
+        for s, e in zip(starts, ends):
+            qs = self.bucket_probes.get(int(vb_s[s]))
+            if qs is None:
                 continue
-            sims = _cosine(m[mask], self.q[c : c + 1])[:, 0]
+            rows = order[s:e]
+            sims = _cosine(m[rows], self.q[qs])  # (rows, qs)
             key = np.floor(sims * SIM_SCALE + 0.5).astype(np.int64)
-            sub_ids = ids[mask]
-            k = min(self.k, key.shape[0])
-            order = np.lexsort((sub_ids, -key))[:k]
-            out.append(
-                pa.table(
-                    {
-                        "query_id": pa.array(np.full(k, self.qids[c], dtype=np.int64)),
-                        "neighbor_id": pa.array(sub_ids[order]),
-                        "sim_key": pa.array(key[order]),
-                    }
-                )
-            )
-        return pa.concat_tables(out) if out else empty
+            cand_q.append(np.tile(qs, rows.size))
+            cand_r.append(np.repeat(rows, qs.size))
+            cand_k.append(key.ravel())
+        if not cand_q:
+            return empty
+        return self._topk_from_candidates(ids, cand_q, cand_r, cand_k)
 
 
 def ann_lsh(sf_dir: str, k: int = K, *, concurrency: int | None = None) -> ray.data.Dataset:
@@ -527,12 +556,19 @@ def _dim_scales(ds: ray.data.Dataset) -> np.ndarray:
 
     def partial(b: pa.Table) -> pa.Table:
         _, m = _emb_matrix(b)
+        if not m.shape[0]:
+            # an empty block's dim degenerates to 0 (_emb_matrix derives it
+            # from the data), and a (0,) row would break the driver-side
+            # np.stack — emit no partial row at all (r3 review)
+            return pa.table({"mx": pa.array([], pa.large_binary())})
         mn = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
-        mx = np.abs(mn).max(axis=0) if mn.shape[0] else np.zeros(m.shape[1])
+        mx = np.abs(mn).max(axis=0)
         return pa.table({"mx": pa.array([mx.tobytes()], pa.large_binary())})
 
     rows = ds.map_batches(partial, batch_format="pyarrow",
                           batch_size=4096).take_all()
+    if not rows:
+        raise ValueError("ann_int8 calibration over an empty corpus")
     mats = np.stack([np.frombuffer(r["mx"], np.float64) for r in rows])
     out = mats.max(axis=0)
     return np.where(out == 0.0, 1.0, out)
@@ -614,6 +650,11 @@ PQ_M = 16    # subspaces: 64-dim embeddings -> 16 x 4-dim sub-vectors
 # (16 bytes/vector = 16x smaller than float32; with the exact re-rank the
 # measured recall@10 vs brute force is 1.0 at sf0.01, 0.93 at m=8)
 PQ_K = 256   # centroids per subspace -> one uint8 code per sub-vector
+# ADC shortlist size — ONE constant shared by the per-batch emit threshold
+# (_PqScan) and the global merge cut (merge_pq): the partition-invariance
+# proof requires the two to be EQUAL (each batch emits a superset of the
+# global ADC top-PQ_RERANK), so never tune one without the other
+PQ_RERANK = 64
 
 
 _PQ_BOOKS_CACHE: dict[tuple, np.ndarray] = {}
@@ -686,13 +727,17 @@ class _PqScan:
     and accumulates m table gathers — no float matmul over the corpus, and
     at scale the codes (m bytes/vector vs 4d) are what lives in memory."""
 
-    def __init__(self, queries_ref, books_ref, k: int = K, rerank: int = 64):
+    def __init__(self, queries_ref, books_ref, k: int = K,
+                 rerank: int = PQ_RERANK):
         self.qids, q = ray.get(queries_ref)
-        self.qn = q  # load_queries returns unit rows
+        # normalize explicitly (r3 review: the stored embeddings are only
+        # ~unit, off by ~1e-7 — every other scorer renormalizes, and the
+        # sim_key contract is round(cosine * SCALE), not round(dot))
+        self.qn = q / np.sqrt((q * q).sum(axis=1, keepdims=True))
         self.books = ray.get(books_ref)  # (m, k_eff, sub_d)
         m, k_eff, sub_d = self.books.shape
         # LUT[q, s, c] = <q_sub[s], centroid[s, c]>
-        qs = q.reshape(q.shape[0], m, sub_d)
+        qs = self.qn.reshape(self.qn.shape[0], m, sub_d)
         self.lut = np.einsum("qsd,scd->qsc", qs, self.books)
         self.k = k
         self.rerank = rerank  # ADC shortlist size per query per batch
@@ -711,8 +756,11 @@ class _PqScan:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, mtx = _emb_matrix(batch)
         if len(ids) == 0 or len(self.qids) == 0:
+            # schema must match the non-empty branch (incl. adc_key), or a
+            # single empty block poisons the shuffle's schema unification
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "neighbor_id": pa.array([], pa.int64()),
+                             "adc_key": pa.array([], pa.int64()),
                              "sim_key": pa.array([], pa.int64())})
         mtx = mtx / np.sqrt((mtx * mtx).sum(axis=1, keepdims=True))
         codes = self._encode(mtx)
@@ -767,7 +815,7 @@ def ann_pq(sf_dir: str, k: int = K, m: int = PQ_M, *,
         concurrency=concurrency,
     )
 
-    def merge_pq(g: pd.DataFrame, rerank: int = 64) -> pd.DataFrame:
+    def merge_pq(g: pd.DataFrame, rerank: int = PQ_RERANK) -> pd.DataFrame:
         # global ADC top-``rerank`` under the (adc desc, id asc) total
         # order, then the exact-cosine top-k — both deterministic, so the
         # result no longer depends on batch boundaries

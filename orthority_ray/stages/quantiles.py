@@ -6,7 +6,7 @@ min/max.  Three Ray-Data-first strategies, by data shape:
 
 - :func:`grouped_median` — EXACT per-group discrete median via
   ``groupby(key).map_groups`` (a group fits a worker: the grouped-quantile
-  case).  DuckDB-oracle-exact: picks ``sorted[floor((n-1)*q)]``, the same
+  case).  DuckDB-oracle-exact: picks ``sorted[ceil(n*q) - 1]``, the same
   element as ``quantile_disc(col, q)``.
 - :func:`exact_quantiles_int` — EXACT global quantiles of an integer column
   via the two-pass count-then-select: per-batch ``np.bincount`` partials ->
@@ -31,9 +31,13 @@ import ray.data
 
 
 def _disc_index(n: int, q: float) -> int:
-    """Index of the discrete q-quantile in a sorted array — the same
-    element DuckDB's quantile_disc picks (verified: floor((n-1)*q))."""
-    return int(np.floor((n - 1) * q))
+    """Index of the discrete q-quantile in a sorted array — the smallest
+    element whose CDF >= q, i.e. ``ceil(n*q) - 1`` (clamped at 0 for q=0),
+    the element DuckDB's quantile_disc picks.  r3 review: the previous
+    ``floor((n-1)*q)`` diverges whenever frac(n*q) is in (0, q) — e.g.
+    n=12, q=0.9 picks index 9 instead of DuckDB's 10 — and only matched
+    the oracle because the test table's row count is a multiple of 100."""
+    return max(int(np.ceil(n * q)) - 1, 0)
 
 
 def grouped_median(ds: ray.data.Dataset, key: str, col: str,

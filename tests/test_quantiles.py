@@ -26,8 +26,25 @@ def values():
 
 
 def _disc(v, q):
+    # DuckDB quantile_disc semantics: smallest element with CDF >= q, i.e.
+    # sorted[ceil(n*q) - 1] — NOT floor((n-1)*q), which diverges whenever
+    # frac(n*q) lands in (0, q) (r3 review; the old reference here mirrored
+    # the engine's bug instead of the oracle)
     s = np.sort(v)
-    return s[int(np.floor((len(s) - 1) * q))]
+    return s[max(int(np.ceil(len(s) * q)) - 1, 0)]
+
+
+def test_disc_index_matches_duckdb_quantile_disc():
+    import duckdb
+
+    rng = np.random.default_rng(5)
+    for n in (1, 2, 7, 12, 100, 101, 6002):
+        vals = np.sort(rng.integers(0, 40, n))
+        for q in QS:
+            duck = duckdb.sql(
+                "SELECT quantile_disc(v, ?) FROM (SELECT unnest($2) v)",
+                params=[q, vals.tolist()]).fetchone()[0]
+            assert vals[max(int(np.ceil(n * q)) - 1, 0)] == duck, (n, q)
 
 
 def test_exact_quantiles_int_matches_numpy(values):
