@@ -139,7 +139,7 @@ def q_heavy_hitters(sf_dir: str):
     from orthority_ray.stages.sketches import heavy_hitters
 
     ds = (
-        read_pages(sf_dir)
+        read_pages(sf_dir, columns=["text"])
         .map_batches(lambda b: D.add_text_md5(b), batch_format="pyarrow",
                      batch_size=8192)
         .select_columns(["text_md5"])
@@ -169,8 +169,8 @@ def q_stratified_sample(sf_dir: str):
         g = g.drop_duplicates().sort_values(["h", "doc_id"], kind="mergesort")
         return g.head(SAMPLE_K)
 
-    parts = read_pages(sf_dir).map_batches(partial, batch_format="pyarrow",
-                                           batch_size=65536)
+    parts = read_pages(sf_dir, columns=["lang", "doc_id"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536)
     return parts.groupby("lang").map_groups(merge, batch_format="pandas")
 
 
@@ -196,14 +196,16 @@ def q_vocabulary(sf_dir: str):
     from orthority_ray.stages.sketches import heavy_hitters_weighted
 
     def tok_counts(b):
-        t = pc.list_flatten(pc.utf8_split_whitespace(b["text"].combine_chunks()))
+        from orthority_ray.core.texthash import split_tokens_arrow
+
+        t = pc.list_flatten(split_tokens_arrow(b["text"]))
         t = t.filter(pc.not_equal(t, ""))
         vc = pc.value_counts(t)
         return pa.table({"token": vc.field("values"),
                          "c": vc.field("counts").cast(pa.int64())})
 
-    parts = read_pages(sf_dir).map_batches(tok_counts, batch_format="pyarrow",
-                                           batch_size=16384)
+    parts = read_pages(sf_dir, columns=["text"]).map_batches(
+        tok_counts, batch_format="pyarrow", batch_size=16384)
     return heavy_hitters_weighted(parts, "token", "c", inv_phi=30,
                                   count_alias="n_tok")
 
@@ -315,7 +317,7 @@ def q_hll_by_lang(sf_dir: str):
     from orthority_ray.stages.sketches import hll_grouped
 
     return hll_grouped(
-        read_pages(sf_dir).select_columns(["lang", "doc_id"]), "lang", "doc_id")
+        read_pages(sf_dir, columns=["lang", "doc_id"]), "lang", "doc_id")
 
 
 def q_hll_distinct(sf_dir: str):
@@ -328,13 +330,14 @@ def q_hll_distinct(sf_dir: str):
 
 def q_text_features(sf_dir: str):
     return (
-        T.text_features(read_pages(sf_dir))
+        T.text_features(read_pages(sf_dir, columns=["doc_id", "text"]))
         .select_columns(["doc_id", "n_tokens", "n_chars_x"])
     )
 
 
 def q_quality(sf_dir: str):
-    return T.quality(read_pages(sf_dir)).select_columns(["doc_id", "quality"])
+    return T.quality(read_pages(sf_dir, columns=["doc_id", "text"])) \
+        .select_columns(["doc_id", "quality"])
 
 
 def q_extract_verify(sf_dir: str):
@@ -356,7 +359,8 @@ def q_extract_verify(sf_dir: str):
             }
         )
 
-    parts = read_pages(sf_dir).map_batches(counts, batch_format="pyarrow").to_pandas()
+    parts = read_pages(sf_dir, columns=["html", "text"]).map_batches(
+        counts, batch_format="pyarrow").to_pandas()
     return pd.DataFrame(
         {"n_pages": [int(parts["n_pages"].sum())], "n_bad": [int(parts["n_bad"].sum())]}
     )
@@ -669,7 +673,7 @@ def q_host_stats(sf_dir: str):
     shuffle)."""
     from orthority_ray.stages.urlstats import host_stats
 
-    return host_stats(read_pages(sf_dir).select_columns(["url", "doc_id"]))
+    return host_stats(read_pages(sf_dir, columns=["url", "doc_id"]))
 
 
 def q_host_page_join(sf_dir: str):
@@ -684,7 +688,7 @@ def q_host_page_join(sf_dir: str):
     from orthority_ray.stages.urlstats import parse_urls
 
     pages = parse_urls(
-        read_pages(sf_dir).select_columns(["url", "doc_id"])
+        read_pages(sf_dir, columns=["url", "doc_id"])
     ).select_columns(["doc_id", "host"])
     per_host = R.combined_groupby_sum(pages, ["host"], [],
                                       count_alias="host_pages")
@@ -713,7 +717,7 @@ def q_host_page_join_broadcast(sf_dir: str):
     from orthority_ray.stages.urlstats import parse_urls
 
     pages = parse_urls(
-        read_pages(sf_dir).select_columns(["url", "doc_id"])
+        read_pages(sf_dir, columns=["url", "doc_id"])
     ).select_columns(["doc_id", "host"])
     per_host = R.combined_groupby_sum(pages, ["host"], [],
                                       count_alias="host_pages")
@@ -744,7 +748,7 @@ def q_url_redact(sf_dir: str):
     compare) — stages/urlstats.redact_urls."""
     from orthority_ray.stages.urlstats import redact_urls
 
-    return redact_urls(read_pages(sf_dir).select_columns(["url", "doc_id"]))
+    return redact_urls(read_pages(sf_dir, columns=["url", "doc_id"]))
 
 
 def q_text_normalize(sf_dir: str):
@@ -773,7 +777,7 @@ def q_text_normalize(sf_dir: str):
             }
         )
 
-    return read_pages(sf_dir).select_columns(["text", "doc_id"]).map_batches(
+    return read_pages(sf_dir, columns=["text", "doc_id"]).map_batches(
         fn, batch_format="pyarrow", batch_size=None
     )
 
@@ -811,11 +815,12 @@ def q_doc_typicality(sf_dir: str):
     """Train-then-score: exact corpus token frequencies fitted in one pass,
     broadcast, then every page scored (sum + min of its tokens' corpus
     counts) — stages/textstats.doc_typicality."""
-    return T.doc_typicality(read_pages(sf_dir).select_columns(["text", "doc_id"]))
+    return T.doc_typicality(read_pages(sf_dir, columns=["text", "doc_id"]))
 
 
 def q_lang_id(sf_dir: str):
-    return T.lang_id(read_pages(sf_dir)).select_columns(["doc_id", "lang", "lang_pred"])
+    return T.lang_id(read_pages(sf_dir, columns=["doc_id", "lang", "text"])) \
+        .select_columns(["doc_id", "lang", "lang_pred"])
 
 
 def q_ann_lsh(sf_dir: str):

@@ -60,11 +60,16 @@ def cmd_query(args) -> int:
     res = qs[args.name](args.sf_dir)
     ds = res if isinstance(res, ray.data.Dataset) else None
     if ds is not None:
-        res = ds.limit(args.limit).to_pandas() if args.limit else ds.to_pandas()
-    elif isinstance(res, pa.Table):
-        res = res.to_pandas()
-    if args.limit:
-        res = res.head(args.limit)
+        # keep the EXECUTED dataset for --stats: limit() copies the plan,
+        # so calling stats() on the unlimited base printed "" (r3 review)
+        if args.limit:
+            ds = ds.limit(args.limit)
+        res = ds.to_pandas()
+    else:
+        if isinstance(res, pa.Table):
+            res = res.to_pandas()
+        if args.limit:
+            res = res.head(args.limit)
     print(res.to_string(index=False))
     if getattr(args, "stats", False):
         # per-stage wall/CPU/rows from Ray Data's executor — the profiling

@@ -37,7 +37,7 @@ def training_prep(sf_dir: str) -> ray.data.Dataset:
     from ..stages.spandedup import contamination_filter
     from ..stages.textstats import quality
 
-    pages = read_pages(sf_dir).select_columns(["doc_id", "text"])
+    pages = read_pages(sf_dir, columns=["doc_id", "text"])
     scored = quality(pages)
 
     def keep_and_hash(b: pa.Table) -> pa.Table:

@@ -39,7 +39,12 @@ def resolve_inputs(spec: str) -> tuple[fsspec.AbstractFileSystem, list[str]]:
     (filesystem, sorted concrete parquet-file paths)."""
     fs, _, paths = fsspec.get_fs_token_paths(spec)
     if len(paths) == 1 and fs.isdir(paths[0]):
-        paths = sorted(fs.glob(posixpath.join(paths[0], "*.parquet")))
+        # recursive, like core/config._parquet_files' rglob — partitioned
+        # layouts (key=1/part-0.parquet) are first-class inputs (r3 review:
+        # a top-level-only glob silently found zero files in them)
+        paths = sorted(set(fs.glob(posixpath.join(paths[0], "*.parquet")))
+                       | set(fs.glob(posixpath.join(paths[0],
+                                                    "**/*.parquet"))))
     paths = [p for p in paths if not fs.isdir(p)]
     if not paths:
         raise FileNotFoundError(f"no parquet inputs match {spec!r}")
@@ -102,15 +107,22 @@ def incremental_ingest(
     files next time (at-least-once, the lineage contract) and a committed
     run skips them.
 
-    ``quarantine=True`` (default): files whose parquet footer cannot be
-    read are split out instead of killing the whole drop — they go to a
-    separate quarantine manifest on commit (so a later fixed copy with the
-    same path is NOT retried automatically; operators triage the list),
-    and the returned dataset covers only the readable files.  Real crawl
-    drops contain truncated files; one bad shard must not block the other
-    9999."""
+    ``quarantine=True`` (default): files whose parquet footer is CORRUPT
+    (Arrow parse error) are split out instead of killing the whole drop —
+    they go to a separate quarantine manifest on commit (so a later fixed
+    copy with the same path is NOT retried automatically; operators triage
+    the list), and the returned dataset covers only the readable files.
+    Real crawl drops contain truncated files; one bad shard must not block
+    the other 9999.  TRANSIENT failures (OSError/timeout on a healthy
+    file) are retried and then RAISED, never quarantined — quarantine is
+    permanent, so admitting a flaky read would silently drop the file from
+    the corpus forever (r3 review).  Footers are validated concurrently
+    (thread pool: the checks are IO-bound metadata round trips), not in a
+    serial driver loop."""
     import os
+    from concurrent.futures import ThreadPoolExecutor
 
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     fs, paths = resolve_inputs(spec)
@@ -118,15 +130,26 @@ def incremental_ingest(
     new = [p for p in paths if p not in done]
     bad: list[str] = []
     if quarantine and new:
-        readable = []
-        for p in new:
-            try:
-                with fs.open(p, "rb") as f:
-                    pq.read_schema(f)
-                readable.append(p)
-            except Exception:
-                bad.append(p)
-        new = readable
+        def check(p: str) -> tuple[str, bool]:
+            last: Exception | None = None
+            for _ in range(3):
+                try:
+                    with fs.open(p, "rb") as f:
+                        pq.read_schema(f)
+                    return p, True
+                except pa.ArrowInvalid:
+                    return p, False  # corrupt footer: quarantine
+                except Exception as e:  # transient IO: retry, then raise
+                    last = e
+            raise RuntimeError(
+                f"transient read failure on {p!r} after 3 attempts "
+                f"(NOT quarantined — fix the storage issue and re-run)"
+            ) from last
+
+        with ThreadPoolExecutor(min(32, len(new))) as ex:
+            results = list(ex.map(check, new))
+        new = [p for p, ok in results if ok]
+        bad = [p for p, ok in results if not ok]
     ds = None
     if new:
         ds = ray.data.read_parquet(new, filesystem=_ray_filesystem(fs),

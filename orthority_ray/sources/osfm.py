@@ -48,9 +48,20 @@ class OsfmReader:
 
     def read_int_param(self) -> dict:
         out = {}
+        self.skipped_cameras: list[str] = []
         for cam_id, c in self.doc.get("cameras", {}).items():
             cam_type = _PROJECTION_TO_CAM_TYPE.get(c.get("projection_type", "perspective"))
             if cam_type is None:
+                # record the drop so read_ext_param can exclude (and note)
+                # shots referencing it — silently keeping those shots made a
+                # downstream camera-bank lookup KeyError far from the cause
+                # (r3 review)
+                import warnings
+
+                self.skipped_cameras.append(cam_id)
+                warnings.warn(
+                    f"skipping unsupported projection_type "
+                    f"{c.get('projection_type')!r} (camera {cam_id!r})")
                 continue
             w, h = int(c["width"]), int(c["height"])
             if "focal" in c:
@@ -79,8 +90,20 @@ class OsfmReader:
         return out
 
     def read_ext_param(self) -> dict:
+        skipped = set(getattr(self, "skipped_cameras", ()) or ())
+        if not skipped:  # derive even if read_int_param was never called
+            skipped = {cid for cid, c in self.doc.get("cameras", {}).items()
+                       if _PROJECTION_TO_CAM_TYPE.get(
+                           c.get("projection_type", "perspective")) is None}
         out = {}
         for name, shot in self.doc.get("shots", {}).items():
+            if shot["camera"] in skipped:
+                import warnings
+
+                warnings.warn(
+                    f"skipping shot {name!r}: its camera {shot['camera']!r} "
+                    f"has an unsupported projection type")
+                continue
             xyz, opk = cv_ext_to_oty_ext(
                 t=shot["translation"], r=shot["rotation"], ref_xyz=self.ref_xyz
             )

@@ -104,39 +104,55 @@ class PageSynth:
         ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
         return self._synth(ok * 8 + ln)
 
-    def _synth(self, doc_id: np.ndarray) -> pa.Table:
+    ALL_COLUMNS = ("url", "warc_ts", "html", "text", "lang", "doc_id")
+
+    def _synth(self, doc_id: np.ndarray,
+               columns: tuple[str, ...] | list[str] | None = None) -> pa.Table:
+        """Build ONLY the requested columns — synth-side column pruning
+        (r3 review: text-only pipelines paid for the url lpads and the
+        html binary concat, roughly doubling the hot input stage)."""
+        cols = tuple(columns) if columns else self.ALL_COLUMNS
         idx = pa.array(doc_id % 500)
-        text = pc.take(self.text, idx)
-        lang = pc.take(self.lang, idx)
-        site = pc.utf8_lpad(pc.cast(pa.array(doc_id % 1000), pa.string()), 4, "0")
-        did = pc.utf8_lpad(pc.cast(pa.array(doc_id), pa.string()), 10, "0")
-        url = pc.binary_join_element_wise(
-            pa.scalar("https://site"), site, pa.scalar(".example/"), did, pa.scalar("")
-        )
-        warc_ts = pa.array(WARC_EPOCH_US + doc_id * 1_000_000).cast(pa.timestamp("us"))
-        html = pc.binary_join_element_wise(
-            pa.scalar(HTML_PREFIX, pa.binary()),
-            text.cast(pa.binary()),
-            pa.scalar(HTML_SUFFIX, pa.binary()),
-            pa.scalar(b"", pa.binary()),
-        )
-        return pa.table(
-            {
-                "url": url,
-                "warc_ts": warc_ts,
-                "html": html,
-                "text": text,
-                "lang": lang,
-                "doc_id": pa.array(doc_id),
-            }
-        )
+        text = (pc.take(self.text, idx)
+                if ("text" in cols or "html" in cols) else None)
+        out: dict = {}
+        for c in cols:
+            if c == "url":
+                site = pc.utf8_lpad(
+                    pc.cast(pa.array(doc_id % 1000), pa.string()), 4, "0")
+                did = pc.utf8_lpad(pc.cast(pa.array(doc_id), pa.string()),
+                                   10, "0")
+                out[c] = pc.binary_join_element_wise(
+                    pa.scalar("https://site"), site, pa.scalar(".example/"),
+                    did, pa.scalar(""))
+            elif c == "warc_ts":
+                out[c] = pa.array(
+                    WARC_EPOCH_US + doc_id * 1_000_000).cast(pa.timestamp("us"))
+            elif c == "html":
+                out[c] = pc.binary_join_element_wise(
+                    pa.scalar(HTML_PREFIX, pa.binary()),
+                    text.cast(pa.binary()),
+                    pa.scalar(HTML_SUFFIX, pa.binary()),
+                    pa.scalar(b"", pa.binary()))
+            elif c == "text":
+                out[c] = text
+            elif c == "lang":
+                out[c] = pc.take(self.lang, idx)
+            elif c == "doc_id":
+                out[c] = pa.array(doc_id)
+            else:
+                raise KeyError(f"unknown page column {c!r}")
+        return pa.table(out)
 
 
-def read_pages(sf_dir: str, *, concurrency: int | None = None) -> ray.data.Dataset:
+def read_pages(sf_dir: str, *, columns: list[str] | None = None,
+               concurrency: int | None = None) -> ray.data.Dataset:
     """pages Dataset for a testdata directory.  Reads ONLY the two lineitem
     key columns (column pruning at the read), then synthesizes page rows in
-    stateless tasks with the broadcast documents table cached per worker."""
-    return pages_from_keys(read_page_keys(sf_dir), sf_dir)
+    stateless tasks with the broadcast documents table cached per worker.
+    ``columns`` prunes at the SYNTH too — callers that would immediately
+    select_columns should pass it so unused payloads are never built."""
+    return pages_from_keys(read_page_keys(sf_dir), sf_dir, columns=columns)
 
 
 def read_page_keys_replicated(sf_dir: str, replicate: int) -> ray.data.Dataset:
@@ -185,18 +201,21 @@ def read_page_keys_replicated(sf_dir: str, replicate: int) -> ray.data.Dataset:
     )
 
 
-def pages_from_keys(keys_ds: ray.data.Dataset, sf_dir: str) -> ray.data.Dataset:
-    """Synthesize full page rows from a doc_id Dataset (same payload rules as
-    read_pages, keyed by doc_id % 500 into the broadcast documents table).
+def pages_from_keys(keys_ds: ray.data.Dataset, sf_dir: str,
+                    columns: list[str] | None = None) -> ray.data.Dataset:
+    """Synthesize page rows from a doc_id Dataset (same payload rules as
+    read_pages, keyed by doc_id % 500 into the broadcast documents table);
+    ``columns`` restricts which page columns are built at all.
 
     STATELESS tasks + per-worker broadcast cache — the side table is tiny,
     so elastic tasks beat an actor pool (no process spawn in the hot path)."""
     documents_ref = ray.put(load_documents(sf_dir))
+    cols = tuple(columns) if columns else None
 
     def synth(batch: pa.Table) -> pa.Table:
         fn = cached_instance("pagesynth:" + documents_ref.hex(),
                              lambda: PageSynth(documents_ref))
-        return fn._synth(batch["doc_id"].to_numpy(zero_copy_only=False))
+        return fn._synth(batch["doc_id"].to_numpy(zero_copy_only=False), cols)
 
     return keys_ds.map_batches(synth, batch_format="pyarrow", batch_size=16384)
 

@@ -307,7 +307,7 @@ def bpe_encode(sf_dir: str, n_merges: int = 12) -> ray.data.Dataset:
     sequential rounds dominate the query otherwise."""
     from ..sources.pages import read_pages
 
-    pages = read_pages(sf_dir).select_columns(["doc_id", "text"])
+    pages = read_pages(sf_dir, columns=["doc_id", "text"])
     ck = (sf_dir, n_merges)
     merges = _MERGES_CACHE.get(ck)
     if merges is None:

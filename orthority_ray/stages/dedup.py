@@ -656,8 +656,8 @@ def write_dedup_layout(sf_dir: str, out_dir: str, n_parts: int = 16,
     n_buckets = max(64, int(parquet_bytes(_tp(sf_dir, "lineitem"))
                             // (64 << 20)))
     reps = exact_dedup(
-        read_pages(sf_dir).select_columns(
-            ["doc_id", "url", "warc_ts", "lang", "text"]),
+        read_pages(sf_dir,
+                   columns=["doc_id", "url", "warc_ts", "lang", "text"]),
         n_buckets=n_buckets)
 
     out_cols = ["doc_id", "url", "warc_ts", "lang", "text_md5", "text"]

@@ -231,7 +231,8 @@ def incremental_dedup(sf_dir: str) -> ray.data.Dataset:
         text = pc.if_else(pa.array(doc % _MUT_MOD == 0), mut, b["text"])
         return pa.table({"doc_id": b["doc_id"], "text": text})
 
-    stream = read_pages(sf_dir).map_batches(mutate, batch_format="pyarrow",
+    stream = read_pages(sf_dir, columns=["doc_id", "text"]).map_batches(
+        mutate, batch_format="pyarrow",
                                             batch_size=16384)
     return query_index(stream, index, keep=["doc_id"])
 

@@ -179,9 +179,14 @@ class ImageDecoder:
         feats: list[list[float]] = []
         for i, p in enumerate(payloads):
             if p[:2] != MAGIC_IMAGE:
-                if self.strict and not _HAS_CODECS:
+                if self.strict:
+                    # strict means strict: no external decode path is
+                    # implemented in this class, so PIL being importable
+                    # must not flip strict mode into silently emitting
+                    # -1/-1/-1 rows for undecodable payloads (r3 review)
                     raise NotImplementedError(
-                        "external image codecs not available in this environment"
+                        "external image formats are not decodable here "
+                        "(only the ORI1 raw codec is implemented)"
                     )
                 width[i] = height[i] = chans[i] = -1
                 feats.append([])
