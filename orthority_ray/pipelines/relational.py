@@ -91,6 +91,31 @@ def dense_str_decode(sf_dir: str, table: str, key_col: str, val_col: str) -> np.
     return arr
 
 
+def region_nations(sf_dir: str, region_name: str) \
+        -> tuple[np.ndarray, dict[int, str]]:
+    """Resolve a region name to its member nationkeys plus the full
+    nationkey -> n_name dict, driver-side (both dims are tiny).  An absent
+    region yields an EMPTY member array — downstream region filters then
+    keep nothing and the query returns 0 rows, matching the SQL inner
+    join, instead of the IndexError the per-query copies raised
+    (r3 review).  Shared by the Q5/Q8 analogs in tpch_extra."""
+    import pyarrow.parquet as pq
+
+    region = pq.read_table(table_path(sf_dir, "region"),
+                           columns=["r_regionkey", "r_name"])
+    rk = region["r_regionkey"].to_numpy()[
+        np.array(region["r_name"].to_pylist(), dtype=object) == region_name]
+    nation = pq.read_table(table_path(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_regionkey", "n_name"])
+    nkeys = nation["n_nationkey"].to_numpy().astype(np.int64)
+    if len(rk):
+        member = nkeys[nation["n_regionkey"].to_numpy() == rk[0]]
+    else:
+        member = np.empty(0, dtype=np.int64)
+    names = {int(k): v for k, v in zip(nkeys, nation["n_name"].to_pylist())}
+    return member.astype(np.int64), names
+
+
 def global_topk(ds: ray.data.Dataset, order_cols: list[str],
                 ascending: list[bool], k: int,
                 rank_name: str | None = "rank") -> ray.data.Dataset:

@@ -40,7 +40,8 @@ from ..core.config import table_path
 # queries); re-exported here because the analogs and tests import them from
 # this module
 from .relational import (_read, bucketed_sum, cents, combined_groupby_sum,
-                         dense_int_dim, dense_str_decode, global_topk)
+                         dense_int_dim, dense_str_decode, global_topk,
+                         region_nations)
 
 
 def _us(date: str) -> int:
@@ -144,7 +145,7 @@ def q_shipping_priority(sf_dir: str) -> ray.data.Dataset:
         t = b.filter(keep)
         return pa.table({"o_custkey": t["o_custkey"],
                          "o_orderkey": t["o_orderkey"],
-                         "odate_us": t["o_orderdate"].cast(pa.int64())})
+                         "odate_us": odate.filter(keep)})
 
     open_orders = hash_join(
         orders.map_batches(ord_prep, batch_format="pyarrow"),
@@ -272,8 +273,6 @@ def q_returned_customers(sf_dir: str) -> ray.data.Dataset:
                             ["c_custkey", "c_nationkey"],
                             types={"rev_cents": pa.int64()})
 
-    import pyarrow.parquet as pq
-
     names = dense_str_decode(sf_dir, "nation", "n_nationkey", "n_name")
 
     def decode(b: pa.Table) -> pa.Table:
@@ -326,13 +325,14 @@ def _brand_codes(sf_dir: str, col: str) -> tuple[np.ndarray, list[str], int]:
     import pyarrow.parquet as pq
 
     part = pq.read_table(table_path(sf_dir, "part"), columns=["p_partkey", col])
-    vals = sorted(set(part[col].to_pylist()))
+    pl = part[col].to_pylist()
+    vals = sorted(set(pl))
     miss = len(vals)
     code_of = {v: i for i, v in enumerate(vals)}
     keys = part["p_partkey"].to_numpy()
     codes = np.full((int(keys.max()) + 2) if len(keys) else 2, miss,
                     dtype=np.int64)
-    codes[keys] = [code_of[v] for v in part[col].to_pylist()]
+    codes[keys] = [code_of[v] for v in pl]
     return codes, vals, miss
 
 
@@ -456,9 +456,10 @@ def q_top_supplier(sf_dir: str) -> ray.data.Dataset:
                         names.shape[0] - 1)
         nm = names[safe]
         # inner-join semantics: drop winners whose suppkey misses the dim
-        t = t.filter(pa.array(nm != None))  # noqa: E711 (elementwise)
+        keep = nm != None  # noqa: E711 (elementwise on object array)
+        t = t.filter(pa.array(keep))
         return pa.table({"s_suppkey": t["s_suppkey"],
-                         "s_name": pa.array(nm[nm != None], pa.string()),  # noqa: E711
+                         "s_name": pa.array(nm[keep], pa.string()),
                          "rev_cents": t["rev_cents"]})
 
     return per_supp.map_batches(winners, batch_format="pyarrow")
@@ -834,24 +835,18 @@ def q_local_volume(sf_dir: str) -> ray.data.Dataset:
     (prune before the exchange), two chained large-large bucketed joins,
     supplier broadcast as a dense suppkey -> nationkey array, the
     local-supplier predicate applied post-join, dimension-sized rollup."""
-    import pyarrow.parquet as pq
-
     from ..core.config import cached_stage
     from ..stages.hashjoin import hash_join
 
     lo, hi = _us(Q5_LO), _us(Q5_HI)
 
-    region = pq.read_table(table_path(sf_dir, "region"))
-    rkey = region["r_regionkey"].to_numpy()[
-        np.array(region["r_name"].to_pylist()) == Q5_REGION][0]
-    nation = pq.read_table(table_path(sf_dir, "nation"))
-    nmask = nation["n_regionkey"].to_numpy() == rkey
-    region_nations = nation["n_nationkey"].to_numpy()[nmask].astype(np.int64)
-    names = {int(k): v for k, v in zip(
-        nation["n_nationkey"].to_numpy(), nation["n_name"].to_pylist())}
+    # shared driver-side region->nations resolution (r3 review: the Q5/Q8
+    # copies crashed with IndexError on an absent region; the helper yields
+    # an empty member set -> 0 rows, matching the SQL inner join)
+    member_nations, names = region_nations(sf_dir, Q5_REGION)
     # broadcast the numpy array directly (Q8's pattern): no per-batch
     # set-iteration/np.fromiter rebuild on the customer hot path (r3 review)
-    nations_ref = ray.put(region_nations)
+    nations_ref = ray.put(member_nations)
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
@@ -930,16 +925,25 @@ def q_local_volume(sf_dir: str) -> ray.data.Dataset:
         def __call__(self, b: pa.Table) -> pa.Table:
             sn = b["supp_nation"].to_numpy(zero_copy_only=False)
             cn = b["cust_nation"].to_numpy(zero_copy_only=False)
-            t = b.filter(pa.array(sn == cn))
-            sn = sn[sn == cn]
-            name = pd.Series(sn).map(self.names)
+            local = sn == cn
+            t = b.filter(pa.array(local))
+            name = pd.Series(sn[local]).map(self.names)
             df = pd.DataFrame({"n_name": name,
                                "rev_cents": t["rev_cents"].to_numpy(
                                    zero_copy_only=False)})
+            # NaN n_name (nationkey absent from the dim) drops in the groupby
+            # = inner-join semantics
             g = df.groupby("n_name", as_index=False).agg(
                 n_rows=("rev_cents", "size"), rev_cents=("rev_cents", "sum"))
-            g["n_rows"] = g["n_rows"].astype(np.int64)
-            return pa.Table.from_pandas(g, preserve_index=False)
+            # explicit types: an all-empty block must emit n_name: string,
+            # not pandas-inferred null, so block schemas agree without
+            # relying on Ray's internal null->string promotion (r3 review)
+            return pa.table({
+                "n_name": pa.array(g["n_name"].to_numpy(), pa.string()),
+                "n_rows": pa.array(g["n_rows"].to_numpy().astype(np.int64)),
+                "rev_cents": pa.array(
+                    g["rev_cents"].to_numpy().astype(np.int64)),
+            })
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("n_name", as_index=False).agg(
@@ -991,19 +995,19 @@ def q_market_share(sf_dir: str) -> ray.data.Dataset:
 
     lo, hi = _us(Q8_LO), _us(Q8_HI)
 
-    region = pq.read_table(table_path(sf_dir, "region"))
-    rkey = region["r_regionkey"].to_numpy()[
-        np.array(region["r_name"].to_pylist()) == Q8_REGION][0]
-    nation = pq.read_table(table_path(sf_dir, "nation"))
-    region_nations = nation["n_nationkey"].to_numpy()[
-        nation["n_regionkey"].to_numpy() == rkey].astype(np.int64)
-    target = int(nation["n_nationkey"].to_numpy()[
-        np.array(nation["n_name"].to_pylist()) == Q8_NATION][0])
+    # shared region resolution; -1 target sentinel when the nation is
+    # absent -> numerator 0, matching the oracle's conditional sum
+    # (r3 review: the inline lookups crashed with IndexError instead)
+    member_nations, names = region_nations(sf_dir, Q8_REGION)
+    target = next((k for k, v in names.items() if v == Q8_NATION), -1)
 
     part = pq.read_table(table_path(sf_dir, "part"), columns=["p_partkey", "p_type"])
     pk = part["p_partkey"].to_numpy()
-    promo = np.zeros(int(pk.max()) + 2, dtype=bool)
-    promo[pk[np.array(part["p_type"].to_pylist()) == Q8_TYPE]] = True
+    # empty-part guard, same shape as dense_int_dim's (r3 review)
+    promo = np.zeros((int(pk.max()) + 2) if len(pk) else 2, dtype=bool)
+    if len(pk):
+        promo[pk[np.array(part["p_type"].to_pylist(), dtype=object)
+                 == Q8_TYPE]] = True
     snation = dense_int_dim(sf_dir, "supplier", "s_suppkey", "s_nationkey")
     dims_ref = ray.put({"promo": promo, "snation": snation})
 
@@ -1058,7 +1062,7 @@ def q_market_share(sf_dir: str) -> ray.data.Dataset:
                "c_custkey": pa.int64(), "yr": pa.int64()},
     )
 
-    nations_ref = ray.put(region_nations)
+    nations_ref = ray.put(member_nations)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
 
     class CustPrep:

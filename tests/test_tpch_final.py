@@ -34,3 +34,17 @@ def test_exact_mul_gt_rejects_nonpositive_multiplier():
 
     with pytest.raises(ValueError):
         _exact_mul_gt(np.array([1], dtype=np.int64), 0, 1)
+
+
+def test_region_nations_absent_region_is_empty_not_crash():
+    # r3 review: the Q5/Q8 inline region lookups raised IndexError when the
+    # configured region name was absent; the shared helper must yield an
+    # empty member set (-> 0-row query, matching the SQL inner join)
+    from orthority_ray.pipelines.relational import region_nations
+
+    member, names = region_nations("/root/testdata/sf0.001", "NO_SUCH_REGION")
+    assert member.shape == (0,)
+    assert len(names) > 0  # full nation decode still available
+
+    member2, _ = region_nations("/root/testdata/sf0.001", "ASIA")
+    assert member2.shape[0] > 0
