@@ -87,8 +87,10 @@ def init_centroids(ds: ray.data.Dataset, k: int = K_CLUSTERS) -> np.ndarray:
     vec_id) — per-block winners are a superset of the global winners."""
 
     def winners(b: pa.Table) -> pa.Table:
+        from ..core.hashing import knuth32
+
         ids, m = _matrix(b)
-        h = (ids.astype(np.int64) * 2654435761) % 4294967296
+        h = knuth32(ids)
         order = np.lexsort((ids, h))[:k]
         return pa.table({
             "vec_id": pa.array(ids[order]),

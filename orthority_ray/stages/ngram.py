@@ -70,14 +70,23 @@ def _block_sets(tb: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 @ray.remote
-def _pair_task(ta: pa.Table, tb: pa.Table, diagonal: bool,
+def _prep_block(tb: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One task per BLOCK: the UTF-32 decode + lexsort trigram dedup runs
+    exactly once per block; the B(B+1)/2 pair tasks then share the packed
+    arrays via the object store (r3 review: each pair task used to redo
+    both blocks' extraction, ~B+1 redundant decodes per block)."""
+    return _block_sets(tb)
+
+
+@ray.remote
+def _pair_task(prep_a: tuple, prep_b: tuple, diagonal: bool,
                num: int, den: int) -> pa.Table:
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64()),
                       "n_inter": pa.array([], pa.int64()),
                       "n_union": pa.array([], pa.int64())})
-    ids_a, da, ga = _block_sets(ta)
-    ids_b, db, gb = _block_sets(tb)
+    ids_a, da, ga = prep_a
+    ids_b, db, gb = prep_b
     if ids_a.size == 0 or ids_b.size == 0:
         return empty
     vocab = np.unique(np.concatenate([ga, gb]))
@@ -133,10 +142,11 @@ def ngram_jaccard_pairs(sf_dir: str, num: int = THRESH_NUM,
     reps = bucketed_group_apply(pre, ["text"], bucket_first,
                                 n_buckets=N_BLOCKS).repartition(N_BLOCKS)
     refs = reps.to_arrow_refs()
+    prepped = [_prep_block.remote(r) for r in refs]
     out = [
-        _pair_task.remote(refs[i], refs[j], i == j, num, den)
-        for i in range(len(refs))
-        for j in range(i, len(refs))
+        _pair_task.remote(prepped[i], prepped[j], i == j, num, den)
+        for i in range(len(prepped))
+        for j in range(i, len(prepped))
     ]
     return ray.data.from_arrow_refs(out)
 

@@ -136,8 +136,13 @@ def fold_moment_partials(
         ntot = n1 + n2
         delta = means[sel] - acc_mean[gi]
         acc_mean[gi] = acc_mean[gi] + delta * (n2 / ntot)[:, None]
+        # n1*n2 in float64, not int64: two ~3e9-row partials would wrap the
+        # int64 product (r3 review).  For counts < 2^53 (exact in float64)
+        # the single rounding of the product matches the old int64-then-
+        # divide path bit-for-bit, so results are unchanged everywhere the
+        # old code wasn't already overflowing
         acc_c[gi] = acc_c[gi] + cs[sel] + (
             delta[:, :, None] * delta[:, None, :]
-        ) * (n1 * n2 / ntot)[:, None, None]
+        ) * (n1.astype(np.float64) * n2 / ntot)[:, None, None]
         acc_n[gi] = ntot
     return g, starts, acc_n, acc_mean, acc_c

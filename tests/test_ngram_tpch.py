@@ -66,14 +66,18 @@ def test_pair_task_diagonal_equals_split_blocks(ray_session):
     ids = np.arange(len(texts), dtype=np.int64)
     tbl = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
 
-    one = ray.get(_pair_task.remote(tbl, tbl, True, 1, 2)).to_pandas()
+    from orthority_ray.stages.ngram import _block_sets
+
+    pre = _block_sets(tbl)
+    one = ray.get(_pair_task.remote(pre, pre, True, 1, 2)).to_pandas()
 
     half = len(texts) // 2
-    ta, tb = tbl.slice(0, half), tbl.slice(half)
+    pre_a, pre_b = (_block_sets(tbl.slice(0, half)),
+                    _block_sets(tbl.slice(half)))
     split = pa.concat_tables([
-        ray.get(_pair_task.remote(ta, ta, True, 1, 2)),
-        ray.get(_pair_task.remote(ta, tb, False, 1, 2)),
-        ray.get(_pair_task.remote(tb, tb, True, 1, 2)),
+        ray.get(_pair_task.remote(pre_a, pre_a, True, 1, 2)),
+        ray.get(_pair_task.remote(pre_a, pre_b, False, 1, 2)),
+        ray.get(_pair_task.remote(pre_b, pre_b, True, 1, 2)),
     ]).to_pandas()
 
     key = ["doc_a", "doc_b", "n_inter", "n_union"]
