@@ -35,9 +35,17 @@ def convert_array_dtype(arr: np.ndarray, dtype: str) -> np.ndarray:
     dt = np.dtype(dtype)
     if np.issubdtype(dt, np.integer):
         info = np.iinfo(dt)
-        out = np.where(np.isnan(src), float(NODATA_BY_DTYPE[dt.name]), src)
-        out = np.clip(np.rint(out), info.min, info.max)
-        return out.astype(dt)
+        if np.issubdtype(src.dtype, np.floating):
+            # sentinel only consulted for float sources; targets outside the
+            # table default to 0 (unsigned) / min (signed), matching the
+            # listed entries (r3 review: every int target not in the table
+            # raised KeyError, even for NaN-free input)
+            sentinel = NODATA_BY_DTYPE.get(
+                dt.name, 0 if info.min == 0 else info.min)
+            out = np.where(np.isnan(src), float(sentinel), src)
+            out = np.clip(np.rint(out), info.min, info.max)
+            return out.astype(dt)
+        return np.clip(src, info.min, info.max).astype(dt)
     return src.astype(dt)
 
 
@@ -47,6 +55,13 @@ def expand_window_to_grid(off: float, size: float, grid: int = 1) -> tuple[int, 
     lo = int(np.floor(off / grid)) * grid
     hi = int(np.ceil((off + size) / grid)) * grid
     return lo, hi - lo
+
+
+def lonlat_to_world_xy(lon: float, lat: float) -> tuple[float, float]:
+    """The engine's deterministic equirect placement for lat/lon parameter
+    sources: metres east of lon=-180 / north of lat=-85.  Shared by the CSV
+    and OpenSfM readers (the formula was inlined four times — r3 review)."""
+    return (lon + 180.0) * 111_320.0, (lat + 85.0) * 111_320.0
 
 
 def utm_crs_from_latlon(lat: float, lon: float) -> str:

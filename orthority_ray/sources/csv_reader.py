@@ -16,7 +16,7 @@ from pathlib import Path
 import numpy as np
 
 from ..core.rotations import rpy_to_opk
-from ..functions.scalars import utm_crs_from_latlon
+from ..functions.scalars import lonlat_to_world_xy, utm_crs_from_latlon
 
 # accepted header spellings -> canonical field (subset of the reference's
 # dialect table)
@@ -80,6 +80,12 @@ class CsvReader:
         data = rows[1:] if self.has_header else rows
         recs = [dict(zip(cols, r)) for r in data if r]
 
+        if not recs:
+            # header-only file: the auto-UTM branch would take the mean of
+            # an empty array (NaN -> int() ValueError); empty dict instead,
+            # like the projected branch (r3 review)
+            return {}, self.crs or ""
+
         is_lla = "lat" in cols and "lon" in cols
         crs = self.crs
         if is_lla:
@@ -94,14 +100,13 @@ class CsvReader:
         for r in recs:
             if is_lla:
                 lat_i, lon_i = float(r["lat"]), float(r["lon"])
-                x = (lon_i + 180.0) * 111_320.0  # engine's deterministic projection
-                y = (lat_i + 85.0) * 111_320.0
+                x, y = lonlat_to_world_xy(lon_i, lat_i)
                 z = float(r.get("z", 0.0))
                 if "roll" in r:
                     rpy = tuple(np.radians([float(r["roll"]), float(r["pitch"]), float(r["yaw"])]))
                     opk = rpy_to_opk(
                         rpy, (lat_i, lon_i, z),
-                        lambda lo, la, zz: ((lo + 180.0) * 111_320.0, (la + 85.0) * 111_320.0, zz),
+                        lambda lo, la, zz: (*lonlat_to_world_xy(lo, la), zz),
                     )
                 else:
                     opk = tuple(np.radians([float(r["omega"]), float(r["phi"]), float(r["kappa"])]))

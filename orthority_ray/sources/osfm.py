@@ -16,6 +16,7 @@ from pathlib import Path
 import numpy as np
 
 from ..core.rotations import cv_ext_to_oty_ext
+from ..functions.scalars import lonlat_to_world_xy
 
 _PROJECTION_TO_CAM_TYPE = {
     "perspective": "brown",
@@ -37,11 +38,8 @@ class OsfmReader:
         elif ref:
             # engine's deterministic lla->world placement (see camera_geocode)
             self.ref_xyz = np.array(
-                [
-                    (ref["longitude"] + 180.0) * 111_320.0,
-                    (ref["latitude"] + 85.0) * 111_320.0,
-                    ref.get("altitude", 0.0),
-                ]
+                [*lonlat_to_world_xy(ref["longitude"], ref["latitude"]),
+                 ref.get("altitude", 0.0)]
             )
         else:
             self.ref_xyz = np.zeros(3)

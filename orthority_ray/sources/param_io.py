@@ -167,9 +167,20 @@ def write_ext_param_geojson(path: str | Path, params: dict, overwrite: bool = Fa
 
 def read_ext_param_geojson(path: str | Path) -> dict:
     fc = json.loads(Path(path).read_text())
+    # structural checks BEFORE extraction: malformed GeoJSON must fail with
+    # a located ValueError, not a bare KeyError mid-walk (r3 review)
+    if not isinstance(fc, dict) or not isinstance(fc.get("features"), list):
+        raise ValueError(f"{path}: not a FeatureCollection with a 'features' list")
     out = {}
-    for f in fc["features"]:
-        pr = f["properties"]
+    for idx, f in enumerate(fc["features"]):
+        pr = f.get("properties") if isinstance(f, dict) else None
+        if not isinstance(pr, dict) or "filename" not in pr:
+            raise ValueError(
+                f"{path}: features[{idx}] missing 'properties.filename'")
+        missing = [k for k in ("xyz", "opk", "camera") if k not in pr]
+        if missing:
+            raise ValueError(
+                f"{path}: features[{idx}].properties missing {missing}")
         out[pr["filename"]] = dict(xyz=pr["xyz"], opk=pr["opk"], camera=pr["camera"])
     validate_collection(EXT_SCHEMA, out)
     return out

@@ -138,8 +138,12 @@ def parse_tiff_ifd(buf: bytes) -> dict[int, object]:
             raw = buf[val_off : val_off + count]
             out[tag_id] = raw.split(b"\x00", 1)[0].decode("ascii")
         elif type_id in (5, 10):
+            # honor count: a GPS DMS triplet is RATIONAL count=3 — decoding
+            # only the first pair silently dropped 2/3 of the data (r3 review)
             fmt = "ii" if type_id == 10 else "II"
-            out[tag_id] = struct.unpack_from(bo + fmt, buf, val_off)
+            pairs = struct.unpack_from(bo + fmt * count, buf, val_off)
+            rats = [(pairs[2 * i], pairs[2 * i + 1]) for i in range(count)]
+            out[tag_id] = rats if count > 1 else rats[0]
         else:
             vals = struct.unpack_from(bo + _TYPE_FMT[type_id] * count, buf, val_off)
             out[tag_id] = list(vals) if count > 1 else vals[0]
@@ -158,8 +162,13 @@ def tiff_roundtrip_batch(batch: pa.Table) -> pa.Table:
     """Encode each page's metadata into real TIFF bytes, decode it back,
     and emit the parsed fields — the plumbing (schema, binary column,
     per-payload decode) is the same shape a real-EXIF ingest would use."""
+    import pyarrow.compute as pc
+
     doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
-    site = metadata_batch(batch)["site_id"].to_numpy(zero_copy_only=False)
+    # site id directly off the url — metadata_batch would also compute (and
+    # discard) seq/html/ts fields and widen the input dependency (r3 review)
+    site = (pc.utf8_slice_codeunits(batch["url"], start=12, stop=16)
+            .cast(pa.int64()).to_numpy(zero_copy_only=False))
     blobs, widths, names, alts = [], [], [], []
     for d, s in zip(doc_id, site):
         bo = "<" if d % 2 == 0 else ">"  # alternate byte order per doc

@@ -29,11 +29,11 @@ import ray.data
 from ..core.cameras import RpcCamera
 
 
-def refine_rpc(rpc: dict, ji: np.ndarray, xyz: np.ndarray, method: str = "shift") -> dict:
-    """Refine ONE RPC model from GCP arrays.
-
-    ji: (N, 2) measured pixel coords; xyz: (N, 3) world (lon, lat, z).
-    """
+def refine_tform(rpc: dict, ji: np.ndarray, xyz: np.ndarray,
+                 method: str = "shift") -> np.ndarray:
+    """The (2, 3) normalised-pixel affine a GCP set implies for ONE RPC
+    model: identity scale + mean offset for 'shift', per-axis 1-D LSQ
+    (scale, offset) for 'shift_drift'."""
     if method not in ("shift", "shift_drift"):
         raise ValueError(f"unknown refine method {method!r}")
     min_gcps = 1 if method == "shift" else 2
@@ -61,6 +61,15 @@ def refine_rpc(rpc: dict, ji: np.ndarray, xyz: np.ndarray, method: str = "shift"
             (m, c), *_ = np.linalg.lstsq(A, g, rcond=None)
             tform[axis, axis] = m
             tform[axis, 2] = c
+    return tform
+
+
+def refine_rpc(rpc: dict, ji: np.ndarray, xyz: np.ndarray, method: str = "shift") -> dict:
+    """Refine ONE RPC model from GCP arrays.
+
+    ji: (N, 2) measured pixel coords; xyz: (N, 3) world (lon, lat, z).
+    """
+    tform = refine_tform(rpc, ji, xyz, method)
 
     out = deepcopy(rpc)
     for axis, num_key, den_key in zip(
@@ -103,23 +112,25 @@ def refine_rpc_grouped(gcps: ray.data.Dataset, rpc: dict,
                        method: str = "shift") -> ray.data.Dataset:
     """Per-image refinement: groupby(image) -> LSQ -> refined shift params.
 
-    Output: one row per image with the recovered normalised shift/drift and
-    the refined coefficient checksum (the full refined dicts are rebuilt on
-    the driver from these, then broadcast)."""
+    Output: one row per image with the recovered pixel shift (dj_px, di_px)
+    AND the drift scales (mj, mi; 1.0 under 'shift') — together these are
+    the full affine, so the driver can rebuild the refined dicts for either
+    method, then broadcast.  (r3 review: the old coefficient-difference
+    de-normalisation was only valid for 'shift' — under 'shift_drift' it
+    reported num0*(m-1) + c instead of c and dropped m entirely.)"""
 
     def fit(g: pd.DataFrame) -> pd.DataFrame:
         ji = np.stack([g["j"].to_numpy(), g["i"].to_numpy()], axis=1)
         xyz = np.stack([g["x"].to_numpy(), g["y"].to_numpy(), g["z"].to_numpy()], axis=1)
-        refined = refine_rpc(rpc, ji, xyz, method)
-        # recovered pixel shift = refinement offset de-normalised
-        dj = (refined["samp_num_coeff"][0] - rpc["samp_num_coeff"][0]) * rpc["samp_scale"]
-        di = (refined["line_num_coeff"][0] - rpc["line_num_coeff"][0]) * rpc["line_scale"]
+        tform = refine_tform(rpc, ji, xyz, method)
         return pd.DataFrame(
             {
                 "image": [g["image"].iloc[0]],
                 "n_gcps": [len(g)],
-                "dj_px": [dj],
-                "di_px": [di],
+                "dj_px": [tform[0, 2] * rpc["samp_scale"]],
+                "di_px": [tform[1, 2] * rpc["line_scale"]],
+                "mj": [tform[0, 0]],
+                "mi": [tform[1, 1]],
             }
         )
 

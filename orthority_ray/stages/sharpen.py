@@ -84,7 +84,13 @@ def global_moments(ds: ray.data.Dataset, cols=BAND_COLS) -> tuple[int, np.ndarra
         return pa.table(out)
 
     rows = ds.map_batches(partials, batch_format="pyarrow", batch_size=65536).to_pandas()
-    rows = rows.sort_values(["n"] + [f"mean_{j}" for j in range(d)], kind="mergesort")
+    # n=0 partials carry NaN means that would poison the merge; and the tie
+    # key must include the c_* columns like stats.fold_moment_partials, or
+    # equal-(n, means) partials fold in completion order (r3 review)
+    rows = rows[rows["n"] > 0]
+    rows = rows.sort_values(
+        ["n"] + [f"mean_{j}" for j in range(d)]
+        + [f"c_{j}" for j in range(d * d)], kind="mergesort")
     acc = (0, np.zeros(d), np.zeros((d, d)))
     for _, r in rows.iterrows():
         mean = np.array([r[f"mean_{j}"] for j in range(d)])
@@ -109,7 +115,13 @@ def derive_params(n: int, means: np.ndarray, c: np.ndarray,
         w = np.clip(w, 0, None)
     else:
         w = np.asarray(weights, dtype=np.float64)
-    w = w / w.sum()
+    s = w.sum()
+    if not np.isfinite(s) or s <= 0:
+        # all weights clipped to zero (pan anti-correlated with every band):
+        # uniform fallback instead of 0/0 -> all-NaN parameters (r3 review)
+        w = np.full(w.shape, 1.0 / w.shape[0])
+    else:
+        w = w / s
 
     ms_cov = cov[1:, 1:]
     nb = N_MS
@@ -121,7 +133,8 @@ def derive_params(n: int, means: np.ndarray, c: np.ndarray,
         for l in range(k + 1):
             num = a[l] @ ms_cov[k]
             den = (np.outer(a[l], a[l]) * ms_cov).sum()
-            coeffs[k][l] = num / den if np.any(a[l] != 0) else 0.0
+            coeffs[k][l] = (num / den
+                            if den != 0 and np.any(a[l] != 0) else 0.0)
 
     pan_mean, pan_std = means[0], np.sqrt(cov[0, 0])
     sim_mean = w @ means[1:]

@@ -211,3 +211,22 @@ class TestTiffDialect:
             tags = parse_tiff_ifd(row["tiff"])
             assert tags[0x010D] == f"doc-{row['doc_id']}"
             assert tags[0x0100] == row["image_width"]
+
+
+    def test_multi_count_rational(self):
+        # r3 review: RATIONAL/SRATIONAL with count>1 (the GPS DMS triplet
+        # shape) decoded only the first pair
+        from orthority_ray.stages.metadata import parse_tiff_ifd, write_tiff_ifd
+
+        import struct
+
+        for bo in ("<", ">"):
+            raw = struct.pack(bo + "II" * 3, 52, 1, 30, 1, 1234, 100)
+            blob = write_tiff_ifd({}, byte_order=bo)
+            # hand-build an IFD with one count=3 RATIONAL entry at offset
+            header = blob[:8]
+            data_base = 8 + 2 + 12 + 4
+            entry = struct.pack(bo + "HHI", 2, 5, 3) + struct.pack(bo + "I", data_base)
+            ifd = struct.pack(bo + "H", 1) + entry + struct.pack(bo + "I", 0)
+            got = parse_tiff_ifd(header + ifd + raw)
+            assert got[2] == [(52, 1), (30, 1), (1234, 100)]

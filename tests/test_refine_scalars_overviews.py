@@ -118,3 +118,29 @@ def test_overview_pyramid(sf_unit):
     totals = {cs: pyr[cs]["n_docs"].sum() for cs in sizes}
     assert len(set(totals.values())) == 1  # every level preserves the count
     assert len(pyr[500]) >= len(pyr[1000]) >= len(pyr[2000]) >= len(pyr[8000])
+
+def test_convert_array_dtype_general_targets():
+    # r3 review: any int target outside the sentinel table raised KeyError
+    out = convert_array_dtype(np.array([1.4, 2.6]), "int32")
+    assert out.dtype == np.int32 and out.tolist() == [1, 3]
+    assert convert_array_dtype(np.array([np.nan, 5.0]), "int64")[0] == np.iinfo("int64").min
+    assert convert_array_dtype(np.array([np.nan]), "uint32")[0] == 0
+    # integer source passes through with a clip, no float round-trip
+    big = np.array([2**62, -7], dtype=np.int64)
+    assert convert_array_dtype(big, "int64").tolist() == [2**62, -7]
+
+
+def test_refine_grouped_shift_drift_reports_true_shift():
+    # r3 review: under shift_drift the old de-normalisation reported
+    # num0*(m-1)+c instead of c and dropped the drift scale entirely
+
+    gcps = make_gcp_table(P.RPC, n=60, dj=2.5, di=-1.5, images=("im_a",))
+    out = (
+        refine_rpc_grouped(ray.data.from_pandas(gcps), P.RPC, "shift_drift")
+        .to_pandas()
+    )
+    # a pure planted shift must come back as (shift ~= planted, scale ~= 1)
+    assert np.allclose(out["dj_px"], [2.5], atol=0.05)
+    assert np.allclose(out["di_px"], [-1.5], atol=0.05)
+    assert np.allclose(out["mj"], [1.0], atol=1e-3)
+    assert np.allclose(out["mi"], [1.0], atol=1e-3)
