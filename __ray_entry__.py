@@ -51,7 +51,9 @@ from orthority_ray.stages.camera_geocode import (
 from orthority_ray.stages.metadata import SQL_METADATA as _SQL_METADATA
 from orthority_ray.stages.urlstats import SQL_HOST_STATS as _SQL_HOST_STATS
 from orthority_ray.stages.urlstats import SQL_URL_REDACT as _SQL_URL_REDACT
-from orthority_ray.stages.quantiles import sql_exact_quantiles, sql_grouped_median
+from orthority_ray.stages.quantiles import (sql_exact_quantiles,
+                                             sql_grouped_median,
+                                             sql_grouped_median_cont2x)
 from orthority_ray.stages.remap import sql_remap_checker as _sql_remap_checker
 from orthority_ray.stages.geocode import geocode
 from orthority_ray.stages.pip import pip_join
@@ -140,7 +142,7 @@ def q_heavy_hitters(sf_dir: str):
 
     ds = (
         read_pages(sf_dir, columns=["text"])
-        .map_batches(lambda b: D.add_text_md5(b), batch_format="pyarrow",
+        .map_batches(D.add_text_md5, batch_format="pyarrow",
                      batch_size=8192)
         .select_columns(["text_md5"])
     )
@@ -243,7 +245,9 @@ def q_token_cooccurrence(sf_dir: str):
     return TF.token_cooccurrence(read_pages(sf_dir))
 
 
-_WS_HASH = "(doc_id * 2654435761) % 4294967296"
+# weighted sampling shares the stratified sampler's hash spec — one
+# constant so the two can never drift apart (r3 review)
+_WS_HASH = _SAMPLE_H
 
 
 def q_boolean_search(sf_dir: str):
@@ -526,8 +530,6 @@ def q_auto_utm(sf_dir: str):
 def q_overview_coarse(sf_dir: str):
     """Overview pyramid top level as a query: per-cell counts re-aggregated
     at the 8-degree resolution (stages/overviews.py ladder)."""
-    import pandas as pd
-
     from orthority_ray.stages.overviews import overview_pyramid
 
     pyr = overview_pyramid(_geo(sf_dir))
@@ -576,28 +578,11 @@ def q_gcp_refine(sf_dir: str):
 
 
 def q_calibrate(sf_dir: str):
-    import pandas as pd
     import ray.data as rd
 
-    from orthority_ray.stages.fit import calibrate_grouped
-    from orthority_ray.sources import param_io as PIO
-    from orthority_ray.core.cameras import create_camera
-    import numpy as np
+    from orthority_ray.stages.fit import calibrate_grouped, calibration_frames
 
-    cam = create_camera(
-        "pinhole", im_size=PIO.IM_SIZE, focal_len=PIO.FOCAL, sensor_size=PIO.SENSOR,
-        cx=PIO.CXY[0], cy=PIO.CXY[1], xyz=PIO.XYZ, opk=PIO.OPK,
-    )
-    rng = np.random.default_rng(42)
-    frames = []
-    for img, seed in (("im_a", 1), ("im_b", 2)):
-        r = np.random.default_rng(seed)
-        j = r.uniform(5, 195, 60)
-        i = r.uniform(5, 145, 60)
-        z = r.uniform(700, 950, 60)
-        x, y, zz = cam.pixel_to_world_z(j, i, z)
-        frames.append(pd.DataFrame({"image": img, "j": j, "i": i, "x": x, "y": y, "z": zz}))
-    return calibrate_grouped(rd.from_pandas(pd.concat(frames)))
+    return calibrate_grouped(rd.from_pandas(calibration_frames()))
 
 
 def q_dem_geocode(sf_dir: str):
@@ -873,7 +858,12 @@ _DRIVER_UNCHECKED_FIRST = [
 
 def queries() -> dict[str, Callable[[str], Any]]:
     q = _queries_registry()
-    return {**{k: q[k] for k in _DRIVER_UNCHECKED_FIRST if k in q}, **q}
+    # a typo'd prefix name must fail loudly, not silently drop out of the
+    # driver's priority sample (r3 review)
+    missing = [k for k in _DRIVER_UNCHECKED_FIRST if k not in q]
+    if missing:
+        raise KeyError(f"_DRIVER_UNCHECKED_FIRST names not in registry: {missing}")
+    return {**{k: q[k] for k in _DRIVER_UNCHECKED_FIRST}, **q}
 
 
 def _queries_registry() -> dict[str, Callable[[str], Any]]:
@@ -991,7 +981,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": DI.incremental_dedup,
         "bpe_train": BP.bpe_train,
         "sequence_pack": PK.sequence_pack,
-        "training_shuffle": lambda sf: PK.training_shuffle(sf),
+        "training_shuffle": PK.training_shuffle,
         "image_phash_dup": q_image_phash_dup,
         "ann_int8": ANN.ann_int8,
         "ann_pq": ANN.ann_pq,
@@ -1117,10 +1107,8 @@ def oracle_sql() -> dict[str, str]:
         "custdist": R.SQL_CUSTDIST,
         "brand_suppliers": R.SQL_BRAND_SUPPLIERS,
         "lang_chars_median": sql_grouped_median("lang", "n_chars", "documents"),
-        "lang_chars_median_cont": __import__(
-            "orthority_ray.stages.quantiles",
-            fromlist=["sql_grouped_median_cont2x"]
-        ).sql_grouped_median_cont2x("lang", "n_chars", "documents"),
+        "lang_chars_median_cont": sql_grouped_median_cont2x(
+            "lang", "n_chars", "documents"),
         "parts_by_brand": R.SQL_PARTS_BY_BRAND,
         "priority_revenue": R.SQL_PRIORITY_REVENUE,
         "revenue_forecast": TX.SQL_REVENUE_FORECAST,
@@ -1173,7 +1161,7 @@ def oracle_sql() -> dict[str, str]:
         "token_cooccurrence": S.with_pages(TF.sql_token_cooccurrence()),
         "boolean_search": S.with_pages(TF.sql_boolean_search()),
         "phrase_search": S.with_pages(TF.sql_phrase_search()),
-        "event_p95": __import__("orthority_ray.stages.quantiles", fromlist=["sql_grouped_median"]).sql_grouped_median(
+        "event_p95": sql_grouped_median(
             "event_type", "v_cents",
             "(SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_cents FROM events)",
             0.95),

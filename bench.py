@@ -175,9 +175,15 @@ def scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE_ONLY="1",
                    GRAFT_BENCH_REPLICATE=os.environ.get("GRAFT_BENCH_REPLICATE", "160"))
-        out = subprocess.run([sys.executable, __file__], env=env,
-                             capture_output=True, text=True, check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        proc = subprocess.run([sys.executable, __file__], env=env,
+                              capture_output=True, text=True)
+        if proc.returncode != 0:
+            # surface the child's Ray traceback — check=True would swallow
+            # the captured stderr (r3 review)
+            sys.stderr.write(proc.stderr)
+            raise RuntimeError(f"bench child at {ncpu} CPUs exited "
+                               f"{proc.returncode}")
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     # default pair 2 -> 8 (N and 4N).  Round-2 measurements (BASELINE.md
     # "Scaling analysis"): 2->8 = 0.986; 8->32 = 0.68 vs a RAW-

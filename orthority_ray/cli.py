@@ -122,27 +122,11 @@ def cmd_sharpen(args) -> int:
 def cmd_calibrate(args) -> int:
     """Per-image DLT calibration demo (the `oty`-fit analog)."""
     _ray_session()
-    import numpy as np
-    import pandas as pd
     import ray.data
 
-    from .core.cameras import create_camera
-    from .sources import param_io as P
-    from .stages.fit import calibrate_grouped
+    from .stages.fit import calibrate_grouped, calibration_frames
 
-    cam = create_camera(
-        "pinhole", im_size=P.IM_SIZE, focal_len=P.FOCAL, sensor_size=P.SENSOR,
-        cx=P.CXY[0], cy=P.CXY[1], xyz=P.XYZ, opk=P.OPK,
-    )
-    frames = []
-    for img, seed in (("im_a", 1), ("im_b", 2)):
-        r = np.random.default_rng(seed)
-        j = r.uniform(5, 195, 60)
-        i = r.uniform(5, 145, 60)
-        z = r.uniform(700, 950, 60)
-        x, y, zz = cam.pixel_to_world_z(j, i, z)
-        frames.append(pd.DataFrame({"image": img, "j": j, "i": i, "x": x, "y": y, "z": zz}))
-    out = calibrate_grouped(ray.data.from_pandas(pd.concat(frames))).to_pandas()
+    out = calibrate_grouped(ray.data.from_pandas(calibration_frames())).to_pandas()
     print(out.to_string(index=False))
     return 0
 

@@ -107,3 +107,28 @@ def calibrate_grouped(gcps: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return gcps.groupby("image").map_groups(fit, batch_format="pandas")
+
+
+def calibration_frames(n: int = 60,
+                       images: tuple[str, ...] = ("im_a", "im_b")) -> pd.DataFrame:
+    """The synthetic calibration GCP fixture: one pinhole camera, ``n``
+    ray-traced points per image (seeds 1, 2, ...).  One shared builder for
+    the CLI demo and the oracle-checked query (r3 review: the block was
+    duplicated in cli.cmd_calibrate and __ray_entry__.q_calibrate)."""
+    from ..core.cameras import create_camera
+    from ..sources import param_io as P
+
+    cam = create_camera(
+        "pinhole", im_size=P.IM_SIZE, focal_len=P.FOCAL, sensor_size=P.SENSOR,
+        cx=P.CXY[0], cy=P.CXY[1], xyz=P.XYZ, opk=P.OPK,
+    )
+    frames = []
+    for seed, img in enumerate(images, start=1):
+        r = np.random.default_rng(seed)
+        j = r.uniform(5, 195, n)
+        i = r.uniform(5, 145, n)
+        z = r.uniform(700, 950, n)
+        x, y, zz = cam.pixel_to_world_z(j, i, z)
+        frames.append(pd.DataFrame(
+            {"image": img, "j": j, "i": i, "x": x, "y": y, "z": zz}))
+    return pd.concat(frames, ignore_index=True)
