@@ -118,6 +118,14 @@ class PageSynth:
         out: dict = {}
         for c in cols:
             if c == "url":
+                # width-10 contract with the oracle: DuckDB's lpad(x, 10)
+                # TRUNCATES an 11-digit doc_id while Arrow's utf8_lpad does
+                # not — urls would silently diverge AND collide (r3 review)
+                if len(doc_id) and int(doc_id.max()) >= 10**10:
+                    raise ValueError(
+                        "doc_id >= 1e10 breaks the width-10 url contract "
+                        "with the SQL oracle (DuckDB lpad truncates); widen "
+                        "both sides together")
                 site = pc.utf8_lpad(
                     pc.cast(pa.array(doc_id % 1000), pa.string()), 4, "0")
                 did = pc.utf8_lpad(pc.cast(pa.array(doc_id), pa.string()),

@@ -13,6 +13,9 @@ from ..core import hashing as H
 from ..core import cells as C
 
 # pages: one row per lineitem row; text/lang joined from documents.
+# NB the lpad widths (4, 10) are a CONTRACT with sources/pages.py's url
+# synthesis: DuckDB lpad truncates beyond the width while Arrow utf8_lpad
+# does not, so pages._synth raises loudly if doc_id ever reaches 1e10.
 PAGES_CTE = """
 pages AS (
   SELECT l.l_orderkey * 8 + l.l_linenumber AS doc_id,

@@ -32,6 +32,9 @@ def _pad_units(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     exactly on every input (a codepoint-based variant diverges on any
     multi-byte character: levenshtein('é','a') is 2 in bytes, 1 in
     codepoints — the oracle gate would go red on non-ASCII corpora)."""
+    if any(s is None for s in texts):
+        raise ValueError("null text values are not supported by the "
+                         "edit-distance kernel; filter them first")
     enc = [s.encode("utf-8") for s in texts]
     lens = np.array([len(b) for b in enc], dtype=np.int64)
     lmax = int(lens.max()) if lens.size else 0
@@ -42,16 +45,45 @@ def _pad_units(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     return out, lens
 
 
-def levenshtein_batch(a: list[str], b: list[str]) -> np.ndarray:
-    """Exact UTF-8-byte edit distances for P string pairs, vectorized
-    across the batch (DuckDB ``levenshtein()`` semantics)."""
-    if len(a) != len(b):
-        raise ValueError("pair lists must have equal length")
-    P = len(a)
+def _pad_units_arrow(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Like :func:`_pad_units` but filled STRAIGHT OFF the Arrow
+    offsets/values buffers — Arrow strings are already UTF-8, so the
+    decode-to-str + re-encode round-trip the list path pays is pure waste
+    on the hot path (r3 review).  Bit-identical output, pinned by test."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError("null text values are not supported by the "
+                         "edit-distance kernel; filter them first")
+    if pa.types.is_string(col.type):
+        odt = np.dtype(np.int32)
+    elif pa.types.is_large_string(col.type):
+        odt = np.dtype(np.int64)
+    else:
+        raise TypeError(f"expected a string column, got {col.type}")
+    P = len(col)
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=odt)[
+        col.offset : col.offset + P + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    lens = offs[1:] - offs[:-1]
+    lmax = int(lens.max()) if P else 0
+    out = np.zeros((P, lmax), dtype=np.uint8)
+    total = int(lens.sum())
+    if total:
+        row = np.repeat(np.arange(P, dtype=np.int64), lens)
+        pos = (np.arange(total, dtype=np.int64)
+               - np.repeat(np.cumsum(lens) - lens, lens))
+        out[row, pos] = data[np.repeat(offs[:-1], lens) + pos]
+    return out, lens
+
+
+def _lev_padded(A: np.ndarray, la: np.ndarray,
+                B: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """The min-plus-scan DP over already-padded byte matrices."""
+    P = A.shape[0]
     if P == 0:
         return np.zeros(0, dtype=np.int64)
-    A, la = _pad_units(list(a))
-    B, lb = _pad_units(list(b))
     L1, L2 = A.shape[1], B.shape[1]
     j_idx = np.arange(L2 + 1, dtype=np.int32)
     prev = np.broadcast_to(j_idx, (P, L2 + 1)).copy()
@@ -60,9 +92,11 @@ def levenshtein_batch(a: list[str], b: list[str]) -> np.ndarray:
     c0 = np.empty((P, L2 + 1), dtype=np.int32)
     t = np.empty((P, L2), dtype=np.int32)
     t2 = np.empty((P, L2), dtype=np.int32)
+    neq = np.empty((P, L2), dtype=bool)
     for i in range(1, L1 + 1):
         ai = A[:, i - 1][:, None]
-        np.add(prev[:, :-1], B != ai, out=t)        # substitution (bool adds 0/1)
+        np.not_equal(B, ai, out=neq)                # subst cost, preallocated
+        np.add(prev[:, :-1], neq, out=t)
         np.add(prev[:, 1:], 1, out=t2)              # deletion
         np.minimum(t, t2, out=t)
         c0[:, 0] = i
@@ -75,6 +109,18 @@ def levenshtein_batch(a: list[str], b: list[str]) -> np.ndarray:
         alive = la >= i
         prev[alive] = c0[alive]
     return prev[np.arange(P), lb].astype(np.int64)
+
+
+def levenshtein_batch(a: list[str], b: list[str]) -> np.ndarray:
+    """Exact UTF-8-byte edit distances for P string pairs, vectorized
+    across the batch (DuckDB ``levenshtein()`` semantics)."""
+    if len(a) != len(b):
+        raise ValueError("pair lists must have equal length")
+    if len(a) == 0:
+        return np.zeros(0, dtype=np.int64)
+    A, la = _pad_units(list(a))
+    B, lb = _pad_units(list(b))
+    return _lev_padded(A, la, B, lb)
 
 
 def adjacent_doc_distances(docs: ray.data.Dataset) -> ray.data.Dataset:
@@ -95,9 +141,28 @@ def adjacent_doc_distances(docs: ray.data.Dataset) -> ray.data.Dataset:
     j = hash_join(lt, rt, "k", ["k", "text_a"], ["k", "text_b"],
                   types={"text_a": pa.string(), "text_b": pa.string()})
 
+    CHUNK = 512
+
     def dist(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         k = b["k"].to_numpy(zero_copy_only=False)
-        d = levenshtein_batch(b["text_a"].to_pylist(), b["text_b"].to_pylist())
+        ta, tb = b["text_a"], b["text_b"]
+        la = pc.binary_length(ta).to_numpy(zero_copy_only=False)
+        lb = pc.binary_length(tb).to_numpy(zero_copy_only=False)
+        # length-bucket before chunking: pairs sorted by the padded-cost
+        # driver max(la, lb), so one long outlier inflates only its own
+        # ~CHUNK-pair slab, not every pair in the batch (r3 review: padded
+        # cost is P * L1max * L2max; unsorted, one 100 KB doc in a 1 KB
+        # batch wasted ~100x compute and risked a per-task OOM)
+        order = np.argsort(np.maximum(la, lb), kind="stable")
+        d = np.empty(len(k), dtype=np.int64)
+        for s in range(0, len(order), CHUNK):
+            sel = order[s : s + CHUNK]
+            idx = pa.array(sel)
+            A, laa = _pad_units_arrow(ta.take(idx))
+            B, lbb = _pad_units_arrow(tb.take(idx))
+            d[sel] = _lev_padded(A, laa, B, lbb)
         return pa.table({
             "doc_a": pa.array(k - 1),
             "doc_b": pa.array(k),
@@ -114,7 +179,7 @@ def adjacent_doc_distances(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     n_out = max(16, read_blocks() // 8)
     return j.repartition(n_out).map_batches(
-        dist, batch_format="pyarrow", batch_size=512
+        dist, batch_format="pyarrow", batch_size=8192
     )
 
 

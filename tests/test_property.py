@@ -195,3 +195,31 @@ def test_levenshtein_batch_property(pairs):
     got = levenshtein_batch([p[0] for p in pairs], [p[1] for p in pairs])
     want = np.array([ref(a, b) for a, b in pairs], dtype=np.int64)
     assert (got == want).all()
+
+
+def test_pad_units_arrow_matches_list_path():
+    # r3 review: the Arrow-buffer pad fill must be bit-identical to the
+    # encode-per-string list path, including slices (nonzero Arrow offset),
+    # empties and multi-byte UTF-8
+    import numpy as np
+    import pyarrow as pa
+
+    from orthority_ray.stages.editdist import _pad_units, _pad_units_arrow
+
+    texts = ["", "a", "héllo", "naïve café", "x" * 300, "日本語のテキスト", "b"]
+    arr = pa.chunked_array([texts[:3], texts[3:]])
+    A1, l1 = _pad_units(texts)
+    A2, l2 = _pad_units_arrow(arr)
+    assert (l1 == l2).all() and A1.shape == A2.shape and (A1 == A2).all()
+
+    sl = pa.array(texts).slice(2, 4)  # nonzero offset path
+    A3, l3 = _pad_units_arrow(sl)
+    B3, m3 = _pad_units(texts[2:6])
+    assert (l3 == m3).all() and (A3 == B3).all()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        _pad_units_arrow(pa.array(["a", None]))
+    with pytest.raises(ValueError):
+        _pad_units(["a", None])
