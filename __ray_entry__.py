@@ -43,6 +43,7 @@ from orthority_ray.stages import bpe as BP
 from orthority_ray.stages import tablediff as TD
 from orthority_ray.stages import packing as PK
 from orthority_ray.stages import textstats as T
+from orthority_ray.stages import lexstats as LX
 from orthority_ray.stages.camera_geocode import (
     dem_geocode,
     pinhole_geocode_table,
@@ -210,6 +211,24 @@ def q_vocabulary(sf_dir: str):
         tok_counts, batch_format="pyarrow", batch_size=16384)
     return heavy_hitters_weighted(parts, "token", "c", inv_phi=30,
                                   count_alias="n_tok")
+
+
+def q_lexical_diversity(sf_dir: str):
+    """Per-language type/token counts: total token occurrences + DISTINCT
+    tokens (stages/lexstats.py: per-block pre-counts, one bucketed token
+    exchange, lang-sized rollup)."""
+    from orthority_ray.stages.lexstats import lexical_diversity
+
+    return lexical_diversity(read_pages(sf_dir, columns=["text", "lang"]))
+
+
+def q_oov_rate(sf_dir: str):
+    """Per-language out-of-vocabulary occurrence counts against the exact
+    corpus top-100 vocabulary (count desc, token asc; stages/lexstats.py:
+    shared bucketed token exchange, global_topk cut, broadcast is_in)."""
+    from orthority_ray.stages.lexstats import oov_rate
+
+    return oov_rate(read_pages(sf_dir, columns=["text", "lang"]))
 
 
 def q_tfidf_topk(sf_dir: str):
@@ -852,7 +871,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "dedup_keep_best", "repeat_buyers", "order_share", "cell_cov_exact",
     "events_weekly", "lang_chars_median_cont", "ann_filtered",
     "dup_rate_hourly", "training_shuffle", "host_page_join_broadcast",
-    "value_gini",
+    "value_gini", "lexical_diversity", "oov_rate",
 ]
 
 
@@ -881,6 +900,8 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens": q_bpe_tokens,
         "stratified_sample": q_stratified_sample,
         "text_features": q_text_features,
+        "lexical_diversity": q_lexical_diversity,
+        "oov_rate": q_oov_rate,
         "quality": q_quality,
         "host_stats": q_host_stats,
         "host_page_join": q_host_page_join,
@@ -1053,6 +1074,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": S.with_pages(SQL_STRATIFIED_SAMPLE),
         "bpe_tokens": S.with_pages(T.SQL_BPE_TOKENS),
         "text_features": S.with_pages(T.SQL_TEXT_FEATURES),
+        "lexical_diversity": S.with_pages(LX.SQL_LEXICAL_DIVERSITY),
+        "oov_rate": S.with_pages(LX.sql_oov_rate()),
         "quality": S.with_pages(T.SQL_QUALITY),
         "host_stats": S.with_pages(_SQL_HOST_STATS),
         "host_page_join": S.with_pages(SQL_HOST_PAGE_JOIN),

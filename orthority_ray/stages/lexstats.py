@@ -1,0 +1,178 @@
+"""Corpus lexical statistics: type-token diversity and OOV rate per language.
+
+Two standard training-corpus health metrics the reference-scale pipeline
+needs before filtering decisions (reference analog: none — graft breadth
+for the webtext payload; oracle twins are exact DuckDB SQL):
+
+- ``lexical_diversity``: per language, total token count and DISTINCT token
+  count (the type/token ratio's exact numerator and denominator).
+- ``oov_rate``: per language, how many token occurrences fall outside the
+  corpus-wide top-K vocabulary (count desc, token asc — a deterministic
+  total order, so the cut is exact).
+
+Ray shape (scales to the 100-TB corpus):
+1. one tokenization pass (``core.texthash.split_tokens_arrow``, RE2
+   whitespace semantics shared with every other tokenizer + the oracles),
+   pre-counted PER BLOCK with a vectorized pandas groupby — the shuffle
+   moves (lang, token, count) partials, never raw tokens;
+2. one bucketed exchange keyed on token (groups never split across
+   buckets) producing the globally-aggregated (lang, token, n) table —
+   DIMENSION-sized (distinct tokens x langs), everything after it is tiny;
+3. diversity: per-block partial (lang, n_distinct, n_tokens) -> final
+   lang-sized groupby.  OOV: token totals -> ``global_topk`` (per-block
+   partial top-k, one bounded merge — no global sort) -> broadcast top-K
+   membership probe with ``pc.is_in`` -> lang-sized rollup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+VOCAB_K = 100
+
+
+def _lang_token_partials(b: pa.Table) -> pa.Table:
+    """Per-block (lang, token, c) pre-counts — one RE2-semantics split,
+    token->lang alignment via list_parent_indices, one vectorized groupby."""
+    from ..core.texthash import split_tokens_arrow
+
+    toks = split_tokens_arrow(b["text"])
+    parent = pc.list_parent_indices(toks)
+    flat = pc.list_flatten(toks)
+    lang = pc.take(b["lang"].combine_chunks() if isinstance(
+        b["lang"], pa.ChunkedArray) else b["lang"], parent)
+    keep = pc.not_equal(flat, "")
+    df = pd.DataFrame({"lang": lang.filter(keep).to_pandas(),
+                       "token": flat.filter(keep).to_pandas()})
+    g = df.groupby(["lang", "token"], as_index=False, sort=False).size()
+    return pa.table({
+        "lang": pa.array(g["lang"], pa.string()),
+        "token": pa.array(g["token"], pa.string()),
+        "c": pa.array(g["size"].to_numpy().astype(np.int64)),
+    })
+
+
+def lang_token_counts(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """Globally-aggregated (lang, token, n) — each pair appears ONCE."""
+    from .grouping import bucketed_group_apply
+
+    parts = pages.map_batches(_lang_token_partials, batch_format="pyarrow",
+                              batch_size=16384)
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["lang", "token"], as_index=False, sort=False)["c"].sum()
+        out["c"] = out["c"].astype(np.int64)
+        return out
+
+    # bucket on token only: all langs of one token co-locate, so the OOV
+    # path can also derive exact per-token totals from the same exchange
+    return bucketed_group_apply(parts, ["token"], bucket_sum)
+
+
+def lexical_diversity(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """Per lang: n_tokens (occurrences) and n_distinct (type count)."""
+    agg = lang_token_counts(pages)
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = df.groupby("lang", as_index=False).agg(
+            n_distinct=("token", "size"), n_tokens=("c", "sum"))
+        return pa.table({
+            "lang": pa.array(g["lang"], pa.string()),
+            "n_distinct": pa.array(g["n_distinct"].to_numpy().astype(np.int64)),
+            "n_tokens": pa.array(g["n_tokens"].to_numpy().astype(np.int64)),
+        })
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("lang", as_index=False).agg(
+            n_distinct=("n_distinct", "sum"), n_tokens=("n_tokens", "sum"))
+
+    return (agg.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby("lang").map_groups(final, batch_format="pandas"))
+
+
+def oov_rate(pages: ray.data.Dataset, k: int = VOCAB_K) -> ray.data.Dataset:
+    """Per lang: total token occurrences and occurrences OUTSIDE the
+    corpus-wide top-``k`` vocabulary (count desc, token asc)."""
+    import ray
+
+    from ..pipelines.relational import global_topk
+
+    # the aggregated table is dimension-sized (distinct tokens x langs);
+    # it feeds both the vocab cut and the rollup, so materialize ONCE
+    agg = lang_token_counts(pages).materialize()
+
+    def tok_totals(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().groupby("token", as_index=False)["c"].sum()
+        return pa.table({"token": pa.array(df["token"], pa.string()),
+                         "c": pa.array(df["c"].to_numpy().astype(np.int64))})
+
+    # bucket exchange guarantees each token is wholly inside one block of
+    # `agg`, so per-block totals are already global — no second shuffle
+    totals = agg.map_batches(tok_totals, batch_format="pyarrow",
+                             batch_size=None)
+    top = global_topk(totals, ["c", "token"], [False, True], k,
+                      rank_name=None).to_pandas()
+    vocab_ref = ray.put(pa.array(sorted(top["token"]), pa.string()))
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..sources.pages import cached_get
+
+        vocab = cached_get(vocab_ref)
+        oov = pc.invert(pc.is_in(b["token"], value_set=vocab))
+        c = b["c"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "lang": b["lang"].to_pandas(),
+            "n_tokens": c,
+            "n_oov": np.where(oov.to_numpy(zero_copy_only=False), c, 0),
+        })
+        g = df.groupby("lang", as_index=False).agg(
+            n_tokens=("n_tokens", "sum"), n_oov=("n_oov", "sum"))
+        return pa.table({
+            "lang": pa.array(g["lang"], pa.string()),
+            "n_tokens": pa.array(g["n_tokens"].to_numpy().astype(np.int64)),
+            "n_oov": pa.array(g["n_oov"].to_numpy().astype(np.int64)),
+        })
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("lang", as_index=False).agg(
+            n_tokens=("n_tokens", "sum"), n_oov=("n_oov", "sum"))
+
+    return (agg.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby("lang").map_groups(final, batch_format="pandas"))
+
+
+_SQL_TOK = r"""
+tok AS (
+  SELECT lang, token FROM (
+    SELECT lang, unnest(string_split_regex(text, '\s+')) AS token FROM pages)
+  WHERE token <> ''
+)
+""".strip()
+
+
+SQL_LEXICAL_DIVERSITY = f""", {_SQL_TOK}
+SELECT lang,
+       CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM tok GROUP BY lang
+""".strip()
+
+
+def sql_oov_rate(k: int = VOCAB_K) -> str:
+    return f""", {_SQL_TOK},
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+    ORDER BY c DESC, token ASC LIMIT {k})
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab)
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+FROM tok GROUP BY lang
+""".strip()
