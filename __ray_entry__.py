@@ -213,6 +213,16 @@ def q_vocabulary(sf_dir: str):
                                   count_alias="n_tok")
 
 
+def q_compression_ratio(sf_dir: str):
+    """Rows-only: zlib compressibility per document (the boilerplate/
+    repetition corpus filter; stages/textstats.CompressionScorer with the
+    distinct-text memo).  No SQL twin — DuckDB has no compression fn."""
+    from orthority_ray.pipelines.relational import _read
+    from orthority_ray.stages.textstats import compression_ratio
+
+    return compression_ratio(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_lexical_diversity(sf_dir: str):
     """Per-language type/token counts: total token occurrences + DISTINCT
     tokens (stages/lexstats.py: per-block pre-counts, one bucketed token
@@ -902,6 +912,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "text_features": q_text_features,
         "lexical_diversity": q_lexical_diversity,
         "oov_rate": q_oov_rate,
+        "compression_ratio": q_compression_ratio,
         "quality": q_quality,
         "host_stats": q_host_stats,
         "host_page_join": q_host_page_join,

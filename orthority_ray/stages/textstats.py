@@ -518,3 +518,51 @@ SELECT doc_id,
        CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_text
 FROM pages
 """.strip()
+
+
+# --- compression-ratio quality signal ---------------------------------------
+
+
+def _zratio_of(texts: list[str]) -> np.ndarray:
+    """(n, 2) int64 (raw_bytes, comp_bytes) — zlib level 6 over UTF-8."""
+    import zlib
+
+    out = np.empty((len(texts), 2), dtype=np.int64)
+    for i, t in enumerate(texts):
+        raw = t.encode("utf-8")
+        out[i, 0] = len(raw)
+        out[i, 1] = len(zlib.compress(raw, 6))
+    return out
+
+
+class CompressionScorer:
+    """zlib compressibility signal — the CCNet/Gopher-style "too
+    compressible = boilerplate/repetitive" corpus filter.  Per-payload
+    codec work is inherently a byte loop (same class as multimodal
+    decode); the distinct-text memo compresses each unique text once per
+    worker, so duplicate-heavy crawls pay per DISTINCT text.  Rows-only
+    query (DuckDB has no compression function); determinism pinned by
+    test — zlib level 6 output is fixed for a given zlib build."""
+
+    def __init__(self):
+        self.memo = _DistinctMemo(_zratio_of, 2)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = self.memo.lookup(batch["text"].to_pylist())
+        raw, comp = rows[:, 0], rows[:, 1]
+        ratio = comp * 1000 // np.maximum(raw, 1)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "raw_bytes": pa.array(raw),
+            "comp_bytes": pa.array(comp),
+            "ratio_milli": pa.array(ratio),
+        })
+
+
+def compression_ratio(ds: ray.data.Dataset, *,
+                      concurrency: int | None = None) -> ray.data.Dataset:
+    from ..core.config import cached_stage
+
+    return ds.map_batches(cached_stage(CompressionScorer, "textstats:zratio"),
+                          batch_format="pyarrow", batch_size=4096,
+                          concurrency=concurrency)

@@ -90,3 +90,21 @@ def test_host_stats_matches_pandas(ray_session, nblocks):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, want)
+
+
+def test_compression_ratio_deterministic_and_sane(ray_session, sf_unit):
+    import pandas as pd
+    import ray.data
+
+    from orthority_ray.pipelines.relational import _read
+    from orthority_ray.stages.textstats import compression_ratio
+
+    docs = _read(sf_unit, "documents", ["doc_id", "text"])
+    a = compression_ratio(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = compression_ratio(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["comp_bytes"] > 0).all()
+    assert (a["ratio_milli"] == a["comp_bytes"] * 1000 // a["raw_bytes"].clip(lower=1)).all()
+    # natural-ish text compresses; tiny texts may EXPAND (zlib header
+    # overhead), so the upper sanity bound sits above 1000
+    assert a["ratio_milli"].between(50, 1300).all()
