@@ -36,23 +36,37 @@ VOCAB_K = 100
 
 
 def _lang_token_partials(b: pa.Table) -> pa.Table:
-    """Per-block (lang, token, c) pre-counts — one RE2-semantics split,
-    token->lang alignment via list_parent_indices, one vectorized groupby."""
+    """Per-block (lang, token, c) pre-counts, dedup-then-process: the crawl
+    is duplicate-heavy, so the block's distinct (lang, text) reps are
+    tokenized ONCE (one RE2-semantics split) and each rep's token counts
+    are weighted by its page multiplicity — identical totals to per-page
+    tokenization at a fraction of the split work (the repo's tfidf /
+    vocabulary pattern)."""
     from ..core.texthash import split_tokens_arrow
 
-    toks = split_tokens_arrow(b["text"])
-    parent = pc.list_parent_indices(toks)
+    df = pd.DataFrame({"lang": b["lang"].to_pandas(),
+                       "text": b["text"].to_pandas()})
+    reps = df.groupby(["lang", "text"], as_index=False, sort=False).size()
+    toks = split_tokens_arrow(pa.array(reps["text"], pa.string()))
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
     flat = pc.list_flatten(toks)
-    lang = pc.take(b["lang"].combine_chunks() if isinstance(
-        b["lang"], pa.ChunkedArray) else b["lang"], parent)
     keep = pc.not_equal(flat, "")
-    df = pd.DataFrame({"lang": lang.filter(keep).to_pandas(),
-                       "token": flat.filter(keep).to_pandas()})
-    g = df.groupby(["lang", "token"], as_index=False, sort=False).size()
+    td = pd.DataFrame({
+        "rep": parent[keep.to_numpy(zero_copy_only=False)],
+        "token": flat.filter(keep).to_pandas(),
+    })
+    tc = td.groupby(["rep", "token"], as_index=False, sort=False).size()
+    rep_idx = tc["rep"].to_numpy()
+    w = reps["size"].to_numpy().astype(np.int64)
+    g = pd.DataFrame({
+        "lang": reps["lang"].to_numpy(dtype=object)[rep_idx],
+        "token": tc["token"],
+        "c": tc["size"].to_numpy().astype(np.int64) * w[rep_idx],
+    }).groupby(["lang", "token"], as_index=False, sort=False)["c"].sum()
     return pa.table({
         "lang": pa.array(g["lang"], pa.string()),
         "token": pa.array(g["token"], pa.string()),
-        "c": pa.array(g["size"].to_numpy().astype(np.int64)),
+        "c": pa.array(g["c"].to_numpy().astype(np.int64)),
     })
 
 
