@@ -53,6 +53,7 @@ from orthority_ray.stages.metadata import SQL_METADATA as _SQL_METADATA
 from orthority_ray.stages.urlstats import SQL_HOST_STATS as _SQL_HOST_STATS
 from orthority_ray.stages.urlstats import SQL_URL_REDACT as _SQL_URL_REDACT
 from orthority_ray.stages.quantiles import (sql_exact_quantiles,
+                                             sql_grouped_mad4x,
                                              sql_grouped_median,
                                              sql_grouped_median_cont2x)
 from orthority_ray.stages.remap import sql_remap_checker as _sql_remap_checker
@@ -221,6 +222,27 @@ def q_compression_ratio(sf_dir: str):
     from orthority_ray.stages.textstats import compression_ratio
 
     return compression_ratio(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_event_mad(sf_dir: str):
+    """Per event type: exact interpolated median and median absolute
+    deviation of value cents, doubled-integer encoded (med2x = 2*median,
+    mad4x = 4*MAD; stages/quantiles.grouped_mad4x — two bucketed median
+    passes, dimension-sized broadcast between them)."""
+    from orthority_ray.pipelines.relational import _read, cents
+    from orthority_ray.stages.quantiles import grouped_mad4x
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b):
+        import numpy as np
+
+        v = cents(b["value"].to_numpy(zero_copy_only=False))
+        return pa.table({"event_type": b["event_type"], "v_cents": pa.array(v)})
+
+    return grouped_mad4x(
+        ev.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        "event_type", "v_cents")
 
 
 def q_lexical_diversity(sf_dir: str):
@@ -881,7 +903,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "dedup_keep_best", "repeat_buyers", "order_share", "cell_cov_exact",
     "events_weekly", "lang_chars_median_cont", "ann_filtered",
     "dup_rate_hourly", "training_shuffle", "host_page_join_broadcast",
-    "value_gini", "lexical_diversity", "oov_rate",
+    "value_gini", "lexical_diversity", "oov_rate", "event_mad",
 ]
 
 
@@ -912,6 +934,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "text_features": q_text_features,
         "lexical_diversity": q_lexical_diversity,
         "oov_rate": q_oov_rate,
+        "event_mad": q_event_mad,
         "compression_ratio": q_compression_ratio,
         "quality": q_quality,
         "host_stats": q_host_stats,
@@ -1195,6 +1218,9 @@ def oracle_sql() -> dict[str, str]:
         "token_cooccurrence": S.with_pages(TF.sql_token_cooccurrence()),
         "boolean_search": S.with_pages(TF.sql_boolean_search()),
         "phrase_search": S.with_pages(TF.sql_phrase_search()),
+        "event_mad": sql_grouped_mad4x(
+            "event_type", "v_cents",
+            "(SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_cents FROM events)"),
         "event_p95": sql_grouped_median(
             "event_type", "v_cents",
             "(SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_cents FROM events)",

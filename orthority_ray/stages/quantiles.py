@@ -261,3 +261,51 @@ def sketch_quantiles(ds: ray.data.Dataset, col: str, qs: tuple[float, ...],
         {"q_pm": np.array([int(round(q * 1_000_000)) for q in qs], dtype=np.int64),
          "value": vals}
     )
+
+
+def grouped_mad4x(ds: ray.data.Dataset, key: str, col: str):
+    """(key, n, med2x, mad4x) per group — exact interpolated median AND
+    median absolute deviation (the robust outlier scale), kept integral by
+    doubling twice: med2x = 2*median(v) (sum of the two middle order
+    statistics), and since |2v - med2x| is then an integer,
+    mad4x = 2*median(|2v - med2x|) = 4*MAD, exact end to end.
+
+    Shape: two bucketed median passes over the data; between them only the
+    DIMENSION-sized (key, med2x) table moves — broadcast once via ray.put
+    and probed per batch with a vectorized map (never a row-level join).
+    Returns a pandas DataFrame (dimension-sized)."""
+    import ray
+
+    med = grouped_median_cont2x(ds, key, col)
+    mp = med.to_pandas()
+    med_ref = ray.put(dict(zip(mp[key], mp["med2x"].astype(np.int64))))
+
+    def dev(b: pa.Table) -> pa.Table:
+        from ..sources.pages import cached_get
+
+        m = cached_get(med_ref)
+        k = b[key].to_pandas()
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        med2 = k.map(m).to_numpy().astype(np.int64)
+        return pa.table({key: pa.array(k, pa.string()),
+                         "__dev": pa.array(np.abs(2 * v - med2))})
+
+    mad = grouped_median_cont2x(
+        ds.map_batches(dev, batch_format="pyarrow", batch_size=65536),
+        key, "__dev").to_pandas()
+    out = mp.merge(mad.rename(columns={"med2x": "mad4x"})[[key, "mad4x"]],
+                   on=key)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+def sql_grouped_mad4x(key: str, col: str, table: str) -> str:
+    return (
+        f"WITH v AS (SELECT {key}, {col} FROM {table}), "
+        f"m AS (SELECT {key}, COUNT(*) AS n, "
+        f"CAST(quantile_cont({col}, 0.5) * 2 AS BIGINT) AS med2x "
+        f"FROM v GROUP BY 1) "
+        f"SELECT m.{key}, m.n, m.med2x, "
+        f"CAST(quantile_cont(abs(2 * v.{col} - m.med2x), 0.5) * 2 AS BIGINT) AS mad4x "
+        f"FROM v JOIN m USING ({key}) GROUP BY 1, 2, 3"
+    )
