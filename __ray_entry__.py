@@ -54,6 +54,7 @@ from orthority_ray.stages.urlstats import SQL_HOST_STATS as _SQL_HOST_STATS
 from orthority_ray.stages.urlstats import SQL_URL_REDACT as _SQL_URL_REDACT
 from orthority_ray.stages.quantiles import (sql_exact_quantiles,
                                              sql_grouped_mad4x,
+                                             sql_grouped_weighted_median,
                                              sql_grouped_median,
                                              sql_grouped_median_cont2x)
 from orthority_ray.stages.remap import sql_remap_checker as _sql_remap_checker
@@ -222,6 +223,29 @@ def q_compression_ratio(sf_dir: str):
     from orthority_ray.stages.textstats import compression_ratio
 
     return compression_ratio(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_weighted_median(sf_dir: str):
+    """Quantity-weighted LOWER median of lineitem price cents per return
+    flag (stages/quantiles.grouped_weighted_median: per-block (key, value,
+    weight-sum) combiners, one bucketed sort+cumsum crossing pick)."""
+    from orthority_ray.pipelines.relational import _read, cents
+    from orthority_ray.stages.quantiles import grouped_weighted_median
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def prep(b):
+        import numpy as np
+
+        p = cents(b["l_extendedprice"].to_numpy(zero_copy_only=False))
+        q = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "price_cents": pa.array(p), "qty": pa.array(q)})
+
+    return grouped_weighted_median(
+        li.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        "l_returnflag", "price_cents", "qty")
 
 
 def q_event_mad(sf_dir: str):
@@ -903,7 +927,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "dedup_keep_best", "repeat_buyers", "order_share", "cell_cov_exact",
     "events_weekly", "lang_chars_median_cont", "ann_filtered",
     "dup_rate_hourly", "training_shuffle", "host_page_join_broadcast",
-    "value_gini", "lexical_diversity", "oov_rate", "event_mad",
+    "value_gini", "lexical_diversity", "oov_rate", "event_mad", "weighted_median",
 ]
 
 
@@ -935,6 +959,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity": q_lexical_diversity,
         "oov_rate": q_oov_rate,
         "event_mad": q_event_mad,
+        "weighted_median": q_weighted_median,
         "compression_ratio": q_compression_ratio,
         "quality": q_quality,
         "host_stats": q_host_stats,
@@ -1218,6 +1243,9 @@ def oracle_sql() -> dict[str, str]:
         "token_cooccurrence": S.with_pages(TF.sql_token_cooccurrence()),
         "boolean_search": S.with_pages(TF.sql_boolean_search()),
         "phrase_search": S.with_pages(TF.sql_phrase_search()),
+        "weighted_median": sql_grouped_weighted_median(
+            "l_returnflag", "price_cents", "qty",
+            "(SELECT l_returnflag, CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_cents, CAST(l_quantity AS BIGINT) AS qty FROM lineitem)"),
         "event_mad": sql_grouped_mad4x(
             "event_type", "v_cents",
             "(SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_cents FROM events)"),

@@ -309,3 +309,65 @@ def sql_grouped_mad4x(key: str, col: str, table: str) -> str:
         f"CAST(quantile_cont(abs(2 * v.{col} - m.med2x), 0.5) * 2 AS BIGINT) AS mad4x "
         f"FROM v JOIN m USING ({key}) GROUP BY 1, 2, 3"
     )
+
+
+def grouped_weighted_median(ds: ray.data.Dataset, key: str, val: str,
+                            weight: str) -> ray.data.Dataset:
+    """(key, tot_w, wmed) per group — the exact LOWER weighted median:
+    the smallest v whose cumulative weight (values sorted ascending)
+    reaches half the total, i.e. min v with 2*cum(v) >= tot.  All-integer
+    compare, no interpolation, deterministic for any weight distribution.
+
+    Shape: per-block (key, v, w-sum) combiners shrink the exchange to
+    distinct (key, value) pairs; one bucketed pass per key then runs the
+    vectorized sort + cumsum + first-crossing pick per group."""
+
+    def combine(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key: b[key].to_pandas(),
+            val: b[val].to_numpy(zero_copy_only=False).astype(np.int64),
+            "w": b[weight].to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        g = df.groupby([key, val], as_index=False, sort=False)["w"].sum()
+        g["w"] = g["w"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, val], kind="mergesort")
+        k = g[key].to_numpy()
+        v = g[val].to_numpy().astype(np.int64)
+        w = g["w"].to_numpy().astype(np.int64)
+        starts = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
+        ends = np.concatenate([starts[1:], [len(g)]])
+        cum = np.cumsum(w)
+        base = np.repeat(np.concatenate([[0], cum[ends[:-1] - 1]]),
+                         ends - starts)
+        cum_in = cum - base
+        tot = cum[ends - 1] - np.concatenate([[0], cum[ends[:-1] - 1]])
+        tot_per_row = np.repeat(tot, ends - starts)
+        crossed = 2 * cum_in >= tot_per_row
+        # first crossing per group: crossed is monotone within a group
+        first = np.zeros(len(g), dtype=bool)
+        first[starts] = crossed[starts]
+        first[1:] |= crossed[1:] & ~crossed[:-1] & (k[1:] == k[:-1])
+        return pd.DataFrame({key: k[first],
+                             "tot_w": tot_per_row[first].astype(np.int64),
+                             "wmed": v[first].astype(np.int64)})
+
+    from .grouping import bucketed_group_apply
+
+    pre = ds.map_batches(combine, batch_format="pyarrow", batch_size=65536)
+    return bucketed_group_apply(pre, [key], pick)
+
+
+def sql_grouped_weighted_median(key: str, val: str, weight: str,
+                                table: str) -> str:
+    return (
+        f"WITH c AS (SELECT {key} AS k, {val} AS v, CAST(SUM({weight}) AS BIGINT) AS wv "
+        f"FROM {table} GROUP BY 1, 2), "
+        f"s AS (SELECT k, v, SUM(wv) OVER (PARTITION BY k ORDER BY v) AS cum, "
+        f"SUM(wv) OVER (PARTITION BY k) AS tot FROM c) "
+        f"SELECT k AS {key}, CAST(ANY_VALUE(tot) AS BIGINT) AS tot_w, "
+        f"CAST(MIN(v) AS BIGINT) AS wmed "
+        f"FROM s WHERE 2 * cum >= tot GROUP BY 1"
+    )

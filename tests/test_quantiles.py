@@ -107,3 +107,44 @@ def test_grouped_median_cont2x_even_and_odd_groups(values):
         n = grp.shape[0]
         expect = int(grp[(n - 1) // 2]) + int(grp[n // 2])
         assert row["med2x"] == expect and row["n"] == n
+
+
+def test_grouped_weighted_median_crossings(ray_session):
+    # lower weighted median: smallest v with 2*cum >= tot; exercise a
+    # heavy-tail group, a single-row group, and an exact half-split tie
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from orthority_ray.stages.quantiles import grouped_weighted_median
+
+    rows = []
+    # group a: weights 1,1,8 over v=1,2,3 -> cum 1,2,10; tot 10; first
+    # 2*cum>=10 at v=3
+    rows += [("a", 1, 1), ("a", 2, 1), ("a", 3, 8)]
+    # group b: single row
+    rows += [("b", 42, 7)]
+    # group c: exact tie 2*cum == tot at the FIRST value -> lower median 5
+    rows += [("c", 5, 3), ("c", 9, 3)]
+    df = pd.DataFrame(rows, columns=["k", "v", "w"])
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = (grouped_weighted_median(ds, "k", "v", "w")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["wmed"].tolist() == [3, 42, 5]
+    assert out["tot_w"].tolist() == [10, 7, 6]
+
+    # brute-force cross-check on a random skewed instance
+    rng = np.random.default_rng(3)
+    k = rng.integers(0, 5, 400)
+    v = rng.integers(-50, 50, 400)
+    w = rng.zipf(1.5, 400).clip(max=10_000).astype(np.int64)
+    big = pd.DataFrame({"k": k.astype(str), "v": v, "w": w})
+    got = (grouped_weighted_median(
+        ray.data.from_arrow(pa.Table.from_pandas(big, preserve_index=False)),
+        "k", "v", "w").to_pandas().set_index("k")["wmed"])
+    for kk, g in big.groupby("k"):
+        g = g.groupby("v", as_index=False)["w"].sum().sort_values("v")
+        cum = g["w"].cumsum()
+        want = int(g.loc[2 * cum >= g["w"].sum(), "v"].iloc[0])
+        assert got[kk] == want, kk
