@@ -44,6 +44,7 @@ from orthority_ray.stages import tablediff as TD
 from orthority_ray.stages import packing as PK
 from orthority_ray.stages import textstats as T
 from orthority_ray.stages import lexstats as LX
+from orthority_ray.stages import audit as AUD
 from orthority_ray.stages.camera_geocode import (
     dem_geocode,
     pinhole_geocode_table,
@@ -223,6 +224,25 @@ def q_compression_ratio(sf_dir: str):
     from orthority_ray.stages.textstats import compression_ratio
 
     return compression_ratio(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_fk_orphans(sf_dir: str):
+    """Referential-integrity audit: per FK relation, how many fact rows
+    reference a missing dimension key (stages/audit.py — broadcast sorted
+    key sets + searchsorted membership for the dims, bucketed anti join
+    for the fact-to-fact lineitem->orders relation)."""
+    from orthority_ray.stages.audit import fk_orphan_counts
+
+    return fk_orphan_counts(sf_dir)
+
+
+def q_table_profile(sf_dir: str):
+    """One-pass integer column profile of lineitem: rows / nulls / min /
+    max per column (stages/audit.table_profile — per-block partial rows,
+    column-sized driver fold)."""
+    from orthority_ray.stages.audit import table_profile
+
+    return table_profile(sf_dir)
 
 
 def q_weighted_median(sf_dir: str):
@@ -927,7 +947,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "dedup_keep_best", "repeat_buyers", "order_share", "cell_cov_exact",
     "events_weekly", "lang_chars_median_cont", "ann_filtered",
     "dup_rate_hourly", "training_shuffle", "host_page_join_broadcast",
-    "value_gini", "lexical_diversity", "oov_rate", "event_mad", "weighted_median",
+    "value_gini", "lexical_diversity", "oov_rate", "event_mad", "weighted_median", "fk_orphans", "table_profile",
 ]
 
 
@@ -960,6 +980,8 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "oov_rate": q_oov_rate,
         "event_mad": q_event_mad,
         "weighted_median": q_weighted_median,
+        "fk_orphans": q_fk_orphans,
+        "table_profile": q_table_profile,
         "compression_ratio": q_compression_ratio,
         "quality": q_quality,
         "host_stats": q_host_stats,
@@ -1243,6 +1265,8 @@ def oracle_sql() -> dict[str, str]:
         "token_cooccurrence": S.with_pages(TF.sql_token_cooccurrence()),
         "boolean_search": S.with_pages(TF.sql_boolean_search()),
         "phrase_search": S.with_pages(TF.sql_phrase_search()),
+        "fk_orphans": AUD.SQL_FK_ORPHANS,
+        "table_profile": AUD.sql_table_profile(),
         "weighted_median": sql_grouped_weighted_median(
             "l_returnflag", "price_cents", "qty",
             "(SELECT l_returnflag, CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_cents, CAST(l_quantity AS BIGINT) AS qty FROM lineitem)"),

@@ -1,0 +1,193 @@
+"""Data-quality audit operators: FK-orphan counts and column profiling.
+
+The checks a 100-TB ingest runs before anything downstream trusts the
+data (reference analog: none — graft breadth for the relational payload;
+oracle twins are exact DuckDB SQL):
+
+- ``fk_orphan_counts``: for every declared FK relation, how many fact rows
+  reference a missing dimension key (LEFT JOIN ... IS NULL semantics).
+- ``table_profile``: per integer column, row count / null count / min /
+  max in ONE pass.
+
+Ray shape:
+- dimension key sets (customer, supplier, part, nation, region) broadcast
+  ONCE as sorted key arrays via ``ray.put`` and probed per block with a
+  vectorized ``np.searchsorted`` membership test — no shuffle;
+- the one large-side relation (lineitem -> orders) goes through the
+  bucketed ``hash_join(how="anti")`` and a per-block count, so neither
+  side is ever collected;
+- every audit emits one per-block partial row; the final reduce is a
+  relation-/column-sized driver fold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..core.config import table_path
+
+# (fact table, fact key, dim table, dim key); lineitem->orders is handled
+# separately through the anti join because orders is fact-sized
+DIM_RELATIONS = [
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _sorted_keys(sf_dir: str, table: str, col: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(table_path(sf_dir, table), columns=[col])
+    return np.sort(t[col].to_numpy().astype(np.int64))
+
+
+def _member(keys: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    if sorted_set.size == 0:
+        return np.zeros(keys.shape[0], dtype=bool)
+    idx = np.clip(np.searchsorted(sorted_set, keys), 0, sorted_set.size - 1)
+    return sorted_set[idx] == keys
+
+
+def fk_orphan_counts(sf_dir: str) -> pd.DataFrame:
+    """(relation, n_rows, n_orphans) for every FK relation — the broadcast
+    dims via one membership probe per block; lineitem->orders via the
+    bucketed anti join."""
+    from ..pipelines.relational import _read
+    from ..sources.pages import cached_get
+    from .hashjoin import hash_join
+
+    rows = []
+    for fact, fkey, dim, dkey in DIM_RELATIONS:
+        keys_ref = ray.put(_sorted_keys(sf_dir, dim, dkey))
+
+        def probe(b: pa.Table, _ref=keys_ref, _col=fkey) -> pa.Table:
+            ks = cached_get(_ref)
+            k = b[_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            miss = ~_member(k, ks)
+            return pa.table({"n_rows": pa.array([len(k)], pa.int64()),
+                             "n_orphans": pa.array([int(miss.sum())],
+                                                   pa.int64())})
+
+        part = (_read(sf_dir, fact, [fkey])
+                .map_batches(probe, batch_format="pyarrow",
+                             batch_size=65536).to_pandas())
+        rows.append((f"{fact}->{dim}", int(part["n_rows"].sum()),
+                     int(part["n_orphans"].sum())))
+
+    # lineitem -> orders: both sides fact-sized, so membership goes through
+    # the bucketed anti join (no dense/broadcast structure fits at scale)
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    n_li = int(li.count())
+    ords = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def okey(b: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": b["o_orderkey"]})
+
+    orphans = hash_join(
+        li, ords.map_batches(okey, batch_format="pyarrow"),
+        "l_orderkey", ["l_orderkey"], ["l_orderkey"], how="anti",
+    )
+    rows.append(("lineitem->orders", n_li, int(orphans.count())))
+
+    out = pd.DataFrame(rows, columns=["relation", "n_rows", "n_orphans"])
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["n_orphans"] = out["n_orphans"].astype(np.int64)
+    return out
+
+
+SQL_FK_ORPHANS = """
+SELECT 'orders->customer' AS relation,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows,
+       CAST((SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+             ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'customer->nation',
+       CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM customer c LEFT JOIN nation n
+             ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'supplier->nation',
+       CAST((SELECT COUNT(*) FROM supplier) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM supplier s LEFT JOIN nation n
+             ON s.s_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'nation->region',
+       CAST((SELECT COUNT(*) FROM nation) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM nation n LEFT JOIN region r
+             ON n.n_regionkey = r.r_regionkey WHERE r.r_regionkey IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'lineitem->part',
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem l LEFT JOIN part p
+             ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'lineitem->supplier',
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem l LEFT JOIN supplier s
+             ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'lineitem->orders',
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+             ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS BIGINT)
+""".strip()
+
+
+PROFILE_COLUMNS = ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+
+
+def table_profile(sf_dir: str, table: str = "lineitem",
+                  cols: tuple[str, ...] = PROFILE_COLUMNS) -> pd.DataFrame:
+    """(col_name, n_rows, n_null, min_v, max_v) per integer column, ONE pass:
+    each block emits one partial row per column; the driver folds a
+    column-count-sized frame."""
+    from ..pipelines.relational import _read
+
+    def partial(b: pa.Table) -> pa.Table:
+        names, n, nn, mn, mx = [], [], [], [], []
+        for c in cols:
+            col = b[c]
+            nulls = col.null_count
+            k = col.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
+            names.append(c)
+            n.append(len(col))
+            nn.append(nulls)
+            mn.append(int(k.min()) if k.size else np.iinfo(np.int64).max)
+            mx.append(int(k.max()) if k.size else np.iinfo(np.int64).min)
+        return pa.table({
+            "col_name": pa.array(names, pa.string()),
+            "n_rows": pa.array(np.array(n, dtype=np.int64)),
+            "n_null": pa.array(np.array(nn, dtype=np.int64)),
+            "min_v": pa.array(np.array(mn, dtype=np.int64)),
+            "max_v": pa.array(np.array(mx, dtype=np.int64)),
+        })
+
+    parts = (_read(sf_dir, table, list(cols))
+             .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+             .to_pandas())
+    out = parts.groupby("col_name", as_index=False).agg(
+        n_rows=("n_rows", "sum"), n_null=("n_null", "sum"),
+        min_v=("min_v", "min"), max_v=("max_v", "max"))
+    for c in ("n_rows", "n_null", "min_v", "max_v"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def sql_table_profile(table: str = "lineitem",
+                      cols: tuple[str, ...] = PROFILE_COLUMNS) -> str:
+    parts = [
+        (f"SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+         f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null, "
+         f"CAST(MIN({c}) AS BIGINT) AS min_v, "
+         f"CAST(MAX({c}) AS BIGINT) AS max_v FROM {table}")
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
