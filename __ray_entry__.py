@@ -45,6 +45,8 @@ from orthority_ray.stages import packing as PK
 from orthority_ray.stages import textstats as T
 from orthority_ray.stages import lexstats as LX
 from orthority_ray.stages import audit as AUD
+from orthority_ray.stages import paradedup as PD
+from orthority_ray.stages import mixing as MX
 from orthority_ray.stages.camera_geocode import (
     dem_geocode,
     pinhole_geocode_table,
@@ -245,6 +247,31 @@ def q_table_profile(sf_dir: str):
     return table_profile(sf_dir)
 
 
+def q_paragraph_dedup(sf_dir: str):
+    """Sub-document (16-token paragraph) dedup with reassembly
+    (stages/paradedup.paragraph_dedup): keep each distinct paragraph at its
+    first corpus occurrence; one row per doc that keeps >= 1 paragraph."""
+    from orthority_ray.stages.paradedup import paragraph_dedup
+
+    return paragraph_dedup(sf_dir)
+
+
+def q_cross_host_dup(sf_dir: str):
+    """Per-host duplicate-origin attribution (stages/paradedup
+    .cross_host_dup): intra-site vs cross-site duplicate page counts."""
+    from orthority_ray.stages.paradedup import cross_host_dup
+
+    return cross_host_dup(sf_dir)
+
+
+def q_token_budget_mix(sf_dir: str):
+    """Per-language quality-ranked token-budget selection (stages/mixing
+    .token_budget_mix): distributed ordered-prefix without a global sort."""
+    from orthority_ray.stages.mixing import token_budget_mix
+
+    return token_budget_mix(sf_dir)
+
+
 def q_weighted_median(sf_dir: str):
     """Quantity-weighted LOWER median of lineitem price cents per return
     flag (stages/quantiles.grouped_weighted_median: per-block (key, value,
@@ -305,6 +332,15 @@ def q_oov_rate(sf_dir: str):
     from orthority_ray.stages.lexstats import oov_rate
 
     return oov_rate(read_pages(sf_dir, columns=["text", "lang"]))
+
+
+def q_vocab_growth(sf_dir: str):
+    """Vocabulary-growth curve: distinct tokens first seen per crawl hour
+    (stages/lexstats.vocab_growth — per-block token min-doc partials, one
+    bucketed min exchange, hour-dimension rollup)."""
+    from orthority_ray.stages.lexstats import vocab_growth
+
+    return vocab_growth(read_pages(sf_dir, columns=["doc_id", "text"]))
 
 
 def q_tfidf_topk(sf_dir: str):
@@ -948,6 +984,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "events_weekly", "lang_chars_median_cont", "ann_filtered",
     "dup_rate_hourly", "training_shuffle", "host_page_join_broadcast",
     "value_gini", "lexical_diversity", "oov_rate", "event_mad", "weighted_median", "fk_orphans", "table_profile",
+    "paragraph_dedup", "cross_host_dup", "token_budget_mix", "vocab_growth",
 ]
 
 
@@ -982,6 +1019,10 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "weighted_median": q_weighted_median,
         "fk_orphans": q_fk_orphans,
         "table_profile": q_table_profile,
+        "paragraph_dedup": q_paragraph_dedup,
+        "cross_host_dup": q_cross_host_dup,
+        "token_budget_mix": q_token_budget_mix,
+        "vocab_growth": q_vocab_growth,
         "compression_ratio": q_compression_ratio,
         "quality": q_quality,
         "host_stats": q_host_stats,
@@ -1267,6 +1308,10 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": S.with_pages(TF.sql_phrase_search()),
         "fk_orphans": AUD.SQL_FK_ORPHANS,
         "table_profile": AUD.sql_table_profile(),
+        "paragraph_dedup": S.with_pages(PD.SQL_PARAGRAPH_DEDUP),
+        "cross_host_dup": S.with_pages(PD.SQL_CROSS_HOST_DUP),
+        "token_budget_mix": S.with_pages(MX.SQL_TOKEN_BUDGET_MIX),
+        "vocab_growth": S.with_pages(LX.SQL_VOCAB_GROWTH),
         "weighted_median": sql_grouped_weighted_median(
             "l_returnflag", "price_cents", "qty",
             "(SELECT l_returnflag, CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_cents, CAST(l_quantity AS BIGINT) AS qty FROM lineitem)"),

@@ -160,6 +160,104 @@ def oov_rate(pages: ray.data.Dataset, k: int = VOCAB_K) -> ray.data.Dataset:
             .groupby("lang").map_groups(final, batch_format="pandas"))
 
 
+def vocab_growth(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """-> (hour, n_tokens, n_new_tokens): per crawl hour, the token volume
+    crawled and how many distinct tokens were seen for the FIRST time that
+    hour — the vocabulary-growth curve a corpus dashboard tracks as a crawl
+    progresses (page timestamp contract: sources/pages synthesizes
+    warc_ts = epoch + doc_id seconds, so hour = doc_id // 3600).
+
+    Shape: (a) per-block (token, min doc_id) partials over the block's
+    distinct texts (mins compose) -> one bucketed min exchange keyed on
+    token (distinct-vocabulary-sized) -> hour attribution; (b) per-block
+    per-hour token-volume partials (each distinct text tokenized once, its
+    count fanned to its pages' hours); both rollups are hour-dimension
+    unioned + summed (first-occurrence hours are a subset of occurrence
+    hours, so the zero-padded union IS the SQL left join)."""
+    from ..core.texthash import split_tokens_arrow
+    from ..pipelines.relational import combined_groupby_sum
+    from .grouping import bucketed_group_apply
+    from .paradedup import nonempty_token_counts
+
+    def first_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(zero_copy_only=False),
+            "text": b["text"].to_pandas()})
+        reps = df.groupby("text", as_index=False, sort=False)["doc_id"].min()
+        toks = split_tokens_arrow(pa.array(reps["text"], pa.string()))
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        td = pd.DataFrame({
+            "token": flat.filter(keep).to_pandas(),
+            "first_doc": reps["doc_id"].to_numpy()[
+                parent[keep.to_numpy(zero_copy_only=False)]],
+        })
+        g = td.groupby("token", as_index=False, sort=False)["first_doc"].min()
+        return pa.table({"token": pa.array(g["token"], pa.string()),
+                         "first_doc": pa.array(
+                             g["first_doc"].to_numpy().astype(np.int64))})
+
+    parts = pages.map_batches(first_partial, batch_format="pyarrow",
+                              batch_size=16384)
+
+    def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("token", as_index=False, sort=False)["first_doc"].min()
+        out["first_doc"] = out["first_doc"].astype(np.int64)
+        return out
+
+    firsts = bucketed_group_apply(parts, ["token"], bucket_min)
+
+    def new_partial(b: pa.Table) -> pa.Table:
+        hour = b["first_doc"].to_numpy(zero_copy_only=False) // 3600
+        u, c = np.unique(hour, return_counts=True)
+        return pa.table({"hour": pa.array(u.astype(np.int64)),
+                         "n_tokens": pa.array(np.zeros(u.size, np.int64)),
+                         "n_new_tokens": pa.array(c.astype(np.int64))})
+
+    def volume_partial(b: pa.Table) -> pa.Table:
+        # dedup-then-process: tokenize each distinct text once, fan its
+        # count back to the block's pages via the factorize index
+        texts = b["text"].to_pandas()
+        codes, uniq = pd.factorize(texts)
+        _, ntok, _ = nonempty_token_counts(pa.array(uniq, pa.string()))
+        doc = b["doc_id"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"hour": doc // 3600, "n_tokens": ntok[codes]})
+        g = df.groupby("hour", as_index=False, sort=False)["n_tokens"].sum()
+        return pa.table({
+            "hour": pa.array(g["hour"].to_numpy().astype(np.int64)),
+            "n_tokens": pa.array(g["n_tokens"].to_numpy().astype(np.int64)),
+            "n_new_tokens": pa.array(np.zeros(len(g), np.int64))})
+
+    new_counts = firsts.map_batches(new_partial, batch_format="pyarrow",
+                                    batch_size=65536)
+    volumes = pages.map_batches(volume_partial, batch_format="pyarrow",
+                                batch_size=16384)
+    return combined_groupby_sum(volumes.union(new_counts), ["hour"],
+                                ["n_tokens", "n_new_tokens"])
+
+
+SQL_VOCAB_GROWTH = r"""
+, tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+    FROM pages)
+  WHERE token <> ''
+), firsts AS (
+  SELECT token, MIN(doc_id) AS first_doc FROM tok GROUP BY token
+), newc AS (
+  SELECT first_doc // 3600 AS hour, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM firsts GROUP BY 1
+), occ AS (
+  SELECT doc_id // 3600 AS hour, CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM tok GROUP BY 1
+)
+SELECT occ.hour, occ.n_tok AS n_tokens,
+       CAST(COALESCE(newc.n_new, 0) AS BIGINT) AS n_new_tokens
+FROM occ LEFT JOIN newc ON occ.hour = newc.hour
+""".strip()
+
+
 _SQL_TOK = r"""
 tok AS (
   SELECT lang, token FROM (
