@@ -16,14 +16,14 @@ operators"):
   the split a crawl-quality dashboard tracks per domain.
 
 Scale design (dedup-then-process, the engine's standard):
-- the paragraph pass runs at the DISTINCT-TEXT level: ``exact_dedup``
-  first collapses the corpus to one min-doc_id representative per text,
-  so chunking + the paragraph shuffle move distinct-corpus volume, never
-  page volume.  This is *exact*, not an approximation: a non-rep page has
-  the same paragraphs at the same indices as its lower-doc_id rep, so no
-  paragraph's first occurrence is on a non-rep page and non-rep pages
-  keep nothing (they are whole-document duplicates — document dedup's
-  job, not paragraph dedup's).
+- the paragraph pass runs at the BLOCK-DISTINCT-TEXT level: each block
+  keeps one min-doc_id row per distinct text before chunking, so the
+  paragraph shuffle moves block-distinct-corpus volume, never page
+  volume, and no separate global text-dedup exchange is needed (see
+  ``_local_first_chunks`` for the exactness argument).  Non-rep pages
+  keep nothing: a whole-document duplicate has the same paragraphs at
+  the same indices as its lower-doc_id rep — that's document dedup's
+  job, not paragraph dedup's.
 - paragraph identity shuffles as (md5, packed first-occurrence key); the
   winning rows keep their paragraph string through ONE bucketed exchange
   (the kept-payload volume is the distinct-paragraph corpus — the
@@ -45,7 +45,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..core import texthash as TH
-from .dedup import add_text_md5, exact_dedup, exact_dedup_groups
+from .dedup import add_text_md5, exact_dedup_groups
 from .grouping import bucketed_group_apply
 from .hashjoin import hash_join
 
@@ -134,11 +134,28 @@ def paragraph_dedup(sf_dir: str) -> ray.data.Dataset:
         read_pages(sf_dir, columns=["doc_id", "text"]))
 
 
+def _local_first_chunks(b: pa.Table) -> pa.Table:
+    """Block-local text dedup (min doc_id per distinct text) fused with
+    chunking — replaces a full global text-dedup exchange: every chunk's
+    global winner doc is necessarily its text's GLOBAL min-doc rep (any
+    other doc containing the chunk has a smaller same-text doc that also
+    contains it), and that rep always survives its block's local first, so
+    the chunk exchange's per-group min over block survivors equals the
+    distinct-page winner exactly.  Duplicate texts surviving in other
+    blocks only add losing rows."""
+    df = pd.DataFrame({
+        "doc_id": b["doc_id"].to_numpy(zero_copy_only=False),
+        "text": b["text"].to_pandas()})
+    g = df.groupby("text", as_index=False, sort=False)["doc_id"].min()
+    return _chunk_reps(pa.table({
+        "doc_id": pa.array(g["doc_id"].to_numpy().astype(np.int64)),
+        "text": pa.array(g["text"], pa.string())}))
+
+
 def paragraph_dedup_pages(pages: ray.data.Dataset) -> ray.data.Dataset:
     """Paragraph dedup over any (doc_id, text) Dataset — see module doc."""
-    reps = exact_dedup(pages, col="text")  # one min-doc_id row per text
-    chunks = reps.select_columns(["doc_id", "text"]).map_batches(
-        _chunk_reps, batch_format="pyarrow", batch_size=8192)
+    chunks = pages.map_batches(_local_first_chunks, batch_format="pyarrow",
+                               batch_size=8192)
 
     def first_occurrence(g: pd.DataFrame) -> pd.DataFrame:
         # winner per paragraph = min (doc_id, cidx), vectorized over all
