@@ -80,7 +80,8 @@ def nonempty_token_counts(text) -> tuple[pa.Array, np.ndarray, np.ndarray]:
         n_empty = np.zeros(n_docs, np.int64)
     ntok = (offs[1:] - offs[:-1]).astype(np.int64) - n_empty
     flat_ne = flat.filter(pa.array(nonempty))
-    starts = np.concatenate([[0], np.cumsum(ntok)[:-1]]).astype(np.int64)
+    starts = (np.concatenate([[0], np.cumsum(ntok)[:-1]]).astype(np.int64)
+              if ntok.size else np.zeros(0, np.int64))
     return flat_ne, ntok, starts
 
 
@@ -113,7 +114,9 @@ def _chunk_reps(b: pa.Table) -> pa.Table:
     # flattened array, so starts + [total] is a valid offsets vector (docs
     # with zero tokens contribute no paragraphs and no gap)
     offsets = np.concatenate([starts, [int(np.sum(ntok))]])
-    lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+    # int64 offsets (large_list): a batch of long docs can exceed 2^31
+    # flattened tokens, which int32 list offsets would silently wrap
+    lst = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), flat)
     chunk = pc.binary_join(lst, " ")
     out = pa.table({"doc_id": pa.array(doc_ids[chunk_doc]),
                     "cidx": pa.array(cidx),
@@ -152,8 +155,14 @@ def _local_first_chunks(b: pa.Table) -> pa.Table:
         "text": pa.array(g["text"], pa.string())}))
 
 
-def paragraph_dedup_pages(pages: ray.data.Dataset) -> ray.data.Dataset:
-    """Paragraph dedup over any (doc_id, text) Dataset — see module doc."""
+def paragraph_dedup_pages(pages: ray.data.Dataset,
+                          n_buckets: int = 64) -> ray.data.Dataset:
+    """Paragraph dedup over any (doc_id, text) Dataset — see module doc.
+
+    ``n_buckets`` follows grouping.bucketed_group_apply's SCALE CONTRACT:
+    the paragraph exchange shuffles the block-distinct paragraph payload,
+    so size it from the distinct-corpus volume at crawl scale (the
+    write_dedup_layout pattern: input bytes / target bucket bytes)."""
     chunks = pages.map_batches(_local_first_chunks, batch_format="pyarrow",
                                batch_size=8192)
 
@@ -163,7 +172,8 @@ def paragraph_dedup_pages(pages: ray.data.Dataset) -> ray.data.Dataset:
         g = g.sort_values(["chunk_md5", "doc_id", "cidx"], kind="mergesort")
         return g.drop_duplicates("chunk_md5", keep="first")
 
-    kept = bucketed_group_apply(chunks, ["chunk_md5"], first_occurrence)
+    kept = bucketed_group_apply(chunks, ["chunk_md5"], first_occurrence,
+                                n_buckets=n_buckets)
 
     def reassemble(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["doc_id", "cidx"], kind="mergesort")
@@ -175,7 +185,8 @@ def paragraph_dedup_pages(pages: ray.data.Dataset) -> ray.data.Dataset:
         return out
 
     return bucketed_group_apply(
-        kept.drop_columns(["chunk_md5"]), ["doc_id"], reassemble)
+        kept.drop_columns(["chunk_md5"]), ["doc_id"], reassemble,
+        n_buckets=n_buckets)
 
 
 SQL_PARAGRAPH_DEDUP = rf"""
