@@ -61,6 +61,39 @@ def split_tokens_arrow(col):
     return toks
 
 
+def nonempty_token_counts(text):
+    """RE2-split ``text`` (Arrow string array/chunked) and return
+    ``(flat_nonempty_tokens, ntok, doc_token_starts)`` where ``ntok[d]``
+    counts the doc's non-empty tokens and ``doc_token_starts`` are the
+    exclusive-cumsum offsets of each doc's span inside the flattened
+    non-empty token array.  The shared empty-slot/reduceat handling for
+    every tokenizing stage (paradedup, lexstats, mixing, chunking)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = split_tokens_arrow(text)
+    flat = toks.flatten()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    offs = toks.offsets.to_numpy(zero_copy_only=False)
+    offs = offs - offs[0]
+    nonempty = pc.not_equal(pc.utf8_length(flat), 0).to_numpy(
+        zero_copy_only=False)
+    n_docs = len(toks)
+    if len(flat):
+        n_empty = np.add.reduceat((~nonempty).astype(np.int64), offs[:-1])
+        n_empty[offs[:-1] == offs[1:]] = 0  # reduceat quirk on empty lists
+    else:
+        n_empty = np.zeros(n_docs, np.int64)
+    ntok = (offs[1:] - offs[:-1]).astype(np.int64) - n_empty
+    flat_ne = flat.filter(pa.array(nonempty))
+    starts = (np.concatenate([[0], np.cumsum(ntok)[:-1]]).astype(np.int64)
+              if ntok.size else np.zeros(0, np.int64))
+    return flat_ne, ntok, starts
+
+
 FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 FNV_PRIME = np.uint64(0x100000001B3)
 WORD_MULT = np.uint64(131)

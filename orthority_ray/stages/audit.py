@@ -64,28 +64,44 @@ def fk_orphan_counts(sf_dir: str) -> pd.DataFrame:
     from ..sources.pages import cached_get
     from .hashjoin import hash_join
 
-    rows = []
+    # ONE probe pass per fact table: all of a fact's FK columns read and
+    # checked together (lineitem's part+supp probes share a single scan),
+    # each block emitting one partial row per relation
+    by_fact: dict[str, list[tuple[str, str, str]]] = {}
     for fact, fkey, dim, dkey in DIM_RELATIONS:
-        keys_ref = ray.put(_sorted_keys(sf_dir, dim, dkey))
+        by_fact.setdefault(fact, []).append((fkey, dim, dkey))
 
-        def probe(b: pa.Table, _ref=keys_ref, _col=fkey) -> pa.Table:
-            ks = cached_get(_ref)
-            k = b[_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            miss = ~_member(k, ks)
-            return pa.table({"n_rows": pa.array([len(k)], pa.int64()),
-                             "n_orphans": pa.array([int(miss.sum())],
-                                                   pa.int64())})
+    counts: dict[str, tuple[int, int]] = {}
+    for fact, rels in by_fact.items():
+        refs = [(fkey, dim, ray.put(_sorted_keys(sf_dir, dim, dkey)))
+                for fkey, dim, dkey in rels]
 
-        part = (_read(sf_dir, fact, [fkey])
+        def probe(b: pa.Table, _fact=fact, _refs=refs) -> pa.Table:
+            names, n, orph = [], [], []
+            for fkey, dim, ref in _refs:
+                ks = cached_get(ref)
+                k = b[fkey].to_numpy(zero_copy_only=False).astype(np.int64)
+                names.append(f"{_fact}->{dim}")
+                n.append(len(k))
+                orph.append(int((~_member(k, ks)).sum()))
+            return pa.table({
+                "relation": pa.array(names, pa.string()),
+                "n_rows": pa.array(np.array(n, np.int64)),
+                "n_orphans": pa.array(np.array(orph, np.int64))})
+
+        part = (_read(sf_dir, fact, [fkey for fkey, _, _ in rels])
                 .map_batches(probe, batch_format="pyarrow",
                              batch_size=65536).to_pandas())
-        rows.append((f"{fact}->{dim}", int(part["n_rows"].sum()),
-                     int(part["n_orphans"].sum())))
+        fold = part.groupby("relation")[["n_rows", "n_orphans"]].sum()
+        for rel, r in fold.iterrows():
+            counts[rel] = (int(r["n_rows"]), int(r["n_orphans"]))
 
     # lineitem -> orders: both sides fact-sized, so membership goes through
-    # the bucketed anti join (no dense/broadcast structure fits at scale)
+    # the bucketed anti join (no dense/broadcast structure fits at scale);
+    # the denominator reuses the probe pass's lineitem row count
     li = _read(sf_dir, "lineitem", ["l_orderkey"])
-    n_li = int(li.count())
+    n_li = counts["lineitem->part"][0] if "lineitem->part" in counts else \
+        int(li.count())
     ords = _read(sf_dir, "orders", ["o_orderkey"])
 
     def okey(b: pa.Table) -> pa.Table:
@@ -95,8 +111,12 @@ def fk_orphan_counts(sf_dir: str) -> pd.DataFrame:
         li, ords.map_batches(okey, batch_format="pyarrow"),
         "l_orderkey", ["l_orderkey"], ["l_orderkey"], how="anti",
     )
-    rows.append(("lineitem->orders", n_li, int(orphans.count())))
+    counts["lineitem->orders"] = (n_li, int(orphans.count()))
 
+    order = [f"{fact}->{dim}" for fact, _, dim, _ in DIM_RELATIONS]
+    order.append("lineitem->orders")
+    # an empty fact table yields no partial rows -> (0, 0), matching SQL
+    rows = [(rel, *counts.get(rel, (0, 0))) for rel in order]
     out = pd.DataFrame(rows, columns=["relation", "n_rows", "n_orphans"])
     out["n_rows"] = out["n_rows"].astype(np.int64)
     out["n_orphans"] = out["n_orphans"].astype(np.int64)
@@ -173,11 +193,29 @@ def table_profile(sf_dir: str, table: str = "lineitem",
     parts = (_read(sf_dir, table, list(cols))
              .map_batches(partial, batch_format="pyarrow", batch_size=65536)
              .to_pandas())
+    if parts.empty:
+        # SQL emits one row per column even for an empty table: counts 0,
+        # MIN/MAX NULL
+        return pd.DataFrame({
+            "col_name": list(cols),
+            "n_rows": np.zeros(len(cols), np.int64),
+            "n_null": np.zeros(len(cols), np.int64),
+            "min_v": pd.array([pd.NA] * len(cols), dtype="Int64"),
+            "max_v": pd.array([pd.NA] * len(cols), dtype="Int64")})
     out = parts.groupby("col_name", as_index=False).agg(
         n_rows=("n_rows", "sum"), n_null=("n_null", "sum"),
         min_v=("min_v", "min"), max_v=("max_v", "max"))
-    for c in ("n_rows", "n_null", "min_v", "max_v"):
+    for c in ("n_rows", "n_null"):
         out[c] = out[c].astype(np.int64)
+    # an all-null column folds to the int64 sentinels; SQL MIN/MAX is NULL
+    all_null = (out["n_rows"] == out["n_null"]).to_numpy()
+    if all_null.any():
+        for c in ("min_v", "max_v"):
+            out[c] = out[c].astype("Int64")
+            out.loc[all_null, c] = pd.NA
+    else:
+        for c in ("min_v", "max_v"):
+            out[c] = out[c].astype(np.int64)
     return out
 
 

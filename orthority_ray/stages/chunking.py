@@ -286,22 +286,13 @@ def token_fertility(sf_dir: str) -> ray.data.Dataset:
     docs = _read(sf_dir, "documents", ["lang", "text"])
 
     def partial(b: pa.Table) -> pa.Table:
-        from ..core.texthash import split_tokens_arrow
+        from ..core.texthash import nonempty_token_counts
 
         text = b["text"].combine_chunks() if isinstance(
             b["text"], pa.ChunkedArray) else b["text"]
-        toks = split_tokens_arrow(text)
-        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        # empty split slots don't count as tokens (matches list_filter)
-        flat = toks.flatten()
-        offs = toks.offsets.to_numpy(zero_copy_only=False)
-        offs = offs - offs[0]
-        empty = pc.equal(pc.utf8_length(flat), 0).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        n_empty = np.add.reduceat(empty, offs[:-1]) if len(flat) else \
-            np.zeros(len(ntok), np.int64)
-        n_empty[offs[:-1] == offs[1:]] = 0  # reduceat quirk on empty lists
-        ntok = ntok.astype(np.int64) - n_empty
+        # empty split slots don't count as tokens (matches list_filter);
+        # shared kernel owns the reduceat empty-list handling
+        _, ntok, _ = nonempty_token_counts(text)
         nchar = pc.utf8_length(text).to_numpy(zero_copy_only=False)
         df = pd.DataFrame({"lang": b["lang"].to_pandas(),
                            "n_docs": np.ones(len(ntok), np.int64),

@@ -174,10 +174,9 @@ def vocab_growth(pages: ray.data.Dataset) -> ray.data.Dataset:
     count fanned to its pages' hours); both rollups are hour-dimension
     unioned + summed (first-occurrence hours are a subset of occurrence
     hours, so the zero-padded union IS the SQL left join)."""
-    from ..core.texthash import split_tokens_arrow
+    from ..core.texthash import nonempty_token_counts, split_tokens_arrow
     from ..pipelines.relational import combined_groupby_sum
     from .grouping import bucketed_group_apply
-    from .paradedup import nonempty_token_counts
 
     def first_partial(b: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -233,8 +232,16 @@ def vocab_growth(pages: ray.data.Dataset) -> ray.data.Dataset:
                                     batch_size=65536)
     volumes = pages.map_batches(volume_partial, batch_format="pyarrow",
                                 batch_size=16384)
-    return combined_groupby_sum(volumes.union(new_counts), ["hour"],
-                                ["n_tokens", "n_new_tokens"])
+    out = combined_groupby_sum(volumes.union(new_counts), ["hour"],
+                               ["n_tokens", "n_new_tokens"])
+
+    def drop_tokenless(b: pa.Table) -> pa.Table:
+        # the SQL occ CTE has no row for an hour whose pages all tokenize
+        # empty (unnest of [] yields nothing); a first-occurrence hour
+        # always has >= 1 token, so this filter loses no n_new_tokens
+        return b.filter(pc.greater(b["n_tokens"], 0))
+
+    return out.map_batches(drop_tokenless, batch_format="pyarrow")
 
 
 SQL_VOCAB_GROWTH = r"""

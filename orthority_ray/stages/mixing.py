@@ -43,7 +43,7 @@ N_QBUCKETS = 64
 
 
 def _score_batch(scorer: QualityScorer, b: pa.Table) -> pa.Table:
-    from .paradedup import nonempty_token_counts
+    from ..core.texthash import nonempty_token_counts
 
     q = scorer(b)["quality"]
     _, ntok, _ = nonempty_token_counts(b["text"])

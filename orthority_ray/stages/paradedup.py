@@ -57,32 +57,9 @@ IDX_LIMIT = 4096
 N_HOSTS = 1000  # sources/pages.py url synthesis: host index = doc_id % 1000
 
 
-def nonempty_token_counts(text) -> tuple[pa.Array, np.ndarray, np.ndarray]:
-    """RE2-split ``text`` and return ``(flat_nonempty_tokens, ntok,
-    doc_token_starts)`` where ``ntok[d]`` counts the doc's non-empty tokens
-    and ``doc_token_starts`` are the exclusive-cumsum offsets of each doc's
-    span inside the flattened non-empty token array."""
-    if isinstance(text, pa.ChunkedArray):
-        text = text.combine_chunks()
-    toks = TH.split_tokens_arrow(text)
-    flat = toks.flatten()
-    if isinstance(flat, pa.ChunkedArray):
-        flat = flat.combine_chunks()
-    offs = toks.offsets.to_numpy(zero_copy_only=False)
-    offs = offs - offs[0]
-    nonempty = pc.not_equal(pc.utf8_length(flat), 0).to_numpy(
-        zero_copy_only=False)
-    n_docs = len(toks)
-    if len(flat):
-        n_empty = np.add.reduceat((~nonempty).astype(np.int64), offs[:-1])
-        n_empty[offs[:-1] == offs[1:]] = 0  # reduceat quirk on empty lists
-    else:
-        n_empty = np.zeros(n_docs, np.int64)
-    ntok = (offs[1:] - offs[:-1]).astype(np.int64) - n_empty
-    flat_ne = flat.filter(pa.array(nonempty))
-    starts = (np.concatenate([[0], np.cumsum(ntok)[:-1]]).astype(np.int64)
-              if ntok.size else np.zeros(0, np.int64))
-    return flat_ne, ntok, starts
+# shared tokenization kernel (moved to core.texthash; re-exported because
+# tests and sibling stages imported it from here first)
+nonempty_token_counts = TH.nonempty_token_counts
 
 
 def _chunk_reps(b: pa.Table) -> pa.Table:
@@ -263,10 +240,12 @@ def cross_host_dup(sf_dir: str) -> ray.data.Dataset:
     def host_str(b: pa.Table) -> pa.Table:
         # host string contract with sources/pages url synthesis (lpad 4)
         idx = b["host_idx"].cast(pa.string())
+        # pa.scalar literals: a ["site"] * 0 list array infers null type and
+        # binary_join_element_wise has no (null, string, ...) kernel, so an
+        # empty reduce partition would crash the literal-array variant
         host = pc.binary_join_element_wise(
-            pa.array(["site"] * b.num_rows),
-            pc.utf8_lpad(idx, 4, "0"),
-            pa.array([".example"] * b.num_rows), "")
+            pa.scalar("site"), pc.utf8_lpad(idx, 4, "0"),
+            pa.scalar(".example"), "")
         return pa.table({"host": host, "n_pages": b["n_pages"],
                          "n_dup": b["n_dup"],
                          "n_cross_host_dup": b["n_cross_host_dup"]})
