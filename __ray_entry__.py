@@ -45,6 +45,7 @@ from orthority_ray.stages import packing as PK
 from orthority_ray.stages import textstats as T
 from orthority_ray.stages import lexstats as LX
 from orthority_ray.stages import audit as AUD
+from orthority_ray.stages import linkrank as LR
 from orthority_ray.stages import paradedup as PD
 from orthority_ray.stages import mixing as MX
 from orthority_ray.stages.camera_geocode import (
@@ -262,6 +263,22 @@ def q_cross_host_dup(sf_dir: str):
     from orthority_ray.stages.paradedup import cross_host_dup
 
     return cross_host_dup(sf_dir)
+
+
+def q_syndication_graph(sf_dir: str):
+    """Weighted host->host syndication edge list (stages/linkrank
+    .syndication_graph): cross-host duplicate pages as link-graph edges."""
+    from orthority_ray.stages.linkrank import syndication_graph
+
+    return syndication_graph(sf_dir)
+
+
+def q_host_rank(sf_dir: str):
+    """Fixed-point PageRank over the syndication graph (stages/linkrank
+    .host_rank): 3 distributed power iterations, exact int64 arithmetic."""
+    from orthority_ray.stages.linkrank import host_rank
+
+    return host_rank(sf_dir)
 
 
 def q_token_budget_mix(sf_dir: str):
@@ -985,6 +1002,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "dup_rate_hourly", "training_shuffle", "host_page_join_broadcast",
     "value_gini", "lexical_diversity", "oov_rate", "event_mad", "weighted_median", "fk_orphans", "table_profile",
     "paragraph_dedup", "cross_host_dup", "token_budget_mix", "vocab_growth",
+    "syndication_graph", "host_rank",
 ]
 
 
@@ -1021,6 +1039,8 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "table_profile": q_table_profile,
         "paragraph_dedup": q_paragraph_dedup,
         "cross_host_dup": q_cross_host_dup,
+        "syndication_graph": q_syndication_graph,
+        "host_rank": q_host_rank,
         "token_budget_mix": q_token_budget_mix,
         "vocab_growth": q_vocab_growth,
         "compression_ratio": q_compression_ratio,
@@ -1310,6 +1330,8 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": AUD.sql_table_profile(),
         "paragraph_dedup": S.with_pages(PD.SQL_PARAGRAPH_DEDUP),
         "cross_host_dup": S.with_pages(PD.SQL_CROSS_HOST_DUP),
+        "syndication_graph": S.with_pages(LR.SQL_SYNDICATION_GRAPH),
+        "host_rank": S.with_pages(LR.sql_host_rank()),
         "token_budget_mix": S.with_pages(MX.SQL_TOKEN_BUDGET_MIX),
         "vocab_growth": S.with_pages(LX.SQL_VOCAB_GROWTH),
         "weighted_median": sql_grouped_weighted_median(

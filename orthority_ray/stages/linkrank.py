@@ -1,0 +1,347 @@
+"""Syndication link graph + distributed fixed-point host ranking.
+
+The Common-Crawl-style analog of a hyperlink graph that the synthetic
+corpus actually carries: when a page's text duplicates a page FIRST seen
+on a different host, that is a syndication edge (duplicating host ->
+origin host).  Two operators (reference analog: none — graft breadth for
+the webtext payload; oracle twins are exact DuckDB SQL):
+
+- ``syndication_graph``: the weighted host->host edge list
+  (src_host, dst_host, n_pages).
+- ``host_rank``: PageRank over that graph in EXACT int64 fixed-point
+  arithmetic (micro-units, damping 85/100, ``n_iters`` unrolled power
+  iterations) so the oracle twin hash-matches bit-for-bit — origins of
+  widely-syndicated content accumulate rank.
+
+Ray shape (the iterative-graph pattern, complementing dup_clusters'
+label propagation and kmeans' centroid folds):
+- the edge list is built like stages/paradedup.cross_host_dup: one
+  bucketed ``hash_join`` of the skinny (doc_id, text_md5) page projection
+  against the distinct-text rep table, then per-block (src, dst) partials
+  into a host-pair-dimension-sized ``combined_groupby_sum`` — page volume
+  is touched exactly once;
+- the graph (edges + static out-degree, attached via one node-dimension
+  join) is materialized ONCE and re-streamed per iteration — the standard
+  Pregel tradeoff: the graph lives in the object store, page data does
+  not;
+- each power iteration is one bucketed edges-join-ranks pass + one
+  node-dimension inflow groupby + one node-dimension left join — no
+  broadcast of the rank vector, so host universes far beyond
+  driver/worker memory stream through the same topology (the scale path
+  dup_clusters already exercises).
+
+Fixed-point contract (mirrored expression-for-expression in the SQL):
+``r0 = 1_000_000`` per node; per edge ``contrib = (r_src * w) // ow_src``;
+``r' = 150_000 + (85 * inflow) // 100``.  All quantities non-negative
+int64, so numpy floor division == DuckDB ``//`` truncation.  Dangling
+mass (hosts with no outgoing edges) is dropped by both sides alike.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .dedup import add_text_md5, exact_dedup_groups
+from .hashjoin import hash_join
+
+N_HOSTS = 1000  # sources/pages.py url synthesis: host index = doc_id % 1000
+R0 = 1_000_000
+BASE = 150_000  # (100 - DAMP) * R0 // 100
+DAMP = 85
+DEFAULT_ITERS = 3
+
+
+def _host_str(idx: pa.ChunkedArray | pa.Array, name: str) -> pa.Array:
+    # host string contract with sources/pages url synthesis (lpad 4);
+    # pa.scalar literals so empty blocks can't hit a null-type kernel miss
+    return pc.binary_join_element_wise(
+        pa.scalar("site"), pc.utf8_lpad(idx.cast(pa.string()), 4, "0"),
+        pa.scalar(".example"), "")
+
+
+def _edge_rows(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """(host_idx=src, dst_idx) one row per syndicated page — the page/rep
+    join reused from cross_host_dup, filtered to cross-host pairs."""
+    reps = exact_dedup_groups(pages).select_columns(["text_md5",
+                                                     "rep_doc_id"])
+
+    def md5_only(b: pa.Table) -> pa.Table:
+        return add_text_md5(b).drop_columns(["text"])
+
+    hashed = pages.map_batches(md5_only, batch_format="pyarrow",
+                               batch_size=8192)
+    joined = hash_join(
+        hashed, reps, "text_md5",
+        ["text_md5", "doc_id"], ["text_md5", "rep_doc_id"],
+        types={"doc_id": pa.int64(), "rep_doc_id": pa.int64()})
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy(zero_copy_only=False)
+        rep = b["rep_doc_id"].to_numpy(zero_copy_only=False)
+        src = doc % N_HOSTS
+        dst = rep % N_HOSTS
+        cross = src != dst  # implies doc != rep (same doc -> same host)
+        return pa.table({"host_idx": pa.array(src[cross].astype(np.int64)),
+                         "dst_idx": pa.array(dst[cross].astype(np.int64))})
+
+    return joined.map_batches(to_edges, batch_format="pyarrow",
+                              batch_size=65536)
+
+
+def syndication_edges(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """Weighted edge list (host_idx=src, dst_idx, w) — each page row that
+    duplicates a different-host origin contributes 1 to its host pair."""
+    from ..pipelines.relational import combined_groupby_sum
+
+    def one(b: pa.Table) -> pa.Table:
+        return b.append_column("w", pa.array(
+            np.ones(b.num_rows, np.int64)))
+
+    return combined_groupby_sum(
+        _edge_rows(pages).map_batches(one, batch_format="pyarrow"),
+        ["host_idx", "dst_idx"], ["w"])
+
+
+def syndication_graph(sf_dir: str) -> ray.data.Dataset:
+    """-> (src_host, dst_host, n_pages): the syndication edge list with
+    the url-contract host strings."""
+    from ..sources.pages import read_pages
+
+    edges = syndication_edges(read_pages(sf_dir, columns=["doc_id", "text"]))
+
+    def named(b: pa.Table) -> pa.Table:
+        return pa.table({"src_host": _host_str(b["host_idx"], "src"),
+                         "dst_host": _host_str(b["dst_idx"], "dst"),
+                         "n_pages": b["w"]})
+
+    return edges.map_batches(named, batch_format="pyarrow")
+
+
+def host_rank(sf_dir: str, n_iters: int = DEFAULT_ITERS) -> ray.data.Dataset:
+    """-> (host, rank_score): ``n_iters`` fixed-point PageRank iterations
+    over the syndication graph, one row per host that has any page."""
+    from ..sources.pages import read_pages
+
+    return host_rank_pages(read_pages(sf_dir, columns=["doc_id", "text"]),
+                           n_iters=n_iters)
+
+
+SMALL_NODE_LIMIT = 2_000_000  # broadcast fast path: rank vector <= ~16 MB
+
+
+def host_rank_pages(pages: ray.data.Dataset,
+                    n_iters: int = DEFAULT_ITERS) -> ray.data.Dataset:
+    """PageRank over any (doc_id, text) Dataset — see :func:`host_rank`.
+
+    Two iteration engines behind one contract (the dup_clusters pattern:
+    a bounded fast path + the fully-distributed general path):
+    - node count <= SMALL_NODE_LIMIT: the rank/out-degree vectors are
+      node-dimension-sized, so each iteration is ONE map pass over the
+      materialized graph with the vectors broadcast via ``ray.put`` (the
+      kmeans centroid-fold shape) — per-block contrib partials, driver
+      folds a node-sized frame;
+    - beyond it: per-iteration bucketed edges-join-ranks + inflow groupby
+      + node-dimension left join, nothing node-sized on the driver.
+    Both paths run the identical integer arithmetic, so results are
+    bit-equal (pinned by tests/test_linkrank.py)."""
+    from ..pipelines.relational import combined_groupby_sum
+
+    # the graph is materialized once and re-streamed per iteration (the
+    # Pregel tradeoff — see module doc)
+    edges = syndication_edges(pages).materialize()
+
+    # node universe = every host with >= 1 page (node-dimension-sized)
+    def host_partial(b: pa.Table) -> pa.Table:
+        h = np.unique(b["doc_id"].to_numpy(zero_copy_only=False) % N_HOSTS)
+        return pa.table({"host_idx": pa.array(h.astype(np.int64)),
+                         "one": pa.array(np.ones(h.size, np.int64))})
+
+    nodes = combined_groupby_sum(
+        pages.map_batches(host_partial, batch_format="pyarrow",
+                          batch_size=65536),
+        ["host_idx"], ["one"],
+    ).select_columns(["host_idx"]).materialize()
+
+    if nodes.count() <= SMALL_NODE_LIMIT:
+        return _rank_broadcast(edges, nodes, n_iters)
+    return _rank_joins(edges, nodes, n_iters)
+
+
+def _rank_broadcast(edges: ray.data.Dataset, nodes: ray.data.Dataset,
+                    n_iters: int) -> ray.data.Dataset:
+    """Broadcast-vector iterations: one map pass over the graph per round."""
+    import ray
+
+    from ..pipelines.relational import combined_groupby_sum
+    from ..sources.pages import cached_get
+
+    hosts = np.sort(nodes.to_pandas()["host_idx"].to_numpy())
+    # global out-degree, distributed fold to a node-sized frame
+    ow_df = combined_groupby_sum(
+        edges.select_columns(["host_idx", "w"]), ["host_idx"], ["w"],
+    ).to_pandas()
+    ow = np.zeros(hosts.size, np.int64)
+    if len(ow_df):  # an edgeless graph folds to a column-less empty frame
+        ow[np.searchsorted(hosts, ow_df["host_idx"].to_numpy())] = \
+            ow_df["w"].to_numpy()
+    r = np.full(hosts.size, R0, np.int64)
+
+    for _ in range(n_iters):
+        ref = ray.put((hosts, r.copy(), ow))
+
+        def contrib(b: pa.Table, _ref=ref) -> pa.Table:
+            hs, rv, owv = cached_get(_ref)
+            src = b["host_idx"].to_numpy(zero_copy_only=False)
+            w = b["w"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(hs, src)
+            if rv.size and w.size and \
+                    int(rv.max()) * int(w.max()) >= 2**62:
+                raise ValueError("host_rank fixed-point overflow: r*w "
+                                 "exceeds int64 headroom")
+            c = (rv[pos] * w) // owv[pos]  # every src has ow >= w > 0
+            dst = b["dst_idx"].to_numpy(zero_copy_only=False)
+            u, inv = np.unique(dst, return_inverse=True)
+            # int64 scatter-add (bincount's float weights would round
+            # past 2^53)
+            acc = np.zeros(u.size, np.int64)
+            np.add.at(acc, inv, c)
+            return pa.table({"host_idx": pa.array(u.astype(np.int64)),
+                             "c": pa.array(acc)})
+
+        parts = edges.map_batches(contrib, batch_format="pyarrow",
+                                  batch_size=65536).to_pandas()
+        inflow = np.zeros(hosts.size, np.int64)
+        if len(parts):
+            inflow_df = parts.groupby("host_idx", as_index=False)["c"].sum()
+            inflow[np.searchsorted(hosts,
+                                   inflow_df["host_idx"].to_numpy())] = \
+                inflow_df["c"].to_numpy().astype(np.int64)
+        r = BASE + (DAMP * inflow) // 100
+
+    out = pa.table({"host_idx": pa.array(hosts), "r": pa.array(r)})
+    named = pa.table({"host": _host_str(out["host_idx"], "host"),
+                      "rank_score": out["r"]})
+    return ray.data.from_arrow(named)
+
+
+def _rank_joins(edges: ray.data.Dataset, nodes: ray.data.Dataset,
+                n_iters: int) -> ray.data.Dataset:
+    """Fully-distributed iterations for node universes past the broadcast
+    budget — nothing node-sized ever lands on the driver."""
+    from ..pipelines.relational import combined_groupby_sum
+
+    outw = combined_groupby_sum(
+        edges.select_columns(["host_idx", "w"]), ["host_idx"], ["w"],
+    ).map_batches(lambda b: b.rename_columns(["host_idx", "ow"]),
+                  batch_format="pyarrow")
+    graph = hash_join(
+        edges, outw, "host_idx",
+        ["host_idx", "dst_idx", "w"], ["host_idx", "ow"],
+        types={"dst_idx": pa.int64(), "w": pa.int64(), "ow": pa.int64()},
+    ).materialize()
+
+    def seed(b: pa.Table) -> pa.Table:
+        return b.append_column("r", pa.array(
+            np.full(b.num_rows, R0, np.int64)))
+
+    ranks = nodes.map_batches(seed, batch_format="pyarrow").materialize()
+
+    for _ in range(n_iters):
+        j = hash_join(
+            graph, ranks, "host_idx",
+            ["host_idx", "dst_idx", "w", "ow"], ["host_idx", "r"],
+            types={"dst_idx": pa.int64(), "w": pa.int64(),
+                   "ow": pa.int64(), "r": pa.int64()})
+
+        def contrib(b: pa.Table) -> pa.Table:
+            r = b["r"].to_numpy(zero_copy_only=False)
+            w = b["w"].to_numpy(zero_copy_only=False)
+            ow = b["ow"].to_numpy(zero_copy_only=False)
+            if r.size and int(r.max()) * int(w.max()) >= 2**62:
+                raise ValueError("host_rank fixed-point overflow: r*w "
+                                 "exceeds int64 headroom")
+            c = (r * w) // ow
+            return pa.table({"host_idx": b["dst_idx"],
+                             "c": pa.array(c.astype(np.int64))})
+
+        inflow = combined_groupby_sum(
+            j.map_batches(contrib, batch_format="pyarrow",
+                          batch_size=65536),
+            ["host_idx"], ["c"])
+        merged = hash_join(
+            nodes, inflow, "host_idx",
+            ["host_idx"], ["host_idx", "c"], how="left",
+            types={"c": pa.int64()})
+
+        def damp(b: pa.Table) -> pa.Table:
+            c = pc.fill_null(b["c"], 0).to_numpy(zero_copy_only=False)
+            r = BASE + (DAMP * c) // 100
+            return pa.table({"host_idx": b["host_idx"],
+                             "r": pa.array(r.astype(np.int64))})
+
+        # node-dimension-sized materialization per iteration (the kmeans
+        # centroid pattern) — the alternative re-executes every prior
+        # iteration's joins on each pass
+        ranks = merged.map_batches(damp, batch_format="pyarrow").materialize()
+
+    def named(b: pa.Table) -> pa.Table:
+        return pa.table({"host": _host_str(b["host_idx"], "host"),
+                         "rank_score": b["r"]})
+
+    return ranks.map_batches(named, batch_format="pyarrow")
+
+
+SQL_SYNDICATION_GRAPH = """
+, reps AS (
+  SELECT md5(text) AS m, MIN(doc_id) AS rep FROM pages GROUP BY md5(text)
+)
+SELECT 'site' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0') || '.example' AS src_host,
+       'site' || lpad(CAST(rep % 1000 AS VARCHAR), 4, '0') || '.example' AS dst_host,
+       CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM pages JOIN reps ON md5(text) = m
+WHERE doc_id % 1000 <> rep % 1000
+GROUP BY 1, 2
+""".strip()
+
+
+def sql_host_rank(n_iters: int = DEFAULT_ITERS) -> str:
+    """The fixed-point twin, ``n_iters`` unrolled power iterations."""
+    parts = [f"""
+, reps AS (
+  SELECT md5(text) AS m, MIN(doc_id) AS rep FROM pages GROUP BY md5(text)
+), edges AS (
+  SELECT doc_id % 1000 AS src, rep % 1000 AS dst,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM pages JOIN reps ON md5(text) = m
+  WHERE doc_id % 1000 <> rep % 1000
+  GROUP BY 1, 2
+), outw AS (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src
+), nodes AS (
+  SELECT DISTINCT doc_id % 1000 AS h FROM pages
+), r0 AS (
+  SELECT h, CAST({R0} AS BIGINT) AS r FROM nodes
+)""".strip()]
+    for i in range(1, n_iters + 1):
+        parts.append(f"""
+, c{i} AS (
+  SELECT e.dst AS h, CAST(SUM((p.r * e.w) // o.ow) AS BIGINT) AS c
+  FROM edges e
+  JOIN r{i - 1} p ON p.h = e.src
+  JOIN outw o ON o.src = e.src
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT n.h,
+         CAST({BASE} + ({DAMP} * COALESCE(c{i}.c, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c{i} ON c{i}.h = n.h
+)""".strip())
+    parts.append(f"""
+SELECT 'site' || lpad(CAST(h AS VARCHAR), 4, '0') || '.example' AS host,
+       r AS rank_score
+FROM r{n_iters}
+""".strip())
+    return "\n".join(parts)

@@ -1,0 +1,110 @@
+"""Syndication graph + fixed-point host rank: hand-computed semantics.
+
+The oracle sweep (test_oracle_sweep.py) pins both operators against
+DuckDB at sf0.001; these tests pin the SEMANTICS on a graph small enough
+to verify by hand, plus the no-edge degenerate case.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from orthority_ray.stages.linkrank import (BASE, DAMP, N_HOSTS, R0,
+                                           host_rank_pages,
+                                           syndication_edges)
+
+
+def _pages(rows):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }))
+
+
+@pytest.fixture()
+def tiny(ray_session):
+    # host = doc_id % 1000.  Text "A" originates on host 1 (doc 1) and is
+    # syndicated twice by host 2 (docs 2, 1002) and once by host 3 (doc 3).
+    # Text "B" originates on host 2 (doc 1001... doc 1001 % 1000 = 1)!  So
+    # pick doc 2002 (host 2) as B's origin, copied by host 1 (doc 2001 is
+    # host 1? 2001 % 1000 = 1, but 2001 > 2002 would make 2001 NOT the
+    # rep).  Use doc 3001 (host 1) copying B.  "C" is unique on host 4.
+    return _pages([
+        (1, "A"), (2, "A"), (1002, "A"), (3, "A"),
+        (2002, "B"), (3001, "B"),
+        (4, "C"),
+    ])
+
+
+def test_syndication_edges_hand_checked(tiny):
+    e = syndication_edges(tiny).to_pandas().sort_values(
+        ["host_idx", "dst_idx"]).reset_index(drop=True)
+    # A: rep doc 1 (host 1); dups docs 2, 1002 (host 2, w=2), 3 (host 3)
+    # B: rep doc 2002 (host 2); dup doc 3001 (host 1)
+    # C: no dup
+    assert list(map(tuple, e.itertuples(index=False))) == [
+        (1, 2, 1),   # host 1 copies B from host 2
+        (2, 1, 2),   # host 2 copies A from host 1, twice
+        (3, 1, 1),   # host 3 copies A from host 1
+    ]
+
+
+def test_host_rank_one_iter_hand_checked(tiny):
+    r = host_rank_pages(tiny, n_iters=1).to_pandas()
+    got = {h: int(v) for h, v in zip(r["host"], r["rank_score"])}
+    # out-weights: host1 ow=1 (the B copy), host2 ow=2, host3 ow=1
+    # contribs with r0=1_000_000:
+    #   1->2 w1: (1e6*1)//1 = 1_000_000
+    #   2->1 w2: (1e6*2)//2 = 1_000_000
+    #   3->1 w1: (1e6*1)//1 = 1_000_000
+    # inflow: host1 = 2_000_000, host2 = 1_000_000, host3 = 0, host4 = 0
+    exp = {
+        "site0001.example": BASE + (DAMP * 2_000_000) // 100,
+        "site0002.example": BASE + (DAMP * 1_000_000) // 100,
+        "site0003.example": BASE,
+        "site0004.example": BASE,
+    }
+    assert got == exp
+
+
+def test_host_rank_no_edges_all_base(ray_session):
+    pages = _pages([(1, "x"), (2, "y"), (1001, "z")])  # all texts unique
+    r = host_rank_pages(pages, n_iters=2).to_pandas()
+    # hosts 1 and 2 (doc 1001 is host 1 again); no edges -> every host
+    # settles at BASE after the first iteration
+    assert sorted(r["host"]) == ["site0001.example", "site0002.example"]
+    assert set(r["rank_score"]) == {BASE}
+
+
+def test_broadcast_and_join_paths_bit_equal(tiny):
+    """The SMALL_NODE_LIMIT fast path and the fully-distributed join path
+    must produce identical fixed-point ranks."""
+    from orthority_ray.pipelines.relational import combined_groupby_sum
+    from orthority_ray.stages.linkrank import _rank_joins, syndication_edges
+
+    fast = host_rank_pages(tiny, n_iters=3).to_pandas().sort_values(
+        "host").reset_index(drop=True)
+
+    edges = syndication_edges(tiny).materialize()
+
+    def host_partial(b):
+        h = np.unique(b["doc_id"].to_numpy(zero_copy_only=False) % N_HOSTS)
+        return pa.table({"host_idx": pa.array(h.astype(np.int64)),
+                         "one": pa.array(np.ones(h.size, np.int64))})
+
+    nodes = combined_groupby_sum(
+        tiny.map_batches(host_partial, batch_format="pyarrow"),
+        ["host_idx"], ["one"]).select_columns(["host_idx"]).materialize()
+    slow = _rank_joins(edges, nodes, 3).to_pandas().sort_values(
+        "host").reset_index(drop=True)
+    assert fast.equals(slow)
+
+
+def test_host_rank_mass_conservation_bound(tiny):
+    # total rank never exceeds n_hosts * R0 (damping only shrinks mass)
+    r = host_rank_pages(tiny, n_iters=3).to_pandas()
+    assert int(r["rank_score"].sum()) <= len(r) * R0
+    assert (r["rank_score"] >= BASE).all()
