@@ -45,6 +45,7 @@ from orthority_ray.stages import packing as PK
 from orthority_ray.stages import textstats as T
 from orthority_ray.stages import lexstats as LX
 from orthority_ray.stages import audit as AUD
+from orthority_ray.stages import boilerplate as BO
 from orthority_ray.stages import linkrank as LR
 from orthority_ray.stages import paradedup as PD
 from orthority_ray.stages import mixing as MX
@@ -279,6 +280,14 @@ def q_host_rank(sf_dir: str):
     from orthority_ray.stages.linkrank import host_rank
 
     return host_rank(sf_dir)
+
+
+def q_template_detect(sf_dir: str):
+    """Per-host boilerplate detection (stages/boilerplate.template_detect):
+    dominant leading-8-token prefix share, one bucketed host exchange."""
+    from orthority_ray.stages.boilerplate import template_detect
+
+    return template_detect(sf_dir)
 
 
 def q_token_budget_mix(sf_dir: str):
@@ -1002,7 +1011,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "dup_rate_hourly", "training_shuffle", "host_page_join_broadcast",
     "value_gini", "lexical_diversity", "oov_rate", "event_mad", "weighted_median", "fk_orphans", "table_profile",
     "paragraph_dedup", "cross_host_dup", "token_budget_mix", "vocab_growth",
-    "syndication_graph", "host_rank",
+    "syndication_graph", "host_rank", "template_detect",
 ]
 
 
@@ -1041,6 +1050,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "cross_host_dup": q_cross_host_dup,
         "syndication_graph": q_syndication_graph,
         "host_rank": q_host_rank,
+        "template_detect": q_template_detect,
         "token_budget_mix": q_token_budget_mix,
         "vocab_growth": q_vocab_growth,
         "compression_ratio": q_compression_ratio,
@@ -1332,6 +1342,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_host_dup": S.with_pages(PD.SQL_CROSS_HOST_DUP),
         "syndication_graph": S.with_pages(LR.SQL_SYNDICATION_GRAPH),
         "host_rank": S.with_pages(LR.sql_host_rank()),
+        "template_detect": S.with_pages(BO.SQL_TEMPLATE_DETECT),
         "token_budget_mix": S.with_pages(MX.SQL_TOKEN_BUDGET_MIX),
         "vocab_growth": S.with_pages(LX.SQL_VOCAB_GROWTH),
         "weighted_median": sql_grouped_weighted_median(
