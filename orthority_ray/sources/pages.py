@@ -80,6 +80,17 @@ def cached_instance(key: str, factory):
     return v
 
 
+def host_str_from_idx(idx) -> pa.Array:
+    """Host index (``doc_id % 1000``, Arrow int array/chunked) -> the
+    url-contract host string ``siteNNNN.example`` (lpad 4, same as the
+    url synthesis below and the SQL oracles).  Single owner: paradedup,
+    linkrank and boilerplate all render hosts through here.  ``pa.scalar``
+    literals so an empty block can't hit a null-type kernel miss."""
+    return pc.binary_join_element_wise(
+        pa.scalar("site"), pc.utf8_lpad(idx.cast(pa.string()), 4, "0"),
+        pa.scalar(".example"), "")
+
+
 def cached_get(ref):
     return cached_instance(ref.hex(), lambda: ray.get(ref))
 

@@ -31,7 +31,8 @@ import pyarrow as pa
 import ray.data
 
 from ..core.texthash import nonempty_token_counts
-from .linkrank import N_HOSTS, _host_str
+from ..sources.pages import host_str_from_idx
+from .linkrank import N_HOSTS
 
 PREFIX_TOKENS = 8
 
@@ -67,8 +68,32 @@ def _prefix_partial(b: pa.Table) -> pa.Table:
         "c": pa.array(g["c"].to_numpy().astype(np.int64))})
 
 
-def template_detect(sf_dir: str) -> ray.data.Dataset:
-    """Dominant leading-prefix share per host — see module doc."""
+def _per_host_fold(g: pd.DataFrame) -> pd.DataFrame:
+    """Bucket fold: global (host, prefix) counts -> one winner row per
+    host.  Winner = count desc, prefix asc (the SQL ROW_NUMBER contract),
+    via one mergesort + first-per-host."""
+    agg = g.groupby(["host_idx", "prefix"], as_index=False)["c"].sum()
+    agg = agg.sort_values(["host_idx", "c", "prefix"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+    tot = agg.groupby("host_idx", as_index=False)["c"].sum().rename(
+        columns={"c": "n_pages"})
+    best = agg.drop_duplicates("host_idx", keep="first").rename(
+        columns={"c": "n_template", "prefix": "template"})
+    out = best.merge(tot, on="host_idx")
+    for col in ("n_pages", "n_template"):
+        out[col] = out[col].astype(np.int64)
+    return out[["host_idx", "n_pages", "n_template", "template"]]
+
+
+def template_detect(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Dominant leading-prefix share per host — see module doc.
+
+    ``n_buckets`` follows grouping.bucketed_group_apply's SCALE CONTRACT:
+    the exchange moves the block-distinct (host, prefix) pre-counts — a
+    DATA-PROPORTIONAL table on a diverse crawl — so size it from the
+    distinct-prefix volume at crawl scale (input bytes / target bucket
+    bytes, the write_dedup_layout pattern)."""
     from ..sources.pages import read_pages
     from .grouping import bucketed_group_apply
 
@@ -76,25 +101,11 @@ def template_detect(sf_dir: str) -> ray.data.Dataset:
     parts = pages.map_batches(_prefix_partial, batch_format="pyarrow",
                               batch_size=16384)
 
-    def per_host(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby(["host_idx", "prefix"], as_index=False)["c"].sum()
-        # winner = count desc, prefix asc: one mergesort + first-per-host
-        agg = agg.sort_values(["host_idx", "c", "prefix"],
-                              ascending=[True, False, True],
-                              kind="mergesort")
-        tot = agg.groupby("host_idx", as_index=False)["c"].sum().rename(
-            columns={"c": "n_pages"})
-        best = agg.drop_duplicates("host_idx", keep="first").rename(
-            columns={"c": "n_template", "prefix": "template"})
-        out = best.merge(tot, on="host_idx")
-        for col in ("n_pages", "n_template"):
-            out[col] = out[col].astype(np.int64)
-        return out[["host_idx", "n_pages", "n_template", "template"]]
-
-    folded = bucketed_group_apply(parts, ["host_idx"], per_host)
+    folded = bucketed_group_apply(parts, ["host_idx"], _per_host_fold,
+                                  n_buckets=n_buckets)
 
     def named(b: pa.Table) -> pa.Table:
-        return pa.table({"host": _host_str(b["host_idx"], "host"),
+        return pa.table({"host": host_str_from_idx(b["host_idx"]),
                          "n_pages": b["n_pages"],
                          "n_template": b["n_template"],
                          "template": b["template"]})

@@ -84,6 +84,28 @@ def exact_dedup_groups(ds: ray.data.Dataset, col: str = "text") -> ray.data.Data
     )
 
 
+def attach_rep_doc(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """-> (text_md5, doc_id, rep_doc_id) one row per PAGE row: each page
+    joined to its text's min-doc_id representative through one bucketed
+    md5 hash join of the skinny (doc_id, text_md5) projection — the shared
+    duplicate-attribution input (paradedup.cross_host_dup, linkrank
+    syndication edges)."""
+    from .hashjoin import hash_join
+
+    reps = exact_dedup_groups(pages).select_columns(
+        ["text_md5", "rep_doc_id"])
+
+    def md5_only(b: pa.Table) -> pa.Table:
+        return add_text_md5(b).drop_columns(["text"])
+
+    hashed = pages.map_batches(md5_only, batch_format="pyarrow",
+                               batch_size=8192)
+    return hash_join(
+        hashed, reps, "text_md5",
+        ["text_md5", "doc_id"], ["text_md5", "rep_doc_id"],
+        types={"doc_id": pa.int64(), "rep_doc_id": pa.int64()})
+
+
 def exact_dedup(ds: ray.data.Dataset, col: str = "text",
                 n_buckets: int = 64) -> ray.data.Dataset:
     """Keep one row (min doc_id, then first by url when present) per

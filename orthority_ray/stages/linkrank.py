@@ -15,11 +15,12 @@ the webtext payload; oracle twins are exact DuckDB SQL):
 
 Ray shape (the iterative-graph pattern, complementing dup_clusters'
 label propagation and kmeans' centroid folds):
-- the edge list is built like stages/paradedup.cross_host_dup: one
-  bucketed ``hash_join`` of the skinny (doc_id, text_md5) page projection
-  against the distinct-text rep table, then per-block (src, dst) partials
-  into a host-pair-dimension-sized ``combined_groupby_sum`` — page volume
-  is touched exactly once;
+- the edge list shares ``dedup.attach_rep_doc`` with
+  paradedup.cross_host_dup (one bucketed ``hash_join`` of the skinny
+  (doc_id, text_md5) page projection against the distinct-text rep
+  table), then per-block (src, dst) partials feed a
+  host-pair-dimension-sized ``combined_groupby_sum`` — page volume is
+  touched exactly once;
 - the graph (edges + static out-degree, attached via one node-dimension
   join) is materialized ONCE and re-streamed per iteration — the standard
   Pregel tradeoff: the graph lives in the object store, page data does
@@ -40,12 +41,11 @@ mass (hosts with no outgoing edges) is dropped by both sides alike.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from .dedup import add_text_md5, exact_dedup_groups
+from .dedup import attach_rep_doc
 from .hashjoin import hash_join
 
 N_HOSTS = 1000  # sources/pages.py url synthesis: host index = doc_id % 1000
@@ -55,29 +55,11 @@ DAMP = 85
 DEFAULT_ITERS = 3
 
 
-def _host_str(idx: pa.ChunkedArray | pa.Array, name: str) -> pa.Array:
-    # host string contract with sources/pages url synthesis (lpad 4);
-    # pa.scalar literals so empty blocks can't hit a null-type kernel miss
-    return pc.binary_join_element_wise(
-        pa.scalar("site"), pc.utf8_lpad(idx.cast(pa.string()), 4, "0"),
-        pa.scalar(".example"), "")
-
-
 def _edge_rows(pages: ray.data.Dataset) -> ray.data.Dataset:
-    """(host_idx=src, dst_idx) one row per syndicated page — the page/rep
-    join reused from cross_host_dup, filtered to cross-host pairs."""
-    reps = exact_dedup_groups(pages).select_columns(["text_md5",
-                                                     "rep_doc_id"])
-
-    def md5_only(b: pa.Table) -> pa.Table:
-        return add_text_md5(b).drop_columns(["text"])
-
-    hashed = pages.map_batches(md5_only, batch_format="pyarrow",
-                               batch_size=8192)
-    joined = hash_join(
-        hashed, reps, "text_md5",
-        ["text_md5", "doc_id"], ["text_md5", "rep_doc_id"],
-        types={"doc_id": pa.int64(), "rep_doc_id": pa.int64()})
+    """(host_idx=src, dst_idx) one row per syndicated page — the shared
+    page/rep attribution join (dedup.attach_rep_doc, same input
+    cross_host_dup folds), filtered to cross-host pairs."""
+    joined = attach_rep_doc(pages)
 
     def to_edges(b: pa.Table) -> pa.Table:
         doc = b["doc_id"].to_numpy(zero_copy_only=False)
@@ -97,13 +79,9 @@ def syndication_edges(pages: ray.data.Dataset) -> ray.data.Dataset:
     duplicates a different-host origin contributes 1 to its host pair."""
     from ..pipelines.relational import combined_groupby_sum
 
-    def one(b: pa.Table) -> pa.Table:
-        return b.append_column("w", pa.array(
-            np.ones(b.num_rows, np.int64)))
-
-    return combined_groupby_sum(
-        _edge_rows(pages).map_batches(one, batch_format="pyarrow"),
-        ["host_idx", "dst_idx"], ["w"])
+    return combined_groupby_sum(_edge_rows(pages),
+                                ["host_idx", "dst_idx"], [],
+                                count_alias="w")
 
 
 def syndication_graph(sf_dir: str) -> ray.data.Dataset:
@@ -114,8 +92,10 @@ def syndication_graph(sf_dir: str) -> ray.data.Dataset:
     edges = syndication_edges(read_pages(sf_dir, columns=["doc_id", "text"]))
 
     def named(b: pa.Table) -> pa.Table:
-        return pa.table({"src_host": _host_str(b["host_idx"], "src"),
-                         "dst_host": _host_str(b["dst_idx"], "dst"),
+        from ..sources.pages import host_str_from_idx
+
+        return pa.table({"src_host": host_str_from_idx(b["host_idx"]),
+                         "dst_host": host_str_from_idx(b["dst_idx"]),
                          "n_pages": b["w"]})
 
     return edges.map_batches(named, batch_format="pyarrow")
@@ -126,15 +106,21 @@ def host_rank(sf_dir: str, n_iters: int = DEFAULT_ITERS) -> ray.data.Dataset:
     over the syndication graph, one row per host that has any page."""
     from ..sources.pages import read_pages
 
+    # the node-universe pass needs ONLY doc_id — a separate projection so
+    # PageSynth never synthesizes the text column for it (r3 review: unused
+    # payload synthesis roughly doubles the hot input stage)
     return host_rank_pages(read_pages(sf_dir, columns=["doc_id", "text"]),
-                           n_iters=n_iters)
+                           n_iters=n_iters,
+                           id_pages=read_pages(sf_dir, columns=["doc_id"]))
 
 
 SMALL_NODE_LIMIT = 2_000_000  # broadcast fast path: rank vector <= ~16 MB
 
 
 def host_rank_pages(pages: ray.data.Dataset,
-                    n_iters: int = DEFAULT_ITERS) -> ray.data.Dataset:
+                    n_iters: int = DEFAULT_ITERS,
+                    id_pages: ray.data.Dataset | None = None
+                    ) -> ray.data.Dataset:
     """PageRank over any (doc_id, text) Dataset — see :func:`host_rank`.
 
     Two iteration engines behind one contract (the dup_clusters pattern:
@@ -154,16 +140,17 @@ def host_rank_pages(pages: ray.data.Dataset,
     # Pregel tradeoff — see module doc)
     edges = syndication_edges(pages).materialize()
 
-    # node universe = every host with >= 1 page (node-dimension-sized)
+    # node universe = every host with >= 1 page (node-dimension-sized);
+    # id_pages lets callers pass a doc_id-only projection for this pass
     def host_partial(b: pa.Table) -> pa.Table:
         h = np.unique(b["doc_id"].to_numpy(zero_copy_only=False) % N_HOSTS)
-        return pa.table({"host_idx": pa.array(h.astype(np.int64)),
-                         "one": pa.array(np.ones(h.size, np.int64))})
+        return pa.table({"host_idx": pa.array(h.astype(np.int64))})
 
     nodes = combined_groupby_sum(
-        pages.map_batches(host_partial, batch_format="pyarrow",
-                          batch_size=65536),
-        ["host_idx"], ["one"],
+        (id_pages if id_pages is not None else pages)
+        .map_batches(host_partial, batch_format="pyarrow",
+                     batch_size=65536),
+        ["host_idx"], [], count_alias="n_blocks",
     ).select_columns(["host_idx"]).materialize()
 
     if nodes.count() <= SMALL_NODE_LIMIT:
@@ -223,7 +210,9 @@ def _rank_broadcast(edges: ray.data.Dataset, nodes: ray.data.Dataset,
         r = BASE + (DAMP * inflow) // 100
 
     out = pa.table({"host_idx": pa.array(hosts), "r": pa.array(r)})
-    named = pa.table({"host": _host_str(out["host_idx"], "host"),
+    from ..sources.pages import host_str_from_idx
+
+    named = pa.table({"host": host_str_from_idx(out["host_idx"]),
                       "rank_score": out["r"]})
     return ray.data.from_arrow(named)
 
@@ -289,7 +278,9 @@ def _rank_joins(edges: ray.data.Dataset, nodes: ray.data.Dataset,
         ranks = merged.map_batches(damp, batch_format="pyarrow").materialize()
 
     def named(b: pa.Table) -> pa.Table:
-        return pa.table({"host": _host_str(b["host_idx"], "host"),
+        from ..sources.pages import host_str_from_idx
+
+        return pa.table({"host": host_str_from_idx(b["host_idx"]),
                          "rank_score": b["r"]})
 
     return ranks.map_batches(named, batch_format="pyarrow")

@@ -45,9 +45,8 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..core import texthash as TH
-from .dedup import add_text_md5, exact_dedup_groups
+from .dedup import add_text_md5
 from .grouping import bucketed_group_apply
-from .hashjoin import hash_join
 
 W_TOKENS = 16
 # first-occurrence key = doc_id * IDX_LIMIT + paragraph_idx; the pack is a
@@ -202,20 +201,10 @@ def cross_host_dup(sf_dir: str) -> ray.data.Dataset:
     its pages duplicate an earlier page at all, and how many duplicate a
     page first published on a DIFFERENT host."""
     from ..sources.pages import read_pages
+    from .dedup import attach_rep_doc
 
     pages = read_pages(sf_dir, columns=["doc_id", "text"])
-    reps = exact_dedup_groups(pages).select_columns(
-        ["text_md5", "rep_doc_id"])
-
-    def md5_only(b: pa.Table) -> pa.Table:
-        return add_text_md5(b).drop_columns(["text"])
-
-    hashed = pages.map_batches(md5_only, batch_format="pyarrow",
-                               batch_size=8192)
-    joined = hash_join(
-        hashed, reps, "text_md5",
-        ["text_md5", "doc_id"], ["text_md5", "rep_doc_id"],
-        types={"doc_id": pa.int64(), "rep_doc_id": pa.int64()})
+    joined = attach_rep_doc(pages)
 
     def per_host_partial(b: pa.Table) -> pa.Table:
         doc = b["doc_id"].to_numpy(zero_copy_only=False)
@@ -238,15 +227,10 @@ def cross_host_dup(sf_dir: str) -> ray.data.Dataset:
         ["host_idx"], ["n_pages", "n_dup", "n_cross_host_dup"])
 
     def host_str(b: pa.Table) -> pa.Table:
-        # host string contract with sources/pages url synthesis (lpad 4)
-        idx = b["host_idx"].cast(pa.string())
-        # pa.scalar literals: a ["site"] * 0 list array infers null type and
-        # binary_join_element_wise has no (null, string, ...) kernel, so an
-        # empty reduce partition would crash the literal-array variant
-        host = pc.binary_join_element_wise(
-            pa.scalar("site"), pc.utf8_lpad(idx, 4, "0"),
-            pa.scalar(".example"), "")
-        return pa.table({"host": host, "n_pages": b["n_pages"],
+        from ..sources.pages import host_str_from_idx
+
+        return pa.table({"host": host_str_from_idx(b["host_idx"]),
+                         "n_pages": b["n_pages"],
                          "n_dup": b["n_dup"],
                          "n_cross_host_dup": b["n_cross_host_dup"]})
 

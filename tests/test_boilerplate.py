@@ -36,24 +36,18 @@ def test_prefix_partial_counts_duplicates(ray_session):
     assert got == {(1, "x y"): 2, (2, "x y"): 1}
 
 
-def test_template_winner_tie_breaks_on_prefix(ray_session, tmp_path):
+def test_template_winner_tie_breaks_on_prefix():
     """Equal counts -> lexicographically smallest prefix wins (the SQL
-    ROW_NUMBER ORDER BY c DESC, prefix ASC contract)."""
-    import pyarrow.parquet as pq
-
-    import orthority_ray.stages.boilerplate as B
-
-    # route through the real pipeline: synthesize a tiny sf dir the pages
-    # reader accepts is heavyweight; instead drive the fold directly
+    ROW_NUMBER ORDER BY c DESC, prefix ASC contract) — driven through the
+    REAL bucket fold."""
     import pandas as pd
 
-    g = pd.DataFrame({"host_idx": [7, 7, 7, 7],
-                      "prefix": ["zz", "aa", "zz", "aa"],
-                      "c": [1, 1, 1, 1]})
-    # replicate per_host's contract via the module's sort rules
-    agg = g.groupby(["host_idx", "prefix"], as_index=False)["c"].sum()
-    agg = agg.sort_values(["host_idx", "c", "prefix"],
-                          ascending=[True, False, True], kind="mergesort")
-    best = agg.drop_duplicates("host_idx", keep="first")
-    assert best.iloc[0]["prefix"] == "aa" and best.iloc[0]["c"] == 2
+    from orthority_ray.stages.boilerplate import _per_host_fold
+
+    g = pd.DataFrame({"host_idx": [7, 7, 7, 7, 9],
+                      "prefix": ["zz", "aa", "zz", "aa", "mm"],
+                      "c": [1, 1, 1, 1, 3]})
+    out = _per_host_fold(g).sort_values("host_idx").reset_index(drop=True)
+    assert out.iloc[0].tolist() == [7, 4, 2, "aa"]  # tie -> smaller prefix
+    assert out.iloc[1].tolist() == [9, 3, 3, "mm"]
     assert PREFIX_TOKENS == 8  # SQL literal contract
