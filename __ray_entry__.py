@@ -282,6 +282,16 @@ def q_host_rank(sf_dir: str):
     return host_rank(sf_dir)
 
 
+def q_host_components(sf_dir: str):
+    """Syndication communities (stages/linkrank.host_components):
+    connected components of the undirected host graph via distributed
+    min-label propagation; oracle = a WITH RECURSIVE transitive-closure
+    min (the registry's first recursive-SQL oracle)."""
+    from orthority_ray.stages.linkrank import host_components
+
+    return host_components(sf_dir)
+
+
 def q_template_detect(sf_dir: str):
     """Per-host boilerplate detection (stages/boilerplate.template_detect):
     dominant leading-8-token prefix share, one bucketed host exchange."""
@@ -1011,7 +1021,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "dup_rate_hourly", "training_shuffle", "host_page_join_broadcast",
     "value_gini", "lexical_diversity", "oov_rate", "event_mad", "weighted_median", "fk_orphans", "table_profile",
     "paragraph_dedup", "cross_host_dup", "token_budget_mix", "vocab_growth",
-    "syndication_graph", "host_rank", "template_detect",
+    "syndication_graph", "host_rank", "template_detect", "host_components",
 ]
 
 
@@ -1050,6 +1060,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "cross_host_dup": q_cross_host_dup,
         "syndication_graph": q_syndication_graph,
         "host_rank": q_host_rank,
+        "host_components": q_host_components,
         "template_detect": q_template_detect,
         "token_budget_mix": q_token_budget_mix,
         "vocab_growth": q_vocab_growth,
@@ -1342,6 +1353,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_host_dup": S.with_pages(PD.SQL_CROSS_HOST_DUP),
         "syndication_graph": S.with_pages(LR.SQL_SYNDICATION_GRAPH),
         "host_rank": S.with_pages(LR.sql_host_rank()),
+        "host_components": S.with_pages(LR.SQL_HOST_COMPONENTS),
         "template_detect": S.with_pages(BO.SQL_TEMPLATE_DETECT),
         "token_budget_mix": S.with_pages(MX.SQL_TOKEN_BUDGET_MIX),
         "vocab_growth": S.with_pages(LX.SQL_VOCAB_GROWTH),

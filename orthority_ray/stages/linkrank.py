@@ -117,6 +117,22 @@ def host_rank(sf_dir: str, n_iters: int = DEFAULT_ITERS) -> ray.data.Dataset:
 SMALL_NODE_LIMIT = 2_000_000  # broadcast fast path: rank vector <= ~16 MB
 
 
+def _node_universe(id_pages: ray.data.Dataset) -> ray.data.Dataset:
+    """Materialized (host_idx) Dataset of every host with >= 1 page —
+    node-dimension-sized (per-block unique + one bucketed distinct)."""
+    from ..pipelines.relational import combined_groupby_sum
+
+    def host_partial(b: pa.Table) -> pa.Table:
+        h = np.unique(b["doc_id"].to_numpy(zero_copy_only=False) % N_HOSTS)
+        return pa.table({"host_idx": pa.array(h.astype(np.int64))})
+
+    return combined_groupby_sum(
+        id_pages.map_batches(host_partial, batch_format="pyarrow",
+                             batch_size=65536),
+        ["host_idx"], [], count_alias="n_blocks",
+    ).select_columns(["host_idx"]).materialize()
+
+
 def host_rank_pages(pages: ray.data.Dataset,
                     n_iters: int = DEFAULT_ITERS,
                     id_pages: ray.data.Dataset | None = None
@@ -142,16 +158,7 @@ def host_rank_pages(pages: ray.data.Dataset,
 
     # node universe = every host with >= 1 page (node-dimension-sized);
     # id_pages lets callers pass a doc_id-only projection for this pass
-    def host_partial(b: pa.Table) -> pa.Table:
-        h = np.unique(b["doc_id"].to_numpy(zero_copy_only=False) % N_HOSTS)
-        return pa.table({"host_idx": pa.array(h.astype(np.int64))})
-
-    nodes = combined_groupby_sum(
-        (id_pages if id_pages is not None else pages)
-        .map_batches(host_partial, batch_format="pyarrow",
-                     batch_size=65536),
-        ["host_idx"], [], count_alias="n_blocks",
-    ).select_columns(["host_idx"]).materialize()
+    nodes = _node_universe(id_pages if id_pages is not None else pages)
 
     if nodes.count() <= SMALL_NODE_LIMIT:
         return _rank_broadcast(edges, nodes, n_iters)
@@ -284,6 +291,73 @@ def _rank_joins(edges: ray.data.Dataset, nodes: ray.data.Dataset,
                          "rank_score": b["r"]})
 
     return ranks.map_batches(named, batch_format="pyarrow")
+
+
+def host_components(sf_dir: str) -> ray.data.Dataset:
+    """-> (host, community): syndication communities — connected components
+    of the UNDIRECTED syndication graph, labelled by the component's min
+    host index; hosts with pages but no syndication edges are their own
+    singleton community.
+
+    Reuses dedup.connected_components (distributed min-label propagation,
+    bounded union-find fast path) on the host-pair edge list, then one
+    node-dimension left join attaches singleton hosts.  Oracle twin: a
+    WITH RECURSIVE transitive-closure min over the same undirected edges —
+    the registry's first recursive-SQL oracle."""
+    from ..sources.pages import read_pages
+    from .dedup import connected_components
+
+    pages = read_pages(sf_dir, columns=["doc_id", "text"])
+    edges = syndication_edges(pages)
+
+    def as_pairs(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": b["host_idx"], "doc_b": b["dst_idx"]})
+
+    comp = connected_components(
+        edges.map_batches(as_pairs, batch_format="pyarrow"))
+
+    def renamed(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["host_idx", "community"])
+
+    merged = hash_join(
+        _node_universe(read_pages(sf_dir, columns=["doc_id"])),
+        comp.map_batches(renamed, batch_format="pyarrow"),
+        "host_idx", ["host_idx"], ["host_idx", "community"], how="left",
+        types={"community": pa.int64()})
+
+    def named(b: pa.Table) -> pa.Table:
+        from ..sources.pages import host_str_from_idx
+
+        community = pc.coalesce(b["community"], b["host_idx"])
+        return pa.table({"host": host_str_from_idx(b["host_idx"]),
+                         "community": community.cast(pa.int64())})
+
+    return merged.map_batches(named, batch_format="pyarrow")
+
+
+SQL_HOST_COMPONENTS = """
+, reps AS (
+  SELECT md5(text) AS m, MIN(doc_id) AS rep FROM pages GROUP BY md5(text)
+), edges AS (
+  SELECT DISTINCT doc_id % 1000 AS src, rep % 1000 AS dst
+  FROM pages JOIN reps ON md5(text) = m
+  WHERE doc_id % 1000 <> rep % 1000
+), und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), reach AS (
+  WITH RECURSIVE r(node, lbl) AS (
+    SELECT src, src FROM und
+    UNION
+    SELECT u.dst, r.lbl FROM r JOIN und u ON u.src = r.node
+  )
+  SELECT node, MIN(lbl) AS comp FROM r GROUP BY node
+), nodes AS (
+  SELECT DISTINCT doc_id % 1000 AS h FROM pages
+)
+SELECT 'site' || lpad(CAST(n.h AS VARCHAR), 4, '0') || '.example' AS host,
+       CAST(COALESCE(reach.comp, n.h) AS BIGINT) AS community
+FROM nodes n LEFT JOIN reach ON reach.node = n.h
+""".strip()
 
 
 SQL_SYNDICATION_GRAPH = """
