@@ -178,8 +178,12 @@ def adjacent_doc_distances(docs: ray.data.Dataset) -> ray.data.Dataset:
     from ..core.config import read_blocks
 
     n_out = max(16, read_blocks() // 8)
+    # batch_size=None = one batch PER BLOCK: a byte budget (8192) let the
+    # bundler re-pack all n_out blocks into ~one task, serializing the DP
+    # again (measured 5.9 s vs 1.5 s for 5k pairs at sf0.1); the in-task
+    # length bucketing (CHUNK above) handles outliers within each block
     return j.repartition(n_out).map_batches(
-        dist, batch_format="pyarrow", batch_size=8192
+        dist, batch_format="pyarrow", batch_size=None
     )
 
 
