@@ -46,6 +46,7 @@ from orthority_ray.stages import textstats as T
 from orthority_ray.stages import lexstats as LX
 from orthority_ray.stages import audit as AUD
 from orthority_ray.stages import boilerplate as BO
+from orthority_ray.stages import splits as SPL
 from orthority_ray.stages import linkrank as LR
 from orthority_ray.stages import paradedup as PD
 from orthority_ray.stages import mixing as MX
@@ -290,6 +291,25 @@ def q_host_components(sf_dir: str):
     from orthority_ray.stages.linkrank import host_components
 
     return host_components(sf_dir)
+
+
+def q_split_assign(sf_dir: str):
+    """Leakage-safe train/val/test split manifest (stages/splits
+    .split_assign): host-hash 80/10/10 so a host's pages never straddle
+    splits; per-(lang, split) host/page/token counts, dimension-sized
+    folds."""
+    from orthority_ray.stages.splits import split_assign
+
+    return split_assign(sf_dir)
+
+
+def q_split_leakage(sf_dir: str):
+    """Exact duplicate contamination across the host split (stages/splits
+    .split_leakage): val/test pages whose text also appears in train,
+    via a bucketed semi join against the distinct train-md5 table."""
+    from orthority_ray.stages.splits import split_leakage
+
+    return split_leakage(sf_dir)
 
 
 def q_template_detect(sf_dir: str):
@@ -1022,6 +1042,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "value_gini", "lexical_diversity", "oov_rate", "event_mad", "weighted_median", "fk_orphans", "table_profile",
     "paragraph_dedup", "cross_host_dup", "token_budget_mix", "vocab_growth",
     "syndication_graph", "host_rank", "template_detect", "host_components",
+    "split_assign", "split_leakage",
 ]
 
 
@@ -1062,6 +1083,8 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "host_rank": q_host_rank,
         "host_components": q_host_components,
         "template_detect": q_template_detect,
+        "split_assign": q_split_assign,
+        "split_leakage": q_split_leakage,
         "token_budget_mix": q_token_budget_mix,
         "vocab_growth": q_vocab_growth,
         "compression_ratio": q_compression_ratio,
@@ -1355,6 +1378,8 @@ def oracle_sql() -> dict[str, str]:
         "host_rank": S.with_pages(LR.sql_host_rank()),
         "host_components": S.with_pages(LR.SQL_HOST_COMPONENTS),
         "template_detect": S.with_pages(BO.SQL_TEMPLATE_DETECT),
+        "split_assign": S.with_pages(SPL.SQL_SPLIT_ASSIGN),
+        "split_leakage": S.with_pages(SPL.SQL_SPLIT_LEAKAGE),
         "token_budget_mix": S.with_pages(MX.SQL_TOKEN_BUDGET_MIX),
         "vocab_growth": S.with_pages(LX.SQL_VOCAB_GROWTH),
         "weighted_median": sql_grouped_weighted_median(

@@ -1,0 +1,214 @@
+"""Leakage-safe train/val/test splitting (group-aware by host).
+
+The split a training-data pipeline actually needs: assigning PAGES to
+splits at random leaks near-duplicate content across train and eval
+(same host, same template, same boilerplate), so the split key must be
+the HOST — every page of a host lands in the same split by
+construction.  (Reference analog: none — graft breadth for the webtext
+payload; oracle twin is exact DuckDB SQL.)
+
+``split_assign`` -> one row per (lang, split): host / page / token
+counts of the 80/10/10 host-hash split — the manifest a training run
+records before mixing.
+
+Determinism contract: split = Knuth multiplicative hash of the host
+index (``core.hashing.H1_MULT`` mod 2^32, the engine's shared
+SQL-mirrored hash family), bucket = hash % 100, train < 80 <= val < 90
+<= test.  Pure non-negative int64 arithmetic -> bit-identical in numpy
+and DuckDB.
+
+Ray shape: one pass over (doc_id, lang, text) with dedup-then-process
+token counting (each block's distinct texts tokenized once, counts
+fanned back by multiplicity) -> per-block (lang, split) combiners ->
+dimension-sized groupby; host distinctness via a second skinny
+(doc_id, lang) pass whose block partials are unique (lang, split, host)
+triples -> one bucketed distinct -> (lang, split)-sized count.  Both
+folds are dimension-sized; page/text volume is touched exactly once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..core.hashing import H1_MULT, M32
+from ..core.texthash import nonempty_token_counts
+
+N_HOSTS = 1000  # sources/pages.py url synthesis: host index = doc_id % 1000
+TRAIN_PCT = 80
+VAL_PCT = 90  # exclusive upper bucket bound for val; >= is test
+_SPLIT_NAMES = np.array(["train", "val", "test"])
+
+
+def split_of_host(host_idx: np.ndarray) -> np.ndarray:
+    """host index -> 0 train / 1 val / 2 test (vectorized int64)."""
+    bucket = (host_idx.astype(np.int64) * H1_MULT) % M32 % 100
+    return np.where(bucket < TRAIN_PCT, 0,
+                    np.where(bucket < VAL_PCT, 1, 2))
+
+
+def split_assign(sf_dir: str) -> pd.DataFrame:
+    """-> (lang, split, n_hosts, n_pages, n_tokens) — see module doc."""
+    from ..pipelines.relational import combined_groupby_sum
+    from ..sources.pages import read_pages
+
+    pages = read_pages(sf_dir, columns=["doc_id", "lang", "text"])
+
+    def volume_partial(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        split = _SPLIT_NAMES[split_of_host(doc % N_HOSTS)]
+        # dedup-then-process: tokenize each distinct text once, fan its
+        # count back to the block's pages via the factorize index
+        texts = b["text"].to_pandas()
+        codes, uniq = pd.factorize(texts)
+        _, ntok, _ = nonempty_token_counts(pa.array(uniq, pa.string()))
+        df = pd.DataFrame({"lang": b["lang"].to_pandas(), "split": split,
+                           "n_pages": np.ones(doc.shape[0], np.int64),
+                           "n_tokens": ntok[codes]})
+        g = df.groupby(["lang", "split"], as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    volumes = combined_groupby_sum(
+        pages.map_batches(volume_partial, batch_format="pyarrow",
+                          batch_size=16384),
+        ["lang", "split"], ["n_pages", "n_tokens"])
+
+    # host distinctness: skinny (doc_id, lang) pass -> unique triples per
+    # block -> one bucketed distinct -> (lang, split)-sized count
+    def host_partial(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        host = doc % N_HOSTS
+        df = pd.DataFrame({
+            "lang": b["lang"].to_pandas(),
+            "split": _SPLIT_NAMES[split_of_host(host)],
+            "host_idx": host,
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    triples = combined_groupby_sum(
+        read_pages(sf_dir, columns=["doc_id", "lang"])
+        .map_batches(host_partial, batch_format="pyarrow",
+                     batch_size=65536),
+        ["lang", "split", "host_idx"], [], count_alias="c")
+    hosts = combined_groupby_sum(
+        triples.select_columns(["lang", "split"]),
+        ["lang", "split"], [], count_alias="n_hosts")
+
+    # both sides are (lang x split)-sized — driver merge is bounded
+    out = hosts.to_pandas().merge(volumes.to_pandas(),
+                                  on=["lang", "split"])
+    for c in ("n_hosts", "n_pages", "n_tokens"):
+        out[c] = out[c].astype(np.int64)
+    return out[["lang", "split", "n_hosts", "n_pages", "n_tokens"]]
+
+
+def split_leakage(sf_dir: str) -> ray.data.Dataset:
+    """-> (split, n_pages, n_leaked) for the val/test splits: how many of
+    their pages carry a text that ALSO appears in train — the duplicate
+    contamination a host-grouped split cannot remove (cross-host
+    syndication, see stages/linkrank), measured exactly.
+
+    Ray shape: train-side distinct text_md5 via per-block distinct + one
+    bucketed distinct (distinct-corpus-sized, never collected); eval pages
+    tagged and semi-joined against it through the bucketed ``hash_join``
+    (how='semi'); leak counts fold per split (2 rows)."""
+    from ..pipelines.relational import combined_groupby_sum
+    from ..sources.pages import read_pages
+    from .dedup import add_text_md5
+    from .hashjoin import hash_join
+
+    pages = read_pages(sf_dir, columns=["doc_id", "text"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = add_text_md5(b)
+        return pa.table({
+            "split_id": pa.array(split_of_host(doc % N_HOSTS)),
+            "text_md5": t["text_md5"]})
+
+    tagged = pages.map_batches(tag, batch_format="pyarrow",
+                               batch_size=8192)
+
+    def train_partial(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["split_id"], 0)
+        u = b.filter(keep)["text_md5"].unique()
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        return pa.table({"text_md5": u})
+
+    train_md5 = combined_groupby_sum(
+        tagged.map_batches(train_partial, batch_format="pyarrow",
+                           batch_size=65536),
+        ["text_md5"], [], count_alias="c").select_columns(["text_md5"])
+
+    def eval_rows(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["split_id"], 0))
+
+    evals = tagged.map_batches(eval_rows, batch_format="pyarrow")
+    leaked = hash_join(evals, train_md5, "text_md5",
+                       ["text_md5", "split_id"], ["text_md5"], how="semi",
+                       types={"split_id": pa.int64()})
+
+    def count_partial(ds, colname):
+        def p(b: pa.Table) -> pa.Table:
+            s = b["split_id"].to_numpy(zero_copy_only=False)
+            u, c = np.unique(s, return_counts=True)
+            return pa.table({"split_id": pa.array(u.astype(np.int64)),
+                             colname: pa.array(c.astype(np.int64))})
+
+        return ds.map_batches(p, batch_format="pyarrow", batch_size=65536)
+
+    totals = combined_groupby_sum(count_partial(evals, "n_pages"),
+                                  ["split_id"], ["n_pages"]).to_pandas()
+    leaks = combined_groupby_sum(count_partial(leaked, "n_leaked"),
+                                 ["split_id"], ["n_leaked"]).to_pandas()
+    out = totals.merge(leaks, on="split_id", how="left")
+    out["n_leaked"] = out["n_leaked"].fillna(0).astype(np.int64)
+    out["n_pages"] = out["n_pages"].astype(np.int64)
+    out["split"] = _SPLIT_NAMES[out["split_id"].to_numpy()]
+    return out[["split", "n_pages", "n_leaked"]]
+
+
+_SQL_SPLIT = (f"CASE WHEN ((doc_id % {N_HOSTS}) * {H1_MULT}) % {M32} % 100"
+              f" < {TRAIN_PCT} THEN 'train'"
+              f" WHEN ((doc_id % {N_HOSTS}) * {H1_MULT}) % {M32} % 100"
+              f" < {VAL_PCT} THEN 'val' ELSE 'test' END")
+
+
+SQL_SPLIT_LEAKAGE = f"""
+, spl AS (
+  SELECT {_SQL_SPLIT} AS split, md5(text) AS m FROM pages
+), train AS (
+  SELECT DISTINCT m FROM spl WHERE split = 'train'
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(CASE WHEN m IN (SELECT m FROM train)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+FROM spl WHERE split <> 'train'
+GROUP BY split
+""".strip()
+
+
+SQL_SPLIT_ASSIGN = rf"""
+, spl AS (
+  SELECT lang, {_SQL_SPLIT} AS split, doc_id % {N_HOSTS} AS h, text
+  FROM pages
+), base AS (
+  SELECT lang, split,
+         CAST(COUNT(DISTINCT h) AS BIGINT) AS n_hosts,
+         CAST(COUNT(*) AS BIGINT) AS n_pages
+  FROM spl GROUP BY lang, split
+), tokc AS (
+  SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM (SELECT lang, split,
+               unnest(string_split_regex(text, '\s+')) AS token
+        FROM spl)
+  WHERE token <> '' GROUP BY lang, split
+)
+SELECT b.lang, b.split, b.n_hosts, b.n_pages,
+       CAST(COALESCE(t.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM base b LEFT JOIN tokc t ON t.lang = b.lang AND t.split = b.split
+""".strip()
