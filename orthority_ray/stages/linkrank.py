@@ -319,9 +319,31 @@ def host_components(sf_dir: str) -> ray.data.Dataset:
     def renamed(b: pa.Table) -> pa.Table:
         return b.rename_columns(["host_idx", "community"])
 
+    comp = comp.map_batches(renamed, batch_format="pyarrow")
+    nodes = _node_universe(read_pages(sf_dir, columns=["doc_id"]))
+
+    if nodes.count() <= SMALL_NODE_LIMIT:
+        # both sides are node-dimension-sized: the singleton attach is a
+        # driver merge (the split_assign pattern) — the bucketed join
+        # below costs ~2 s of pure shuffle overhead for <=1000-row inputs
+        import pandas as pd
+
+        from ..sources.pages import host_str_from_idx
+
+        out = nodes.to_pandas().merge(comp.to_pandas(), on="host_idx",
+                                      how="left")
+        host_idx = out["host_idx"].to_numpy().astype(np.int64)
+        community = np.where(out["community"].isna(), host_idx,
+                             out["community"].fillna(0).to_numpy()
+                             ).astype(np.int64)
+        t = pa.table({"host_idx": pa.array(host_idx),
+                      "community": pa.array(community)})
+        return ray.data.from_arrow(pa.table({
+            "host": host_str_from_idx(t["host_idx"]),
+            "community": t["community"]}))
+
     merged = hash_join(
-        _node_universe(read_pages(sf_dir, columns=["doc_id"])),
-        comp.map_batches(renamed, batch_format="pyarrow"),
+        nodes, comp,
         "host_idx", ["host_idx"], ["host_idx", "community"], how="left",
         types={"community": pa.int64()})
 

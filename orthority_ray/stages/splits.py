@@ -36,8 +36,7 @@ import ray.data
 
 from ..core.hashing import H1_MULT, M32
 from ..core.texthash import nonempty_token_counts
-
-N_HOSTS = 1000  # sources/pages.py url synthesis: host index = doc_id % 1000
+from .linkrank import N_HOSTS
 TRAIN_PCT = 80
 VAL_PCT = 90  # exclusive upper bucket bound for val; >= is test
 _SPLIT_NAMES = np.array(["train", "val", "test"])
@@ -105,16 +104,20 @@ def split_assign(sf_dir: str) -> pd.DataFrame:
     return out[["lang", "split", "n_hosts", "n_pages", "n_tokens"]]
 
 
-def split_leakage(sf_dir: str) -> ray.data.Dataset:
+def split_leakage(sf_dir: str) -> pd.DataFrame:
     """-> (split, n_pages, n_leaked) for the val/test splits: how many of
     their pages carry a text that ALSO appears in train — the duplicate
     contamination a host-grouped split cannot remove (cross-host
     syndication, see stages/linkrank), measured exactly.
 
-    Ray shape: train-side distinct text_md5 via per-block distinct + one
-    bucketed distinct (distinct-corpus-sized, never collected); eval pages
-    tagged and semi-joined against it through the bucketed ``hash_join``
-    (how='semi'); leak counts fold per split (2 rows)."""
+    Ray shape: the tagged (split_id, text_md5) projection is materialized
+    ONCE (it feeds three consumers — the train-distinct side, the semi
+    join probe, and the totals — and lazy lineage would re-synthesize and
+    re-hash the corpus per consumer); train-side distinct text_md5 via
+    per-block distinct + one bucketed distinct (distinct-corpus-sized,
+    never collected); eval pages semi-joined against it through the
+    bucketed ``hash_join`` (how='semi'); leak counts fold per split
+    (2 rows)."""
     from ..pipelines.relational import combined_groupby_sum
     from ..sources.pages import read_pages
     from .dedup import add_text_md5
@@ -130,7 +133,7 @@ def split_leakage(sf_dir: str) -> ray.data.Dataset:
             "text_md5": t["text_md5"]})
 
     tagged = pages.map_batches(tag, batch_format="pyarrow",
-                               batch_size=8192)
+                               batch_size=8192).materialize()
 
     def train_partial(b: pa.Table) -> pa.Table:
         keep = pc.equal(b["split_id"], 0)

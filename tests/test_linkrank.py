@@ -105,7 +105,8 @@ def test_broadcast_and_join_paths_bit_equal(tiny):
 
 def test_host_components_hand_checked(ray_session, tmp_path):
     """Components over the tiny fixture: {1,2,3} are one community (min
-    label 1) via texts A/B; host 4 is a singleton."""
+    label 1, all pages share one text); host 4 has a UNIQUE text and no
+    edges, so it exercises the singleton left-join/coalesce path."""
     import pyarrow.parquet as pq
 
     docs = pa.table({
@@ -115,24 +116,27 @@ def test_host_components_hand_checked(ray_session, tmp_path):
         "source": pa.array(["t"] * 5, pa.string()),
         "n_chars": pa.array([1] * 5, pa.int64()),
     })
-    # build a minimal sf dir: lineitem rows produce doc_ids via ok*8+ln
+    # lineitem rows produce doc_ids via ok*8+ln:
+    # 1, 2, 3, 1002, 3001, 4 -> hosts 1, 2, 3, 2, 1, 4; text index is
+    # doc_id % 500 against THIS 5-row docs table where PageSynth's take
+    # uses doc_id % 500 positions 1,2,3,2,1,4 -> texts A A A A A C
     li = pa.table({
-        "l_orderkey": pa.array([0, 0, 0, 125, 375], pa.int64()),
-        "l_linenumber": pa.array([1, 2, 3, 2, 1], pa.int64()),
+        "l_orderkey": pa.array([0, 0, 0, 125, 375, 0], pa.int64()),
+        "l_linenumber": pa.array([1, 2, 3, 2, 1, 4], pa.int64()),
     })
-    # doc_ids: 1, 2, 3, 1002, 3001 -> hosts 1, 2, 3, 2, 1
-    # texts (doc_id % 500): A A A A(1002%500=2->A) C(3001%500=1->A)... all A
     pq.write_table(docs, tmp_path / "documents.parquet")
     pq.write_table(li, tmp_path / "lineitem.parquet")
     from orthority_ray.stages.linkrank import host_components
 
     out = host_components(str(tmp_path)).to_pandas().sort_values(
         "host").reset_index(drop=True)
-    # all five pages share text -> rep doc 1 (host 1); hosts 2 and 3 edge
-    # to host 1 -> one community labelled 1
+    # pages on hosts 1/2/3 share text A -> rep doc 1 (host 1): hosts 2
+    # and 3 edge to host 1 -> one community labelled 1; host 4's text C
+    # is unique -> NO edges -> singleton community labelled 4
     assert out["host"].tolist() == [
-        "site0001.example", "site0002.example", "site0003.example"]
-    assert out["community"].tolist() == [1, 1, 1]
+        "site0001.example", "site0002.example", "site0003.example",
+        "site0004.example"]
+    assert out["community"].tolist() == [1, 1, 1, 4]
 
 
 def test_host_rank_mass_conservation_bound(tiny):
