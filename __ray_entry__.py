@@ -58,7 +58,8 @@ from orthority_ray.stages.camera_geocode import (
 from orthority_ray.stages.metadata import SQL_METADATA as _SQL_METADATA
 from orthority_ray.stages.urlstats import SQL_HOST_STATS as _SQL_HOST_STATS
 from orthority_ray.stages.urlstats import SQL_URL_REDACT as _SQL_URL_REDACT
-from orthority_ray.stages.quantiles import (sql_exact_quantiles,
+from orthority_ray.stages.quantiles import (sql_bucketize_exact,
+                                             sql_exact_quantiles,
                                              sql_grouped_mad4x,
                                              sql_grouped_weighted_median,
                                              sql_grouped_median,
@@ -301,6 +302,25 @@ def q_split_assign(sf_dir: str):
     from orthority_ray.stages.splits import split_assign
 
     return split_assign(sf_dir)
+
+
+def q_value_deciles(sf_dir: str):
+    """Exact quantile feature binning (stages/quantiles.bucketize_exact):
+    event value cents -> decile buckets via the distributed-histogram
+    boundary pass + one broadcast searchsorted assign pass; per-bucket
+    count/min/max folds are bucket-dimension-sized."""
+    from orthority_ray.pipelines.relational import _read, cents
+    from orthority_ray.stages.quantiles import bucketize_exact
+
+    ev = _read(sf_dir, "events", ["value"])
+
+    def prep(b):
+        return pa.table({"v_cents": pa.array(
+            cents(b["value"].to_numpy(zero_copy_only=False)))})
+
+    return bucketize_exact(
+        ev.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        "v_cents")
 
 
 def q_split_leakage(sf_dir: str):
@@ -1042,7 +1062,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "value_gini", "lexical_diversity", "oov_rate", "event_mad", "weighted_median", "fk_orphans", "table_profile",
     "paragraph_dedup", "cross_host_dup", "token_budget_mix", "vocab_growth",
     "syndication_graph", "host_rank", "template_detect", "host_components",
-    "split_assign", "split_leakage",
+    "split_assign", "split_leakage", "value_deciles",
 ]
 
 
@@ -1085,6 +1105,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "template_detect": q_template_detect,
         "split_assign": q_split_assign,
         "split_leakage": q_split_leakage,
+        "value_deciles": q_value_deciles,
         "token_budget_mix": q_token_budget_mix,
         "vocab_growth": q_vocab_growth,
         "compression_ratio": q_compression_ratio,
@@ -1380,6 +1401,10 @@ def oracle_sql() -> dict[str, str]:
         "template_detect": S.with_pages(BO.SQL_TEMPLATE_DETECT),
         "split_assign": S.with_pages(SPL.SQL_SPLIT_ASSIGN),
         "split_leakage": S.with_pages(SPL.SQL_SPLIT_LEAKAGE),
+        "value_deciles": sql_bucketize_exact(
+            "v_cents",
+            "(SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+            " AS v_cents FROM events)"),
         "token_budget_mix": S.with_pages(MX.SQL_TOKEN_BUDGET_MIX),
         "vocab_growth": S.with_pages(LX.SQL_VOCAB_GROWTH),
         "weighted_median": sql_grouped_weighted_median(

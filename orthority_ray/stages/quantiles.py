@@ -155,6 +155,72 @@ def exact_quantiles_int(ds: ray.data.Dataset, col: str, qs: tuple[float, ...],
     return pd.DataFrame(rows, columns=["q_pm", "value"]).astype(np.int64)
 
 
+def bucketize_exact(ds: ray.data.Dataset, col: str,
+                    qs: tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5,
+                                             0.6, 0.7, 0.8, 0.9),
+                    batch_size: int = 65536) -> pd.DataFrame:
+    """Exact quantile binning: (bucket, n_rows, min_v, max_v) per bucket,
+    where ``bucket`` = how many of the ``qs`` quantile boundaries are
+    strictly below the value — the feature-binning step a training
+    pipeline runs after profiling.
+
+    Two passes, both distributed: (1) :func:`exact_quantiles_int`'s
+    histogram pass yields the boundary values (len(qs) ints on the
+    driver); (2) boundaries broadcast via ``ray.put``, each block assigns
+    buckets with one ``searchsorted`` and emits a <=len(qs)+1-row
+    partial; the driver folds a bucket-dimension-sized frame.  Bucket
+    semantics mirror the SQL twin exactly: ``searchsorted(bounds, v,
+    'left')`` == COUNT(bounds < v), duplicate boundaries collapse the
+    same way on both sides."""
+    import ray
+
+    from ..sources.pages import cached_get
+
+    bounds = np.sort(
+        exact_quantiles_int(ds, col, qs, batch_size=batch_size)["value"]
+        .to_numpy().astype(np.int64))
+    ref = ray.put(bounds)
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = np.searchsorted(cached_get(ref), v, side="left")
+        df = pd.DataFrame({"bucket": bkt, "v": v})
+        g = df.groupby("bucket", as_index=False).agg(
+            n_rows=("v", "size"), min_v=("v", "min"), max_v=("v", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size).to_pandas()
+    out = parts.groupby("bucket", as_index=False).agg(
+        n_rows=("n_rows", "sum"), min_v=("min_v", "min"),
+        max_v=("max_v", "max"))
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def sql_bucketize_exact(col: str, source: str,
+                        qs: tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5,
+                                                 0.6, 0.7, 0.8, 0.9)) -> str:
+    """DuckDB twin of :func:`bucketize_exact` over ``source`` (a derived
+    table expression providing ``col``)."""
+    bounds = " UNION ALL ".join(
+        f"SELECT CAST(quantile_disc({col}, {q!r}) AS BIGINT) AS b "
+        f"FROM src" for q in qs)
+    return f"""
+WITH src AS (SELECT {col} FROM {source}),
+bounds AS ({bounds}),
+assigned AS (
+  SELECT {col} AS v,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bounds WHERE b < {col}) AS bucket
+  FROM src
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(v) AS BIGINT) AS min_v, CAST(MAX(v) AS BIGINT) AS max_v
+FROM assigned GROUP BY bucket
+""".strip()
+
+
 def sql_exact_quantiles(col: str, table: str, qs: tuple[float, ...]) -> str:
     parts = " UNION ALL ".join(
         f"SELECT CAST({int(round(q * 1_000_000))} AS BIGINT) AS q_pm, "
