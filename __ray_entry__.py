@@ -304,6 +304,16 @@ def q_split_assign(sf_dir: str):
     return split_assign(sf_dir)
 
 
+def q_split_leakage_neardup(sf_dir: str):
+    """NEAR-duplicate cross-split contamination (stages/splits
+    .split_leakage_neardup): the dup_clusters pipeline (reps -> LSH
+    candidates -> exact Jaccard verify) with a split tag per endpoint;
+    rows-only (LSH not SQL-expressible), deterministic."""
+    from orthority_ray.stages.splits import split_leakage_neardup
+
+    return split_leakage_neardup(sf_dir)
+
+
 def q_value_deciles(sf_dir: str):
     """Exact quantile feature binning (stages/quantiles.bucketize_exact):
     event value cents -> decile buckets via the distributed-histogram
@@ -1106,6 +1116,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "split_assign": q_split_assign,
         "split_leakage": q_split_leakage,
         "value_deciles": q_value_deciles,
+        "split_leakage_neardup": q_split_leakage_neardup,
         "token_budget_mix": q_token_budget_mix,
         "vocab_growth": q_vocab_growth,
         "compression_ratio": q_compression_ratio,

@@ -175,6 +175,60 @@ def split_leakage(sf_dir: str) -> pd.DataFrame:
     return out[["split", "n_pages", "n_leaked"]]
 
 
+def split_leakage_neardup(sf_dir: str, threshold: float = 0.8
+                          ) -> pd.DataFrame:
+    """-> (pair_kind, n_pairs): verified NEAR-duplicate pairs whose two
+    documents land in different splits — the contamination exact-md5
+    leakage (:func:`split_leakage`) misses.  pair_kind is the sorted
+    split pair ('train-val', 'train-test', 'val-test'); within-split
+    pairs are dropped.
+
+    Rows-only (MinHash-LSH is not SQL-expressible): reuses the
+    dup_clusters pipeline end-to-end — exact-dedup reps -> LSH candidate
+    pairs -> exact n-gram Jaccard verify via co-partitioned hash joins —
+    then a vectorized split tag per endpoint and a 3-row fold.
+    Deterministic (MinHash seeds fixed), pinned by the rows-only
+    determinism probe."""
+    from ..sources.pages import read_pages
+    from .dedup import exact_dedup, minhash_candidate_pairs, verify_pairs
+
+    pages = read_pages(sf_dir, columns=["doc_id", "text"])
+    reps = exact_dedup(pages).select_columns(["doc_id", "text"]).materialize()
+    pairs = minhash_candidate_pairs(reps, pre_dedup=False).materialize()
+    kinds = ["train-val", "train-test", "val-test"]
+    if pairs.count() == 0:
+        return pd.DataFrame({"pair_kind": kinds,
+                             "n_pairs": np.zeros(3, np.int64)})
+    verified = verify_pairs(pairs, reps, threshold=threshold)
+
+    def tag(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sa = split_of_host(a % N_HOSTS)
+        sb = split_of_host(d % N_HOSTS)
+        lo = np.minimum(sa, sb)
+        hi = np.maximum(sa, sb)
+        cross = lo != hi
+        # (lo, hi) in {(0,1),(0,2),(1,2)} -> kind index 0/1/2
+        kind = np.where((lo == 0) & (hi == 1), 0,
+                        np.where((lo == 0) & (hi == 2), 1, 2))[cross]
+        u, c = np.unique(kind, return_counts=True)
+        return pa.table({"kind_id": pa.array(u.astype(np.int64)),
+                         "n_pairs": pa.array(c.astype(np.int64))})
+
+    from ..pipelines.relational import combined_groupby_sum
+
+    folded = combined_groupby_sum(
+        verified.map_batches(tag, batch_format="pyarrow",
+                             batch_size=65536),
+        ["kind_id"], ["n_pairs"]).to_pandas()
+    out = pd.DataFrame({"kind_id": np.arange(3, dtype=np.int64)}).merge(
+        folded, on="kind_id", how="left")
+    out["n_pairs"] = out["n_pairs"].fillna(0).astype(np.int64)
+    out["pair_kind"] = np.array(kinds)[out["kind_id"].to_numpy()]
+    return out[["pair_kind", "n_pairs"]]
+
+
 _SQL_SPLIT = (f"CASE WHEN ((doc_id % {N_HOSTS}) * {H1_MULT}) % {M32} % 100"
               f" < {TRAIN_PCT} THEN 'train'"
               f" WHEN ((doc_id % {N_HOSTS}) * {H1_MULT}) % {M32} % 100"
