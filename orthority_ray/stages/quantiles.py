@@ -176,6 +176,9 @@ def bucketize_exact(ds: ray.data.Dataset, col: str,
 
     from ..sources.pages import cached_get
 
+    # two consumers (boundary pass + assign pass): materialize once so the
+    # caller's upstream map and the read don't re-execute per pass
+    ds = ds.materialize()
     bounds = np.sort(
         exact_quantiles_int(ds, col, qs, batch_size=batch_size)["value"]
         .to_numpy().astype(np.int64))
@@ -191,6 +194,10 @@ def bucketize_exact(ds: ray.data.Dataset, col: str,
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=batch_size).to_pandas()
+    if parts.empty:  # empty input: no buckets, not a KeyError
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ("bucket", "n_rows", "min_v",
+                                       "max_v")})
     out = parts.groupby("bucket", as_index=False).agg(
         n_rows=("n_rows", "sum"), min_v=("min_v", "min"),
         max_v=("max_v", "max"))

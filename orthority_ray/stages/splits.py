@@ -177,20 +177,28 @@ def split_leakage(sf_dir: str) -> pd.DataFrame:
 
 def split_leakage_neardup(sf_dir: str, threshold: float = 0.8
                           ) -> pd.DataFrame:
-    """-> (pair_kind, n_pairs): verified NEAR-duplicate pairs whose two
-    documents land in different splits — the contamination exact-md5
-    leakage (:func:`split_leakage`) misses.  pair_kind is the sorted
-    split pair ('train-val', 'train-test', 'val-test'); within-split
-    pairs are dropped.
+    """-> (pair_kind, n_pairs): verified NEAR-duplicate text pairs whose
+    page copies land in different splits — the contamination exact-md5
+    leakage (:func:`split_leakage`) misses.  A distinct-text pair counts
+    under a kind ('train-val', 'train-test', 'val-test') when ANY page
+    carrying one text sits in the kind's first split and ANY page
+    carrying the other sits in its second (exact copies of a text in
+    other splits carry the contamination too, so membership is expanded
+    to page level — minhash pairs alone are between min-doc reps, whose
+    splits are an arbitrary choice; dedup.py:309).
 
-    Rows-only (MinHash-LSH is not SQL-expressible): reuses the
-    dup_clusters pipeline end-to-end — exact-dedup reps -> LSH candidate
-    pairs -> exact n-gram Jaccard verify via co-partitioned hash joins —
-    then a vectorized split tag per endpoint and a 3-row fold.
-    Deterministic (MinHash seeds fixed), pinned by the rows-only
-    determinism probe."""
+    Rows-only (MinHash-LSH is not SQL-expressible): the dup_clusters
+    pipeline — exact-dedup reps -> LSH candidate pairs -> exact n-gram
+    Jaccard verify via co-partitioned hash joins — then per-rep split
+    BITMASKS folded from the page/rep attribution join and attached to
+    each pair through two bucketed joins; the kind test is pure bit
+    arithmetic and the fold is 3 rows.  Deterministic (MinHash seeds
+    fixed), pinned by the rows-only determinism probe."""
+    from ..pipelines.relational import combined_groupby_sum
     from ..sources.pages import read_pages
-    from .dedup import exact_dedup, minhash_candidate_pairs, verify_pairs
+    from .dedup import (attach_rep_doc, exact_dedup,
+                        minhash_candidate_pairs, verify_pairs)
+    from .hashjoin import hash_join
 
     pages = read_pages(sf_dir, columns=["doc_id", "text"])
     reps = exact_dedup(pages).select_columns(["doc_id", "text"]).materialize()
@@ -201,26 +209,59 @@ def split_leakage_neardup(sf_dir: str, threshold: float = 0.8
                              "n_pairs": np.zeros(3, np.int64)})
     verified = verify_pairs(pairs, reps, threshold=threshold)
 
-    def tag(b: pa.Table) -> pa.Table:
-        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        sa = split_of_host(a % N_HOSTS)
-        sb = split_of_host(d % N_HOSTS)
-        lo = np.minimum(sa, sb)
-        hi = np.maximum(sa, sb)
-        cross = lo != hi
-        # (lo, hi) in {(0,1),(0,2),(1,2)} -> kind index 0/1/2
-        kind = np.where((lo == 0) & (hi == 1), 0,
-                        np.where((lo == 0) & (hi == 2), 1, 2))[cross]
-        u, c = np.unique(kind, return_counts=True)
-        return pa.table({"kind_id": pa.array(u.astype(np.int64)),
-                         "n_pairs": pa.array(c.astype(np.int64))})
+    # per-rep split bitmask (bit s set <=> some page of the text sits in
+    # split s): distinct (rep, bit) rows via one bucketed distinct, then a
+    # rep-keyed sum — each bit appears once, so the sum IS the OR
+    def mask_partial(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = b["rep_doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.int64(1) << split_of_host(doc % N_HOSTS)
+        df = pd.DataFrame({"rep": rep, "mask": mask}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    from ..pipelines.relational import combined_groupby_sum
+    distinct_bits = combined_groupby_sum(
+        attach_rep_doc(pages).map_batches(mask_partial,
+                                          batch_format="pyarrow",
+                                          batch_size=65536),
+        ["rep", "mask"], [], count_alias="c").select_columns(
+        ["rep", "mask"])
+    rep_mask = combined_groupby_sum(distinct_bits, ["rep"], ["mask"])
+
+    def named(col_id: str, col_mask: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({col_id: b["rep"], col_mask: b["mask"]})
+
+        return f
+
+    j1 = hash_join(
+        verified.select_columns(["doc_a", "doc_b"]),
+        rep_mask.map_batches(named("doc_a", "mask_a"),
+                             batch_format="pyarrow"),
+        "doc_a", ["doc_a", "doc_b"], ["doc_a", "mask_a"],
+        types={"doc_b": pa.int64(), "mask_a": pa.int64()})
+    j2 = hash_join(
+        j1,
+        rep_mask.map_batches(named("doc_b", "mask_b"),
+                             batch_format="pyarrow"),
+        "doc_b", ["doc_b", "doc_a", "mask_a"], ["doc_b", "mask_b"],
+        types={"doc_a": pa.int64(), "mask_a": pa.int64(),
+               "mask_b": pa.int64()})
+
+    def tag(b: pa.Table) -> pa.Table:
+        ma = b["mask_a"].to_numpy(zero_copy_only=False)
+        mb = b["mask_b"].to_numpy(zero_copy_only=False)
+
+        def cross(bit1: int, bit2: int) -> np.ndarray:
+            return (((ma & bit1) > 0) & ((mb & bit2) > 0)) | \
+                   (((ma & bit2) > 0) & ((mb & bit1) > 0))
+
+        counts = np.array([cross(1, 2).sum(), cross(1, 4).sum(),
+                           cross(2, 4).sum()], dtype=np.int64)
+        return pa.table({"kind_id": pa.array(np.arange(3, dtype=np.int64)),
+                         "n_pairs": pa.array(counts)})
 
     folded = combined_groupby_sum(
-        verified.map_batches(tag, batch_format="pyarrow",
-                             batch_size=65536),
+        j2.map_batches(tag, batch_format="pyarrow", batch_size=65536),
         ["kind_id"], ["n_pairs"]).to_pandas()
     out = pd.DataFrame({"kind_id": np.arange(3, dtype=np.int64)}).merge(
         folded, on="kind_id", how="left")
