@@ -94,6 +94,29 @@ def nonempty_token_counts(text):
     return flat_ne, ntok, starts
 
 
+def dedup_token_counts(texts) -> "np.ndarray":
+    """Dedup-then-process token counting for a block: factorize the text
+    column (pandas Series / Arrow array), tokenize each DISTINCT text once
+    via :func:`nonempty_token_counts`, and fan the counts back to every row
+    through the factorize index.  Null texts raise loudly — pd.factorize
+    assigns them code -1, which would otherwise silently alias the LAST
+    distinct text's count (r3 advice); callers that accept arbitrary
+    (doc_id, text, ...) datasets must reject nulls, matching editdist."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = texts.to_pandas()
+    codes, uniq = pd.factorize(texts)
+    if (codes == -1).any():
+        raise ValueError(
+            "null text in token-count input; drop or fill nulls upstream "
+            "(factorize codes them -1, which would alias another text's "
+            "count)")
+    _, ntok, _ = nonempty_token_counts(pa.array(uniq, pa.string()))
+    return ntok[codes]
+
+
 FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 FNV_PRIME = np.uint64(0x100000001B3)
 WORD_MULT = np.uint64(131)

@@ -131,16 +131,27 @@ def incremental_ingest(
     bad: list[str] = []
     if quarantine and new:
         def check(p: str) -> tuple[str, bool]:
+            # Classification contract (r3 advice): errors raised while
+            # PARSING an already-open file are data-shaped (truncated
+            # object, bad footer — pa.ArrowInvalid OR ArrowIOError from a
+            # short read) -> quarantine, so one bad shard can never block
+            # the whole drop; only failures of the filesystem OPEN itself
+            # are transient -> retry, then raise.
             last: Exception | None = None
             for _ in range(3):
                 try:
-                    with fs.open(p, "rb") as f:
+                    f = fs.open(p, "rb")
+                except Exception as e:  # storage layer: retry, then raise
+                    last = e
+                    continue
+                try:
+                    with f:
                         pq.read_schema(f)
                     return p, True
-                except pa.ArrowInvalid:
-                    return p, False  # corrupt footer: quarantine
-                except Exception as e:  # transient IO: retry, then raise
-                    last = e
+                except pa.ArrowException:
+                    return p, False  # corrupt footer/short read: quarantine
+                except OSError:
+                    return p, False  # ArrowIOError aliases OSError
             raise RuntimeError(
                 f"transient read failure on {p!r} after 3 attempts "
                 f"(NOT quarantined — fix the storage issue and re-run)"

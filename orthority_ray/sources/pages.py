@@ -39,6 +39,11 @@ HTML_PREFIX = b"<html><body>"
 HTML_SUFFIX = b"</body></html>"
 # 2025-01-01T00:00:00 UTC in microseconds since epoch
 WARC_EPOCH_US = 1_735_689_600_000_000
+# The url-synthesis host modulus: host index = doc_id % N_HOSTS, rendered
+# "siteNNNN.example".  SINGLE SOURCE OF TRUTH (r3 advice) — linkrank,
+# paradedup, splits, boilerplate and every SQL twin interpolate THIS
+# constant; changing it here changes host attribution everywhere at once.
+N_HOSTS = 1000
 
 PAGES_SCHEMA = pa.schema(
     [
@@ -138,7 +143,7 @@ class PageSynth:
                         "with the SQL oracle (DuckDB lpad truncates); widen "
                         "both sides together")
                 site = pc.utf8_lpad(
-                    pc.cast(pa.array(doc_id % 1000), pa.string()), 4, "0")
+                    pc.cast(pa.array(doc_id % N_HOSTS), pa.string()), 4, "0")
                 did = pc.utf8_lpad(pc.cast(pa.array(doc_id), pa.string()),
                                    10, "0")
                 out[c] = pc.binary_join_element_wise(

@@ -16,10 +16,12 @@ from ..core import cells as C
 # NB the lpad widths (4, 10) are a CONTRACT with sources/pages.py's url
 # synthesis: DuckDB lpad truncates beyond the width while Arrow utf8_lpad
 # does not, so pages._synth raises loudly if doc_id ever reaches 1e10.
-PAGES_CTE = """
+from .pages import N_HOSTS
+
+PAGES_CTE = f"""
 pages AS (
   SELECT l.l_orderkey * 8 + l.l_linenumber AS doc_id,
-         'https://site' || lpad(CAST((l.l_orderkey * 8 + l.l_linenumber) % 1000 AS VARCHAR), 4, '0')
+         'https://site' || lpad(CAST((l.l_orderkey * 8 + l.l_linenumber) % {N_HOSTS} AS VARCHAR), 4, '0')
            || '.example/' || lpad(CAST(l.l_orderkey * 8 + l.l_linenumber AS VARCHAR), 10, '0') AS url,
          TIMESTAMP '2025-01-01 00:00:00' + to_microseconds((l.l_orderkey * 8 + l.l_linenumber) * 1000000) AS warc_ts,
          d.text AS text,

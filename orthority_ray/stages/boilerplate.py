@@ -31,8 +31,7 @@ import pyarrow as pa
 import ray.data
 
 from ..core.texthash import nonempty_token_counts
-from ..sources.pages import host_str_from_idx
-from .linkrank import N_HOSTS
+from ..sources.pages import N_HOSTS, host_str_from_idx
 
 PREFIX_TOKENS = 8
 
@@ -115,7 +114,7 @@ def template_detect(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
 
 SQL_TEMPLATE_DETECT = rf"""
 , pref AS (
-  SELECT doc_id % 1000 AS h,
+  SELECT doc_id % {N_HOSTS} AS h,
          array_to_string(
            list_slice(list_filter(string_split_regex(text, '\s+'),
                                   x -> x <> ''),

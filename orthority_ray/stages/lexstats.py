@@ -174,7 +174,7 @@ def vocab_growth(pages: ray.data.Dataset) -> ray.data.Dataset:
     count fanned to its pages' hours); both rollups are hour-dimension
     unioned + summed (first-occurrence hours are a subset of occurrence
     hours, so the zero-padded union IS the SQL left join)."""
-    from ..core.texthash import nonempty_token_counts, split_tokens_arrow
+    from ..core.texthash import dedup_token_counts, split_tokens_arrow
     from ..pipelines.relational import combined_groupby_sum
     from .grouping import bucketed_group_apply
 
@@ -216,12 +216,10 @@ def vocab_growth(pages: ray.data.Dataset) -> ray.data.Dataset:
 
     def volume_partial(b: pa.Table) -> pa.Table:
         # dedup-then-process: tokenize each distinct text once, fan its
-        # count back to the block's pages via the factorize index
-        texts = b["text"].to_pandas()
-        codes, uniq = pd.factorize(texts)
-        _, ntok, _ = nonempty_token_counts(pa.array(uniq, pa.string()))
+        # count back via the null-rejecting factorize helper
         doc = b["doc_id"].to_numpy(zero_copy_only=False)
-        df = pd.DataFrame({"hour": doc // 3600, "n_tokens": ntok[codes]})
+        df = pd.DataFrame({"hour": doc // 3600,
+                           "n_tokens": dedup_token_counts(b["text"])})
         g = df.groupby("hour", as_index=False, sort=False)["n_tokens"].sum()
         return pa.table({
             "hour": pa.array(g["hour"].to_numpy().astype(np.int64)),

@@ -45,10 +45,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ..sources.pages import N_HOSTS
 from .dedup import attach_rep_doc
 from .hashjoin import hash_join
 
-N_HOSTS = 1000  # sources/pages.py url synthesis: host index = doc_id % 1000
 R0 = 1_000_000
 BASE = 150_000  # (100 - DAMP) * R0 // 100
 DAMP = 85
@@ -357,13 +357,13 @@ def host_components(sf_dir: str) -> ray.data.Dataset:
     return merged.map_batches(named, batch_format="pyarrow")
 
 
-SQL_HOST_COMPONENTS = """
+SQL_HOST_COMPONENTS = f"""
 , reps AS (
   SELECT md5(text) AS m, MIN(doc_id) AS rep FROM pages GROUP BY md5(text)
 ), edges AS (
-  SELECT DISTINCT doc_id % 1000 AS src, rep % 1000 AS dst
+  SELECT DISTINCT doc_id % {N_HOSTS} AS src, rep % {N_HOSTS} AS dst
   FROM pages JOIN reps ON md5(text) = m
-  WHERE doc_id % 1000 <> rep % 1000
+  WHERE doc_id % {N_HOSTS} <> rep % {N_HOSTS}
 ), und AS (
   SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
 ), reach AS (
@@ -374,7 +374,7 @@ SQL_HOST_COMPONENTS = """
   )
   SELECT node, MIN(lbl) AS comp FROM r GROUP BY node
 ), nodes AS (
-  SELECT DISTINCT doc_id % 1000 AS h FROM pages
+  SELECT DISTINCT doc_id % {N_HOSTS} AS h FROM pages
 )
 SELECT 'site' || lpad(CAST(n.h AS VARCHAR), 4, '0') || '.example' AS host,
        CAST(COALESCE(reach.comp, n.h) AS BIGINT) AS community
@@ -382,15 +382,15 @@ FROM nodes n LEFT JOIN reach ON reach.node = n.h
 """.strip()
 
 
-SQL_SYNDICATION_GRAPH = """
+SQL_SYNDICATION_GRAPH = f"""
 , reps AS (
   SELECT md5(text) AS m, MIN(doc_id) AS rep FROM pages GROUP BY md5(text)
 )
-SELECT 'site' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0') || '.example' AS src_host,
-       'site' || lpad(CAST(rep % 1000 AS VARCHAR), 4, '0') || '.example' AS dst_host,
+SELECT 'site' || lpad(CAST(doc_id % {N_HOSTS} AS VARCHAR), 4, '0') || '.example' AS src_host,
+       'site' || lpad(CAST(rep % {N_HOSTS} AS VARCHAR), 4, '0') || '.example' AS dst_host,
        CAST(COUNT(*) AS BIGINT) AS n_pages
 FROM pages JOIN reps ON md5(text) = m
-WHERE doc_id % 1000 <> rep % 1000
+WHERE doc_id % {N_HOSTS} <> rep % {N_HOSTS}
 GROUP BY 1, 2
 """.strip()
 
@@ -401,15 +401,15 @@ def sql_host_rank(n_iters: int = DEFAULT_ITERS) -> str:
 , reps AS (
   SELECT md5(text) AS m, MIN(doc_id) AS rep FROM pages GROUP BY md5(text)
 ), edges AS (
-  SELECT doc_id % 1000 AS src, rep % 1000 AS dst,
+  SELECT doc_id % {N_HOSTS} AS src, rep % {N_HOSTS} AS dst,
          CAST(COUNT(*) AS BIGINT) AS w
   FROM pages JOIN reps ON md5(text) = m
-  WHERE doc_id % 1000 <> rep % 1000
+  WHERE doc_id % {N_HOSTS} <> rep % {N_HOSTS}
   GROUP BY 1, 2
 ), outw AS (
   SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src
 ), nodes AS (
-  SELECT DISTINCT doc_id % 1000 AS h FROM pages
+  SELECT DISTINCT doc_id % {N_HOSTS} AS h FROM pages
 ), r0 AS (
   SELECT h, CAST({R0} AS BIGINT) AS r FROM nodes
 )""".strip()]

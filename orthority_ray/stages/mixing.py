@@ -104,12 +104,18 @@ def token_budget_mix_pages(pages: ray.data.Dataset,
             np.searchsorted(bd, v, side="left").astype(np.int64)))
 
     def partial(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy(zero_copy_only=False)
         df = pd.DataFrame({
             "lang": b["lang"].to_pandas(),
             "__qbucket": b["__qbucket"].to_numpy(zero_copy_only=False),
             "n": np.ones(b.num_rows, np.int64),
             "tok": b["ntok"].to_numpy(zero_copy_only=False),
-            "ids": b["doc_id"].to_numpy(zero_copy_only=False)})
+            "ids": doc,
+            # float64 shadow of sum(|doc_id|): floats don't wrap, so the
+            # driver can detect an int64 id_sum overflow LOUDLY instead of
+            # silently diverging from the oracle's HUGEINT sum (r3 advice;
+            # same envelope-guard family as value_gini / host_rank)
+            "idsf": np.abs(doc).astype(np.float64)})
         return pa.Table.from_pandas(
             df.groupby(["lang", "__qbucket"], as_index=False,
                        sort=False).sum(), preserve_index=False)
@@ -121,7 +127,16 @@ def token_budget_mix_pages(pages: ray.data.Dataset,
     per_lb = combined_groupby_sum(
         tagged.map_batches(partial, batch_format="pyarrow",
                            batch_size=65536),
-        ["lang", "__qbucket"], ["n", "tok", "ids"]).to_pandas()
+        ["lang", "__qbucket"], ["n", "tok", "ids", "idsf"]).to_pandas()
+    # every downstream id_sum is a subset-sum of nonneg |doc_id|, so the
+    # global float shadow bounds them all; 2^62 leaves float rounding slack
+    if float(per_lb["idsf"].sum()) >= float(2**62):
+        raise OverflowError(
+            "sum(|doc_id|) exceeds the int64 id_sum envelope (2^62); the "
+            "doc_id checksum would wrap while the SQL oracle's HUGEINT sum "
+            "does not — reduce doc_id magnitude or checksum doc_id % 2^32 "
+            "on both sides")
+    per_lb = per_lb.drop(columns=["idsf"])
     # driver-side prefix scan: langs x n_buckets rows, bounded
     per_lb = per_lb.sort_values(["lang", "__qbucket"])
     results: dict[str, dict[str, int]] = {}

@@ -45,6 +45,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..core import texthash as TH
+from ..sources.pages import N_HOSTS
 from .dedup import add_text_md5
 from .grouping import bucketed_group_apply
 
@@ -53,7 +54,6 @@ W_TOKENS = 16
 # CONTRACT with the SQL oracle (same multiplier), so paragraph counts past
 # it must fail loudly rather than alias a later doc's range
 IDX_LIMIT = 4096
-N_HOSTS = 1000  # sources/pages.py url synthesis: host index = doc_id % 1000
 
 
 # shared tokenization kernel (moved to core.texthash; re-exported because
@@ -237,14 +237,14 @@ def cross_host_dup(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(host_str, batch_format="pyarrow")
 
 
-SQL_CROSS_HOST_DUP = """
+SQL_CROSS_HOST_DUP = f"""
 , reps AS (
   SELECT md5(text) AS m, MIN(doc_id) AS rep FROM pages GROUP BY md5(text)
 )
 SELECT split_part(split_part(url, '//', 2), '/', 1) AS host,
        CAST(COUNT(*) AS BIGINT) AS n_pages,
        CAST(SUM(CASE WHEN doc_id <> rep THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-       CAST(SUM(CASE WHEN doc_id <> rep AND rep % 1000 <> doc_id % 1000
+       CAST(SUM(CASE WHEN doc_id <> rep AND rep % {N_HOSTS} <> doc_id % {N_HOSTS}
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_host_dup
 FROM pages JOIN reps ON md5(text) = m
 GROUP BY 1
