@@ -50,6 +50,7 @@ from orthority_ray.stages import splits as SPL
 from orthority_ray.stages import linkrank as LR
 from orthority_ray.stages import paradedup as PD
 from orthority_ray.stages import mixing as MX
+from orthority_ray.stages import sketches as _SK
 from orthority_ray.stages.camera_geocode import (
     dem_geocode,
     pinhole_geocode_table,
@@ -306,9 +307,9 @@ def q_split_assign(sf_dir: str):
 
 def q_split_leakage_neardup(sf_dir: str):
     """NEAR-duplicate cross-split contamination (stages/splits
-    .split_leakage_neardup): the dup_clusters pipeline (reps -> LSH
-    candidates -> exact Jaccard verify) with a split tag per endpoint;
-    rows-only (LSH not SQL-expressible), deterministic."""
+    .split_leakage_neardup): the memoized dup_clusters chain (reps -> LSH
+    candidates -> exact Jaccard verify) with a split bitmask per endpoint.
+    Oracle-EXACT since r4 (sqlmirror MinHash twin)."""
     from orthority_ray.stages.splits import split_leakage_neardup
 
     return split_leakage_neardup(sf_dir)
@@ -532,9 +533,10 @@ def q_media_features(sf_dir: str):
 
 
 def q_hll_by_lang(sf_dir: str):
-    """Rows-only: per-lang approximate distinct doc_ids (grouped HLL —
-    mergeable (group, register) maxima; deterministic hash, estimate
-    within ~2% of exact, asserted in tests/test_sketches.py)."""
+    """Per-lang approximate distinct doc_ids (grouped HLL — mergeable
+    (group, register) maxima).  Oracle-EXACT since r4: the splitmix64
+    registers and the dyadic-exact harmonic sum are mirrored in DuckDB
+    (stages/sketches.sql_hll_grouped, core/sqlmirror)."""
     from orthority_ray.stages.sketches import hll_grouped
 
     return hll_grouped(
@@ -542,8 +544,9 @@ def q_hll_by_lang(sf_dir: str):
 
 
 def q_hll_distinct(sf_dir: str):
-    """HyperLogLog distinct doc_ids (rows-only: ~1.6% sketch, deterministic
-    hash so the estimate is parallelism-invariant)."""
+    """HyperLogLog distinct doc_ids (~1.6% sketch, deterministic hash so
+    the estimate is parallelism-invariant).  Oracle-EXACT since r4 via the
+    sqlmirror splitmix64/register twin (sketches.sql_hll_distinct)."""
     from orthority_ray.stages.sketches import hll_distinct
 
     return hll_distinct(read_page_keys(sf_dir), "doc_id")
@@ -842,7 +845,9 @@ def q_training_prep(sf_dir: str):
 
 
 def q_cms_user_counts(sf_dir: str):
-    """Rows-only: count-min sketch over the events user_id stream
+    """Count-min sketch over the events user_id stream (oracle-EXACT
+    since r4: counters are plain GROUP-BY counts under the sqlmirror
+    splitmix64 index twin — sketches.sql_cms_user_counts)
     (stages/sketches.cms_sketch — additive (depth x width) counters merged
     by elementwise sum, never data-sized), point-estimating every 10th
     user's event count.  Estimates are deterministic overcounts; the
@@ -1048,6 +1053,9 @@ def q_pan_sharpen(sf_dir: str):
 # in-repo only) — listed first so a prefix-sampling driver covers them in
 # round 3 (VERDICT r2 "Next round" #6).  Names/SQL are unchanged.
 _DRIVER_UNCHECKED_FIRST = [
+    "minhash_pairs", "simhash_buckets", "dup_clusters",
+    "split_leakage_neardup", "hll_distinct", "hll_by_lang",
+    "cms_user_counts",
     "host_page_join", "parts_by_brand", "priority_revenue", "revenue_forecast",
     "shipping_priority", "returned_customers", "promo_revenue", "top_supplier",
     "small_qty_revenue", "brand_volume", "sales_opportunity", "nation_volume",
@@ -1410,6 +1418,18 @@ def oracle_sql() -> dict[str, str]:
         "template_detect": S.with_pages(BO.SQL_TEMPLATE_DETECT),
         "split_assign": S.with_pages(SPL.SQL_SPLIT_ASSIGN),
         "split_leakage": S.with_pages(SPL.SQL_SPLIT_LEAKAGE),
+        # r4: rows-only sketch/LSH queries graduated to exact oracles via
+        # core/sqlmirror's HUGEINT mod-2^64 twins of the engine's uint64
+        # hash kernels (r3 verdict #4)
+        "minhash_pairs": S.with_pages(D.sql_minhash_pairs()),
+        "simhash_buckets": S.with_pages(D.sql_simhash_buckets()),
+        "dup_clusters": S.with_pages(D.sql_dup_clusters()),
+        "split_leakage_neardup": S.with_pages(
+            SPL.sql_split_leakage_neardup()),
+        "hll_distinct": S.with_pages(_SK.sql_hll_distinct()),
+        "hll_by_lang": S.with_pages(_SK.sql_hll_grouped(
+            "lang", "SELECT lang, doc_id AS v FROM pages")),
+        "cms_user_counts": S.with_pages(_SK.sql_cms_user_counts()),
         "value_deciles": sql_bucketize_exact(
             "v_cents",
             "(SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT)"

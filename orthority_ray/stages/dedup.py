@@ -441,6 +441,112 @@ def neardup_family(sf_dir: str, threshold: float = 0.8) -> tuple:
     return reps, verified
 
 
+def sql_minhash_pairs(pages: str = "pages") -> str:
+    """Exact DuckDB twin of ``minhash_candidate_pairs(read_pages(...))``:
+    the full MinHash chain (FNV-1a shingles -> 64 permutations -> 8-band
+    fold -> LSH bucket self-join) mirrored through core.sqlmirror's
+    HUGEINT mod-2^64 arithmetic — bit-identical band hashes, so the pair
+    set matches the engine EXACTLY (graduated from rows-only, r3 #4)."""
+    from ..core import sqlmirror as SM
+
+    return f"""
+, {SM.minhash_band_rows(pages)}
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
+FROM brows a JOIN brows b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""".strip()
+
+
+def sql_dup_clusters(pages: str = "pages",
+                     threshold_pm: int = 800_000) -> str:
+    """Exact DuckDB twin of the full near-dup pipeline (q_dup_clusters):
+    LSH candidates (sql_minhash_pairs chain) -> exact shingle-hash-set
+    Jaccard (engine floor((i/u)*1e6) op order) -> recursive min-label
+    connected components (the SQL_HOST_COMPONENTS pattern)."""
+    from ..core import sqlmirror as SM
+
+    return f"""
+, {SM.minhash_band_rows(pages)}
+, gsets AS (
+  SELECT DISTINCT doc_id, h FROM gh
+), gcount AS (
+  SELECT doc_id, COUNT(*) AS ng FROM gsets GROUP BY doc_id
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM brows a JOIN brows b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), ipairs AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN gsets ga ON ga.doc_id = c.doc_a
+  JOIN gsets gb ON gb.doc_id = c.doc_b AND gb.h = ga.h
+  GROUP BY 1, 2
+), verified AS (
+  SELECT p.doc_a, p.doc_b
+  FROM ipairs p
+  JOIN gcount na ON na.doc_id = p.doc_a
+  JOIN gcount nb ON nb.doc_id = p.doc_b
+  WHERE FLOOR((CAST(p.i AS DOUBLE) / CAST(na.ng + nb.ng - p.i AS DOUBLE))
+              * 1000000.0) >= {threshold_pm}
+), und AS (
+  SELECT doc_a AS s, doc_b AS d FROM verified
+  UNION SELECT doc_b, doc_a FROM verified
+), reach AS (
+  WITH RECURSIVE r(node, lbl) AS (
+    SELECT s, s FROM und
+    UNION
+    SELECT u.d, r.lbl FROM r JOIN und u ON u.s = r.node
+  )
+  SELECT node, MIN(lbl) AS comp FROM r GROUP BY node
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(comp AS BIGINT) AS component
+FROM reach
+""".strip()
+
+
+def sql_simhash_buckets(pages: str = "pages") -> str:
+    """Exact DuckDB twin of ``simhash_buckets(read_pages(...))``: per
+    DISTINCT text, token-occurrence-weighted majority vote of each FNV
+    hash bit (strict > half), assembled from exact power-of-two HUGEINT
+    literals; empty-token texts hash to 0; 4 x 16-bit band histogram over
+    PAGES (graduated from rows-only, r3 #4)."""
+    from ..core import sqlmirror as SM
+
+    return f"""
+, dt AS (
+  SELECT DISTINCT text FROM {pages}
+), tok AS (
+  SELECT text, unnest({SM.tokens('text')}) AS t FROM dt
+), th AS (
+  SELECT text, {SM.fnv1a('t')} AS h FROM tok
+), {SM.bit_values_cte()}, bsum AS (
+  SELECT text, b, pw,
+         SUM(CASE WHEN (h // pw) % 2 = 1 THEN 1 ELSE 0 END) AS ones,
+         COUNT(*) AS n
+  FROM th CROSS JOIN bits GROUP BY text, b, pw
+), shv AS (
+  SELECT text, SUM(CASE WHEN 2 * ones > n THEN pw
+                        ELSE CAST(0 AS HUGEINT) END) AS sim
+  FROM bsum GROUP BY text
+), sh2 AS (
+  SELECT d.text, COALESCE(s.sim, CAST(0 AS HUGEINT)) AS sim
+  FROM dt d LEFT JOIN shv s ON s.text = d.text
+), ex AS (
+  SELECT bb.band, CAST((h2.sim // bb.pow16) % 65536 AS BIGINT) AS value
+  FROM {pages} p
+  JOIN sh2 h2 ON h2.text = p.text
+  CROSS JOIN (VALUES (0, CAST(1 AS HUGEINT)), (1, CAST(65536 AS HUGEINT)),
+                     (2, CAST(4294967296 AS HUGEINT)),
+                     (3, CAST(281474976710656 AS HUGEINT))) bb(band, pow16)
+)
+SELECT CAST(band AS BIGINT) AS band, value,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM ex GROUP BY 1, 2
+""".strip()
+
+
 # --- connected components over candidate pairs ------------------------------
 
 

@@ -329,3 +329,101 @@ def cms_estimate(sk: np.ndarray, values: np.ndarray) -> np.ndarray:
     for r in range(depth):
         est = np.minimum(est, sk[r, _cms_hash(h, r, width)])
     return est
+
+
+# --- exact DuckDB twins (core.sqlmirror HUGEINT mod-2^64 arithmetic) ---------
+
+
+def _sql_hll_regs(src_rows: str, group_sel: str = "") -> str:
+    """register/rho CTE fragment: splitmix64 of the value, register = low
+    HLL_P bits, rho = 33 - frexp-exponent of the top 32 bits (exactly
+    ``33 - length(bin(top))`` for top > 0, 33 for top == 0)."""
+    from ..core import sqlmirror as SM
+
+    g = f"{group_sel}, " if group_sel else ""
+    return f"""
+hh AS (
+  SELECT {g}{SM.splitmix64('v')} AS h FROM ({src_rows})
+), regs AS (
+  SELECT {g}CAST(h % {_HLL_M} AS BIGINT) AS register,
+         MAX(CASE WHEN h // 4294967296 = 0 THEN 33
+                  ELSE 33 - length(bin(CAST(h // 4294967296 AS BIGINT)))
+             END) AS rho
+  FROM hh GROUP BY {"ALL" if group_sel else "register"}
+)""".strip()
+
+
+_SQL_HLL_EST = f"""(CASE
+  WHEN ((0.7213 / (1.0 + 1.079 / {_HLL_M})) * {_HLL_M} * {_HLL_M} / s)
+         <= 2.5 * {_HLL_M} AND nz < {_HLL_M}
+  THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / ({_HLL_M} - nz))
+  ELSE ((0.7213 / (1.0 + 1.079 / {_HLL_M})) * {_HLL_M} * {_HLL_M} / s)
+END)"""
+
+
+def sql_hll_distinct(src_rows: str = "SELECT doc_id AS v FROM pages") -> str:
+    """Exact twin of ``hll_distinct``: the register harmonic sum is a sum
+    of dyadic rationals (k / 2^33, total < 2^13), exactly representable in
+    float64 at EVERY partial sum — so numpy's pairwise np.sum and DuckDB's
+    sequential SUM produce the identical double regardless of order, and
+    the estimate matches bit-for-bit.  The linear-counting branch's ln()
+    is libm on both sides (verified equal on the fixed driver corpora)."""
+    return f"""
+, {_sql_hll_regs(src_rows)}, agg AS (
+  SELECT ({_HLL_M} - COUNT(*)) * 1.0
+         + SUM(1.0 / CAST(CAST(1 AS BIGINT) << rho AS DOUBLE)) AS s,
+         COUNT(CASE WHEN rho > 0 THEN 1 END) AS nz
+  FROM regs
+)
+SELECT CAST(ROUND({_SQL_HLL_EST}) AS BIGINT) AS approx_distinct FROM agg
+""".strip()
+
+
+def sql_hll_grouped(group_col: str,
+                    src_rows: str) -> str:
+    """Exact twin of ``hll_grouped``: per-group register maxima + the same
+    dyadic-exact estimate (see sql_hll_distinct)."""
+    return f"""
+, {_sql_hll_regs(src_rows, group_sel=group_col)}, agg AS (
+  SELECT {group_col},
+         ({_HLL_M} - COUNT(*)) * 1.0
+         + SUM(1.0 / CAST(CAST(1 AS BIGINT) << rho AS DOUBLE)) AS s,
+         COUNT(CASE WHEN rho > 0 THEN 1 END) AS nz
+  FROM regs GROUP BY {group_col}
+)
+SELECT {group_col}, CAST(ROUND({_SQL_HLL_EST}) AS BIGINT) AS approx_distinct
+FROM agg
+""".strip()
+
+
+def sql_cms_user_counts(events: str = "events") -> str:
+    """Exact twin of q_cms_user_counts: CMS counters are plain exact
+    GROUP-BY counts once the (row, idx) hash is mirrored — splitmix64 of
+    the value, xor a row seed, splitmix64 again, mod width."""
+    from ..core import sqlmirror as SM
+
+    seeds = ", ".join(
+        f"({r}, CAST({(0x9E3779B97F4A7C15 * (r + 1)) % (1 << 64)} AS HUGEINT))"
+        for r in range(CMS_DEPTH))
+
+    def idx(h: str, seed: str) -> str:
+        return (f"CAST(({SM.splitmix64(SM.xor64(h, seed))}) % {CMS_WIDTH} "
+                f"AS BIGINT)")
+
+    return f"""
+, hv AS (
+  SELECT user_id, {SM.splitmix64('user_id')} AS h FROM {events}
+), sd(r, seed) AS (FROM (VALUES {seeds})), cells AS (
+  SELECT r, {idx('h', 'seed')} AS idx, COUNT(*) AS cnt
+  FROM hv CROSS JOIN sd GROUP BY 1, 2
+), probe AS (
+  SELECT DISTINCT user_id, h FROM hv WHERE user_id % 10 = 0
+), est AS (
+  SELECT p.user_id, MIN(c.cnt) AS e
+  FROM probe p CROSS JOIN sd
+  JOIN cells c ON c.r = sd.r AND c.idx = {idx('p.h', 'sd.seed')}
+  GROUP BY p.user_id
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(e AS BIGINT) AS est_events
+FROM est
+""".strip()

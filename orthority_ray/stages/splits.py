@@ -184,7 +184,8 @@ def split_leakage_neardup(sf_dir: str, threshold: float = 0.8
     to page level — minhash pairs alone are between min-doc reps, whose
     splits are an arbitrary choice; dedup.py:309).
 
-    Rows-only (MinHash-LSH is not SQL-expressible): the SHARED memoized
+    Oracle-EXACT since r4 (:func:`sql_split_leakage_neardup` mirrors the
+    MinHash family through core/sqlmirror): the SHARED memoized
     dup_clusters chain (dedup.neardup_family: exact-dedup reps -> LSH
     candidate pairs -> exact n-gram Jaccard verify via co-partitioned hash
     joins — r3 verdict #1: rebuilding it here duplicated ~5 s of work the
@@ -264,6 +265,71 @@ def split_leakage_neardup(sf_dir: str, threshold: float = 0.8
     out["n_pairs"] = out["n_pairs"].fillna(0).astype(np.int64)
     out["pair_kind"] = np.array(kinds)[out["kind_id"].to_numpy()]
     return out[["pair_kind", "n_pairs"]]
+
+
+def sql_split_leakage_neardup(threshold_pm: int = 800_000) -> str:
+    """Exact DuckDB twin of :func:`split_leakage_neardup` (graduated from
+    rows-only, r3 #4): the sql_dup_clusters candidate/verify chain
+    (core.sqlmirror MinHash — bit-identical band hashes) + per-rep split
+    bitmasks (bit s set <=> some page of the text sits in split s) + the
+    same cross-bit pair-kind test."""
+    from ..core import sqlmirror as SM
+
+    bucket = f"((p.doc_id % {N_HOSTS}) * {H1_MULT}) % {M32} % 100"
+    bit = (f"CASE WHEN {bucket} < {TRAIN_PCT} THEN 1 "
+           f"WHEN {bucket} < {VAL_PCT} THEN 2 ELSE 4 END")
+    return f"""
+, {SM.minhash_band_rows('pages')}
+, gsets AS (
+  SELECT DISTINCT doc_id, h FROM gh
+), gcount AS (
+  SELECT doc_id, COUNT(*) AS ng FROM gsets GROUP BY doc_id
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM brows a JOIN brows b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), ipairs AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN gsets ga ON ga.doc_id = c.doc_a
+  JOIN gsets gb ON gb.doc_id = c.doc_b AND gb.h = ga.h
+  GROUP BY 1, 2
+), verified AS (
+  SELECT p.doc_a, p.doc_b
+  FROM ipairs p
+  JOIN gcount na ON na.doc_id = p.doc_a
+  JOIN gcount nb ON nb.doc_id = p.doc_b
+  WHERE FLOOR((CAST(p.i AS DOUBLE) / CAST(na.ng + nb.ng - p.i AS DOUBLE))
+              * 1000000.0) >= {threshold_pm}
+), attr AS (
+  SELECT r.doc_id AS rep, {bit} AS bit
+  FROM pages p JOIN reps r ON r.text = p.text
+  GROUP BY 1, 2
+), rm AS (
+  SELECT rep, CAST(SUM(bit) AS BIGINT) AS mask FROM attr GROUP BY rep
+), vm AS (
+  SELECT ma.mask AS ma, mb.mask AS mb
+  FROM verified v
+  JOIN rm ma ON ma.rep = v.doc_a
+  JOIN rm mb ON mb.rep = v.doc_b
+), kc AS (
+  SELECT 'train-val' AS pair_kind, COUNT(CASE WHEN
+           (ma & 1 > 0 AND mb & 2 > 0) OR (ma & 2 > 0 AND mb & 1 > 0)
+         THEN 1 END) AS n FROM vm
+  UNION ALL
+  SELECT 'train-test', COUNT(CASE WHEN
+           (ma & 1 > 0 AND mb & 4 > 0) OR (ma & 4 > 0 AND mb & 1 > 0)
+         THEN 1 END) FROM vm
+  UNION ALL
+  SELECT 'val-test', COUNT(CASE WHEN
+           (ma & 2 > 0 AND mb & 4 > 0) OR (ma & 4 > 0 AND mb & 2 > 0)
+         THEN 1 END) FROM vm
+)
+SELECT k.pair_kind, CAST(COALESCE(kc.n, 0) AS BIGINT) AS n_pairs
+FROM (VALUES ('train-val'), ('train-test'), ('val-test')) k(pair_kind)
+LEFT JOIN kc ON kc.pair_kind = k.pair_kind
+""".strip()
 
 
 _SQL_SPLIT = (f"CASE WHEN ((doc_id % {N_HOSTS}) * {H1_MULT}) % {M32} % 100"
