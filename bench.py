@@ -1,8 +1,12 @@
 """Benchmark harness: headline flagship throughput + per-query timings.
 
-Prints ONE JSON line:
+Prints the full JSON record, then a COMPACT final JSON line (the driver's
+stdout capture keeps only the last 2000 chars — the final line carries the
+headline numbers, load averages, layout parity, and the slowest-20 query
+subset; ALL per-query timings land in ./BENCH_FULL.json):
   {"metric": "...", "value": <headline sec>, "unit": "sec",
-   "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+   "queries": {<slowest 20>}, "n_queries": N, "queries_sum_sec": S,
+   "queries_full": "BENCH_FULL.json", "sf": ..., "num_cpus": N, ...}
 
 ``--scaling`` runs the headline pipeline twice in FRESH processes
 (num_cpus=8 then 32, same input) and reports both throughputs + scaling
@@ -126,10 +130,43 @@ def run_flagship_write() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def run_multifile_parity(head: dict) -> dict:
+    """Re-run the headline over a 16-file partitioned copy of the input
+    (the layout a real deployment reads) and ASSERT result parity with the
+    driver's single-file layout — the single-file serial-read trap
+    (BASELINE.md perf fix #1) can't silently return (r3 verdict #6)."""
+    global SF_DIR
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    mdir = "/tmp/orthority_ray_bench/multifile"
+    shutil.rmtree(mdir, ignore_errors=True)
+    os.makedirs(mdir, exist_ok=True)
+    for t in ("lineitem", "documents"):
+        tbl = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        os.makedirs(f"{mdir}/{t}", exist_ok=True)
+        step = max(1, -(-tbl.num_rows // 16))
+        for i in range(16):
+            part = tbl.slice(i * step, step)
+            if part.num_rows or i == 0:
+                pq.write_table(part, f"{mdir}/{t}/part-{i:05d}.parquet")
+    saved, SF_DIR = SF_DIR, mdir
+    try:
+        mhead = run_headline()
+    finally:
+        SF_DIR = saved
+    assert mhead["n_docs"] == head["n_docs"], (mhead, head)
+    assert mhead["join_rows"] == head["join_rows"], (mhead, head)
+    assert mhead["n_cells"] == head["n_cells"], (mhead, head)
+    return dict(multifile_sec=round(mhead["sec"], 3), layout_parity=True)
+
+
 def main() -> None:
     import ray
     from ray.data import DataContext
 
+    load0 = os.getloadavg()
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     ctx = DataContext.get_current()
@@ -144,8 +181,10 @@ def main() -> None:
     head = run_headline()
     queries = {} if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else run_queries()
     steady = None
+    parity: dict = {}
     if not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
         queries["flagship_write"] = run_flagship_write()
+        parity = run_multifile_parity(head)
         # steady-state throughput on a 10x replicated crawl (6M docs):
         # amortizes per-run fixed cost so the number reflects sustained rate
         global REPLICATE
@@ -164,10 +203,32 @@ def main() -> None:
         "n_docs": head["n_docs"],
         "docs_per_sec": round(head["docs_per_sec"], 1),
         "pip_join_rows": head["join_rows"],
+        # 1/5/15-min load BEFORE and AFTER: attributes round-over-round
+        # timing shifts to co-tenant host load (r3 verdict #5)
+        "load_avg_start": [round(x, 2) for x in load0],
+        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+        **parity,
     }
     if steady:
         out["steady_state_docs_per_sec"] = round(steady["docs_per_sec"], 1)
         out["steady_state_n_docs"] = steady["n_docs"]
+    # full record (all per-query timings) -> repo file, committed per round;
+    # the driver's stdout capture keeps only the LAST 2000 chars, so the
+    # PARSEABLE final line must stay compact: full dict in the file + the
+    # human line below, slowest-20 subset in the final line (r3 verdict #5:
+    # BENCH_r02/03 'parsed: null' came from the 160-query line overflowing
+    # the capture window).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    if queries:
+        print(json.dumps(out))  # human/full line (may exceed capture window)
+        slow = dict(sorted(queries.items(), key=lambda kv: -kv[1])[:20])
+        out = {**out,
+               "queries": slow,
+               "n_queries": len(queries),
+               "queries_sum_sec": round(sum(queries.values()), 3),
+               "queries_full": "BENCH_FULL.json"}
     print(json.dumps(out))
 
 
