@@ -49,31 +49,106 @@ def geoid_offset(x: np.ndarray, y: np.ndarray, flavor: str = "egm96") -> np.ndar
     return base
 
 
-def datum_shift(x, y, z, src: str, dst: str):
+# --- pyproj plug-point (r3 verdict #3) ---------------------------------------
+#
+# Where a pyproj wheel + PROJ geoid grids exist, datum_shift can route
+# through the REAL EGM96/EGM2008 transforms (reference `ortho.py:143-151`,
+# `camera.py:460,510`).  This sandbox has neither (BASELINE §3d), so the
+# probe fails closed onto the deterministic stand-ins — same API, and the
+# tolerance tests in tests/test_zsurface.py are parametrized over BOTH
+# paths (the pyproj leg auto-skips when the probe reports unavailable).
+
+_DATUM_EPSG = {"egm96": "EPSG:4326+5773", "egm2008": "EPSG:4326+3855"}
+_PYPROJ_PROBE: tuple[str, str] | None = None  # (status, detail), cached
+
+
+def pyproj_status() -> tuple[str, str]:
+    """('ok'|'unavailable'|'no-grids', detail).  'ok' requires both the
+    pyproj wheel AND the EGM geoid grids to actually resolve a point —
+    pyproj without proj-data silently yields inf, which must fail the
+    probe, not corrupt heights downstream."""
+    global _PYPROJ_PROBE
+    if _PYPROJ_PROBE is not None:
+        return _PYPROJ_PROBE
+    try:
+        import pyproj  # noqa: F401
+    except ImportError as e:
+        _PYPROJ_PROBE = ("unavailable", str(e))
+        return _PYPROJ_PROBE
+    try:
+        from pyproj import Transformer
+
+        for epsg in _DATUM_EPSG.values():
+            t = Transformer.from_crs("EPSG:4979", epsg, always_xy=True)
+            _, _, zz = t.transform(16.0, 48.0, 100.0)
+            if not np.isfinite(zz):
+                _PYPROJ_PROBE = ("no-grids", f"{epsg} probe returned {zz}")
+                return _PYPROJ_PROBE
+        _PYPROJ_PROBE = ("ok", pyproj.__version__)
+    except Exception as e:  # grid download disabled, CRS db missing, ...
+        _PYPROJ_PROBE = ("no-grids", f"{type(e).__name__}: {e}")
+    return _PYPROJ_PROBE
+
+
+def _resolve_datum_mode(mode: str | None) -> str:
+    """None -> $ORTHORITY_RAY_DATUM -> 'auto'; 'auto' -> 'pyproj' iff the
+    probe is ok; explicit 'pyproj' without grids raises LOUDLY."""
+    import os
+
+    mode = mode or os.environ.get("ORTHORITY_RAY_DATUM", "auto")
+    if mode == "auto":
+        return "pyproj" if pyproj_status()[0] == "ok" else "standin"
+    if mode == "pyproj" and pyproj_status()[0] != "ok":
+        raise RuntimeError(
+            f"ORTHORITY_RAY_DATUM=pyproj but probe says {pyproj_status()}")
+    if mode not in ("standin", "pyproj"):
+        raise ValueError(f"unknown datum mode {mode!r}")
+    return mode
+
+
+def _pyproj_geoid_offset(x, y, flavor: str) -> np.ndarray:
+    """Real geoid undulation N(x, y) via pyproj: ellipsoidal z=0 expressed
+    in the orthometric CRS gives -N, so N = -transform_z.  x/y here are the
+    engine's planar metres — interpreted as lon/lat degrees modulo a fixed
+    deterministic wrap (the engine's synthetic world has no true CRS; real
+    deployments pass genuine lon/lat)."""
+    from pyproj import Transformer
+
+    lon = np.mod(np.asarray(x, dtype=np.float64) / 1_000.0 + 180.0, 360.0) - 180.0
+    lat = np.mod(np.asarray(y, dtype=np.float64) / 1_000.0 + 90.0, 180.0) - 90.0
+    t = Transformer.from_crs("EPSG:4979", _DATUM_EPSG[flavor], always_xy=True)
+    _, _, zz = t.transform(lon, lat, np.zeros_like(lon))
+    return -np.asarray(zz, dtype=np.float64)
+
+
+def datum_shift(x, y, z, src: str, dst: str, mode: str | None = None):
     """Convert heights between vertical datums.
 
     Datums: 'ellipsoid' (WGS84-like heights), 'egm96', 'egm2008' (geoid
-    stand-ins), 'msl_ft' (egm96 surface in feet).  Orthometric = ellipsoidal
-    - geoid_offset.
+    stand-ins or real EGM grids when pyproj+proj-data are present — see
+    pyproj_status), 'msl_ft' (egm96 surface in feet).  Orthometric =
+    ellipsoidal - geoid offset.
     """
     z = np.asarray(z, dtype=np.float64)
+    offset = (_pyproj_geoid_offset
+              if _resolve_datum_mode(mode) == "pyproj" else geoid_offset)
 
     def to_ellipsoid(zv, datum):
         if datum == "ellipsoid":
             return zv
         if datum in ("egm96", "egm2008"):
-            return zv + geoid_offset(x, y, datum)
+            return zv + offset(x, y, datum)
         if datum == "msl_ft":
-            return zv / FT_PER_M + geoid_offset(x, y, "egm96")
+            return zv / FT_PER_M + offset(x, y, "egm96")
         raise ValueError(f"unknown vertical datum {datum!r}")
 
     def from_ellipsoid(zv, datum):
         if datum == "ellipsoid":
             return zv
         if datum in ("egm96", "egm2008"):
-            return zv - geoid_offset(x, y, datum)
+            return zv - offset(x, y, datum)
         if datum == "msl_ft":
-            return (zv - geoid_offset(x, y, "egm96")) * FT_PER_M
+            return (zv - offset(x, y, "egm96")) * FT_PER_M
         raise ValueError(f"unknown vertical datum {datum!r}")
 
     return from_ellipsoid(to_ellipsoid(z, src), dst)
@@ -109,13 +184,15 @@ class ZSurface:
             z = np.where(jj / w + ii / h < 1.0, z, np.nan).astype(np.float32)
         return cls(z=z, x0=x0, y0=y0, res=res, datum=datum)
 
-    def with_datum(self, datum: str) -> "ZSurface":
-        """Re-express the surface's heights in another vertical datum."""
+    def with_datum(self, datum: str, mode: str | None = None) -> "ZSurface":
+        """Re-express the surface's heights in another vertical datum
+        (mode: None -> $ORTHORITY_RAY_DATUM/auto, 'standin', 'pyproj')."""
         h, w = self.z.shape
         ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
         x = self.x0 + (jj + 0.5) * self.res
         y = self.y0 - (ii + 0.5) * self.res
-        z = datum_shift(x, y, self.z.astype(np.float64), self.datum, datum)
+        z = datum_shift(x, y, self.z.astype(np.float64), self.datum, datum,
+                        mode=mode)
         return ZSurface(z=z.astype(np.float32), x0=self.x0, y0=self.y0, res=self.res, datum=datum)
 
     # --- sampling ----------------------------------------------------------
