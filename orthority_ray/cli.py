@@ -57,6 +57,9 @@ def cmd_query(args) -> int:
     if args.name not in qs:
         print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
         return 2
+    from .stages.hashjoin import last_plans
+
+    last_plans(clear=True)  # scope the join-plan telemetry to this query
     res = qs[args.name](args.sf_dir)
     ds = res if isinstance(res, ray.data.Dataset) else None
     if ds is not None:
@@ -79,6 +82,13 @@ def cmd_query(args) -> int:
         else:
             print("\n(stats: query returned a driver-side frame, "
                   "no Dataset plan to report)")
+        # adaptive-join decisions (r3 verdict #8): a 10^9-row side that got
+        # mis-sampled into a broadcast shows up HERE, not as an OOM later
+        for p in last_plans():
+            print(f"--- join plan: key={p['key']} how={p['how']} "
+                  f"strategy={p['strategy']} "
+                  f"right_total_est={p['right_total_est']} "
+                  f"n_buckets={p['n_buckets']} hot_keys={p['n_hot']}")
     return 0
 
 

@@ -392,6 +392,30 @@ def plan_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
     return n_buckets, hot
 
 
+# Driver-side telemetry of adaptive-join decisions (r3 verdict #8): each
+# adaptive_hash_join records the strategy it picked so `query --stats` can
+# surface a misplan at scale (e.g. a 10^9-row side mis-sampled into a
+# broadcast).  Planning happens on the driver, so a plain module list is
+# safe; bounded FIFO so a long-lived session can't grow it unboundedly.
+_PLAN_LOG: list[dict] = []
+_PLAN_LOG_MAX = 64
+
+
+def _log_plan(**plan) -> None:
+    _PLAN_LOG.append(plan)
+    if len(_PLAN_LOG) > _PLAN_LOG_MAX:
+        del _PLAN_LOG[: len(_PLAN_LOG) - _PLAN_LOG_MAX]
+
+
+def last_plans(clear: bool = False) -> list[dict]:
+    """Adaptive-join decisions since start/clear, oldest first: dicts of
+    ``{key, how, strategy, right_total_est, n_buckets, n_hot}``."""
+    out = list(_PLAN_LOG)
+    if clear:
+        _PLAN_LOG.clear()
+    return out
+
+
 def adaptive_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
                        left_cols: list[str], right_cols: list[str],
                        how: str = "inner",
@@ -421,6 +445,8 @@ def adaptive_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str
     if (right_total <= broadcast_threshold_rows
             and how in ("inner", "left", "semi", "anti")
             and left_dedup is None):
+        _log_plan(key=key, how=how, strategy="broadcast",
+                  right_total_est=int(right_total), n_buckets=0, n_hot=0)
         return broadcast_join(left, right, key, left_cols, right_cols, how=how)
     n_buckets, hot = plan_hash_join(
         left, right, key, target_bucket_rows=target_bucket_rows,
@@ -431,6 +457,10 @@ def adaptive_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str
         # data-aware bucket count but plan without hot keys instead of
         # crashing after the sampling pass
         hot = hot[:0]
+    _log_plan(key=key, how=how,
+              strategy="salted-shuffle" if len(hot) else "bucketed-shuffle",
+              right_total_est=int(right_total), n_buckets=n_buckets,
+              n_hot=int(len(hot)))
     return hash_join(left, right, key, left_cols, right_cols,
                      n_buckets=n_buckets, how=how, types=types,
                      left_dedup=left_dedup, hot_keys=hot, n_salts=n_salts)

@@ -235,3 +235,31 @@ def test_broadcast_equals_shuffle_join(ray_session, how):
     b = b.sort_values(list(a.columns)).reset_index(drop=True)
     assert len(a) == len(b) > 0
     assert a.equals(b)
+
+
+def test_plan_telemetry_records_strategy(ray_session):
+    """adaptive_hash_join logs its decision to last_plans(): the skewed
+    left x big right pair plans a salted shuffle; a dimension-sized right
+    plans a broadcast (r3 verdict #8)."""
+    import ray.data
+
+    from orthority_ray.stages.hashjoin import adaptive_hash_join, last_plans
+
+    last_plans(clear=True)
+    left = _left(2_000_000)
+    # big UNIQUE-key right side (row count above the broadcast threshold,
+    # no many-to-many blowup): forces the planned-shuffle path
+    right_big = ray.data.range(2_000_000, override_num_blocks=16).map_batches(
+        lambda b: pa.table({"k": pa.array(b["id"].to_numpy() + 1),
+                            "attr": b["id"]}),
+        batch_format="pyarrow")
+    adaptive_hash_join(left, right_big, "k", ["k", "value"], ["k", "attr"],
+                       fraction=0.05, target_bucket_rows=250_000).count()
+    adaptive_hash_join(left, _right(), "k", ["k", "value"], ["k", "attr"],
+                       fraction=0.05).count()
+    plans = last_plans()
+    assert [p["strategy"] for p in plans[-2:]] == \
+        ["salted-shuffle", "broadcast"]
+    shuffled = plans[-2]
+    assert shuffled["n_hot"] >= 1 and shuffled["n_buckets"] >= 16
+    assert plans[-1]["right_total_est"] <= 100_000

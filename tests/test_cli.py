@@ -37,3 +37,14 @@ def test_cli_flagship(tmp_path, capsys, sf_unit):
     assert main(["flagship", "--sf-dir", sf_unit, "--out", str(tmp_path / "o"), "--parts", "4"]) == 0
     out = capsys.readouterr().out
     assert "checksum" in out
+
+def test_cli_query_stats_names_join_plan(capsys, sf_unit):
+    """--stats surfaces the adaptive-join decision (r3 verdict #8): the
+    strategy line names broadcast vs salted/bucketed-shuffle and the
+    hot-key count, so a misplan at scale is observable."""
+    assert main(["query", "host_page_join", "--sf-dir", sf_unit,
+                 "--limit", "3", "--stats"]) == 0
+    out = capsys.readouterr().out
+    assert "join plan: key=host" in out
+    assert "strategy=" in out and "hot_keys=" in out
+    assert "n_buckets=" in out
