@@ -189,26 +189,111 @@ def split_leakage_neardup(sf_dir: str, threshold: float = 0.8
     dup_clusters chain (dedup.neardup_family: exact-dedup reps -> LSH
     candidate pairs -> exact n-gram Jaccard verify via co-partitioned hash
     joins — r3 verdict #1: rebuilding it here duplicated ~5 s of work the
-    same bench session already did) — then per-rep split BITMASKS folded
-    from the page/rep attribution join and attached to each pair through
-    two bucketed joins; the kind test is pure bit arithmetic and the fold
-    is 3 rows.  Deterministic (MinHash seeds fixed), pinned by the
-    rows-only determinism probe."""
-    from ..pipelines.relational import combined_groupby_sum
+    same bench session already did) — then per-rep split BITMASKS for the
+    PAIR ENDPOINTS ONLY.  Only texts that appear in a verified pair need a
+    mask, so the page attribution is ONE streaming pass over pages with a
+    broadcast {endpoint text -> rep} lookup — not the full page<->rep text
+    shuffle join ``attach_rep_doc`` pays (r4 profile: that join alone was
+    ~5 s of the query's 6 s even with the chain memo warm).  Above
+    ``_ENDPOINT_BROADCAST_LIMIT`` distinct endpoints (dup-pair-dense
+    corpora where the lookup table would no longer broadcast cheaply) it
+    falls back to the bucketed-join path (:func:`_neardup_masks_bucketed`).
+    The kind test is pure bit arithmetic and the fold is 3 rows.
+    Deterministic (MinHash seeds fixed)."""
     from ..sources.pages import read_pages
-    from .dedup import attach_rep_doc, neardup_family
-    from .hashjoin import hash_join
+    from .dedup import neardup_family
 
     pages = read_pages(sf_dir, columns=["doc_id", "text"])
-    _, verified = neardup_family(sf_dir, threshold=threshold)
+    reps, verified = neardup_family(sf_dir, threshold=threshold)
     kinds = ["train-val", "train-test", "val-test"]
     if verified is None:
         return pd.DataFrame({"pair_kind": kinds,
                              "n_pairs": np.zeros(3, np.int64)})
 
-    # per-rep split bitmask (bit s set <=> some page of the text sits in
-    # split s): distinct (rep, bit) rows via one bucketed distinct, then a
-    # rep-keyed sum — each bit appears once, so the sum IS the OR
+    if verified.count() > _ENDPOINT_BROADCAST_LIMIT // 2:
+        # pair-dense corpus: stay fully distributed (bucketed joins)
+        return _split_leakage_neardup_distributed(pages, reps, verified,
+                                                  kinds)
+
+    pairs = verified.select_columns(["doc_a", "doc_b"]).to_pandas()
+    da = pairs["doc_a"].to_numpy().astype(np.int64)
+    db = pairs["doc_b"].to_numpy().astype(np.int64)
+    endpoints = np.unique(np.concatenate([da, db]))
+    ma, mb = _endpoint_masks_broadcast(pages, reps, endpoints, da, db)
+
+    def cross(bit1: int, bit2: int) -> np.int64:
+        return np.int64(((((ma & bit1) > 0) & ((mb & bit2) > 0)) |
+                         (((ma & bit2) > 0) & ((mb & bit1) > 0))).sum())
+
+    return pd.DataFrame({
+        "pair_kind": kinds,
+        "n_pairs": np.array([cross(1, 2), cross(1, 4), cross(2, 4)],
+                            dtype=np.int64),
+    })
+
+
+# above this many distinct pair-endpoint texts the {text -> rep} lookup
+# stops being a cheap broadcast (~100 MB at 1 kB/text) and the fully
+# distributed bucketed-join path wins; a crawl that near-dup-dense should
+# be exact-deduped first anyway
+_ENDPOINT_BROADCAST_LIMIT = 100_000
+
+
+def _endpoint_masks_broadcast(pages, reps, endpoints: np.ndarray,
+                              da: np.ndarray, db: np.ndarray):
+    """(mask_a, mask_b) for each verified pair: ONE streaming pass over
+    pages with a broadcast {endpoint text -> rep} dict; per-batch distinct
+    (rep, bit) partials OR-fold driver-side (<= 3 x |endpoints| rows)."""
+    import ray
+
+    from ..sources.pages import cached_get
+
+    ep_rows = reps.map_batches(
+        lambda b: b.filter(pa.array(np.isin(
+            b["doc_id"].to_numpy(zero_copy_only=False), endpoints))),
+        batch_format="pyarrow").to_pandas()
+    lookup_ref = ray.put(dict(zip(ep_rows["text"],
+                                  ep_rows["doc_id"].astype(np.int64))))
+
+    def bits_partial(b: pa.Table) -> pa.Table:
+        lookup = cached_get(lookup_ref)
+        texts = b["text"].to_pylist()
+        uniq, inv = np.unique(np.asarray(texts, dtype=object),
+                              return_inverse=True)
+        urep = np.fromiter((lookup.get(t, -1) for t in uniq),
+                           dtype=np.int64, count=uniq.shape[0])
+        rep = urep[inv]
+        hit = rep >= 0
+        doc = b["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)[hit]
+        df = pd.DataFrame({
+            "rep": rep[hit],
+            "bit": np.int64(1) << split_of_host(doc % N_HOSTS),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    bits = pages.map_batches(bits_partial, batch_format="pyarrow",
+                             batch_size=65536).to_pandas()
+    folded = bits.drop_duplicates().groupby("rep")["bit"].sum()  # bits distinct -> sum == OR
+    # endpoint-indexed masks (NOT a doc_id-max-sized dense array):
+    # endpoints is sorted unique and every rep/pair id is a member
+    mask_arr = np.zeros(endpoints.shape[0], dtype=np.int64)
+    mask_arr[np.searchsorted(endpoints, folded.index.to_numpy())] = \
+        folded.to_numpy()
+    return (mask_arr[np.searchsorted(endpoints, da)],
+            mask_arr[np.searchsorted(endpoints, db)])
+
+
+def _split_leakage_neardup_distributed(pages, reps, verified,
+                                       kinds: list[str]) -> pd.DataFrame:
+    """The pair-dense fallback: per-rep split bitmasks via the full
+    page<->rep text attribution join (one bucketed string exchange),
+    attached to each pair through two bucketed int joins; everything
+    stays distributed except the 3-row fold."""
+    from ..pipelines.relational import combined_groupby_sum
+    from .dedup import attach_rep_doc
+    from .hashjoin import hash_join
+
     def mask_partial(b: pa.Table) -> pa.Table:
         doc = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         rep = b["rep_doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)

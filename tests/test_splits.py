@@ -88,3 +88,19 @@ def test_split_is_host_deterministic_no_leakage():
     by_host = {}
     for d, s in zip(doc_ids % N_HOSTS, splits):
         assert by_host.setdefault(int(d), int(s)) == int(s)
+
+
+def test_neardup_leakage_broadcast_equals_distributed(ray_session, sf_unit,
+                                                      monkeypatch):
+    """The endpoint-broadcast fast path (one streaming page pass, r4 perf
+    rework) and the pair-dense distributed fallback (bucketed joins) must
+    produce IDENTICAL pair-kind counts; the sf0.001 corpus exercises real
+    near-dup pairs."""
+    from orthority_ray.stages import splits as SPL
+
+    fast = SPL.split_leakage_neardup(sf_unit)
+    monkeypatch.setattr(SPL, "_ENDPOINT_BROADCAST_LIMIT", 0)
+    slow = SPL.split_leakage_neardup(sf_unit)
+    assert list(fast["pair_kind"]) == list(slow["pair_kind"])
+    assert (fast["n_pairs"].to_numpy() == slow["n_pairs"].to_numpy()).all()
+    assert int(fast["n_pairs"].sum()) > 0  # the corpus must exercise pairs
