@@ -1301,6 +1301,9 @@ def oracle_sql() -> dict[str, str]:
         "lexical_diversity": S.with_pages(LX.SQL_LEXICAL_DIVERSITY),
         "oov_rate": S.with_pages(LX.sql_oov_rate()),
         "quality": S.with_pages(T.SQL_QUALITY),
+        # r4: integer trigram-vote classifier mirrored exactly (profile
+        # grams interpolated as a VALUES table; textstats.sql_lang_id)
+        "lang_id": S.with_pages(T.sql_lang_id()),
         "host_stats": S.with_pages(_SQL_HOST_STATS),
         "host_page_join": S.with_pages(SQL_HOST_PAGE_JOIN),
         "host_page_join_broadcast": S.with_pages(SQL_HOST_PAGE_JOIN),
@@ -1314,6 +1317,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COUNT(*) AS n_pages, CAST(0 AS BIGINT) AS n_bad FROM pages"
         ),
         "ann": ANN.SQL_ANN,
+        # r4: int8 quantized ANN mirrored to the bit (numpy unroll-8 norm
+        # association + round_even + integer dot; ann.sql_ann_int8)
+        "ann_int8": ANN.sql_ann_int8(),
         "embedding_neardup": ANN.sql_embedding_neardup(0.45),
         "ann_filtered": ANN.SQL_ANN_FILTERED,
         "dup_rate_hourly": S.with_pages(D.SQL_DUP_RATE_HOURLY),

@@ -897,3 +897,62 @@ SELECT query_id, neighbor_id, rank, sim_key FROM (
               WHERE vec_id % {QUERY_MOD} = 0) q
 ) WHERE rank <= {K}
 """.strip()
+
+
+def sql_ann_int8(k: int = K) -> str:
+    """Exact DuckDB twin of :func:`ann_int8` (graduated from rows-only,
+    r4).  The only float steps are the per-row norm and the quantizer, and
+    both are mirrored to the BIT:
+
+    - numpy's 64-element row sum is its unrolled-by-8 pairwise kernel —
+      8 stride-8 sequential partial sums combined in a fixed binary tree;
+      the twin spells out that exact association (verified bit-equal to
+      ``(m*m).sum(axis=1)`` in tests/test_sqlmirror.py);
+    - ``np.round`` is half-to-even -> DuckDB ``round_even(x, 0)``;
+    - the calibration scale is an order-free global max of |normalized|;
+    - the int8 dot product is a small-integer sum (< 2^21), exact in any
+      order, so ranking and ``sim_key`` are deterministic integers.
+    """
+    # numpy pairwise unroll-8: r_j = ((x_j + x_{j+8}) + x_{j+16}) + ...,
+    # result = ((r0+r1)+(r2+r3)) + ((r4+r5)+(r6+r7))
+    def sq(i: int) -> str:  # 1-based list index
+        return f"(e[{i + 1}] * e[{i + 1}])"
+
+    r = []
+    for j in range(8):
+        acc = sq(j)
+        for t in range(1, 8):
+            acc = f"({acc} + {sq(j + 8 * t)})"
+        r.append(acc)
+    norm_sq = (f"((({r[0]} + {r[1]}) + ({r[2]} + {r[3]})) + "
+               f"(({r[4]} + {r[5]}) + ({r[6]} + {r[7]})))")
+
+    quant = ("CAST(LEAST(GREATEST(round_even(((x / sqrt(s2)) / sc) * 127.0,"
+             " 0), -127.0), 127.0) AS BIGINT)")
+    return f"""
+WITH emb AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+  FROM embeddings
+), nrm AS (
+  SELECT vec_id, e, {norm_sq} AS s2 FROM emb
+), cal AS (
+  SELECT MAX(list_max([abs(x / sqrt(s2)) for x in e])) AS sc FROM nrm
+), q8 AS (
+  SELECT vec_id, [{quant} for x in e] AS v
+  FROM nrm CROSS JOIN cal
+), qs AS (
+  SELECT vec_id AS qid, v FROM q8 WHERE vec_id % {QUERY_MOD} = 0
+), sim AS (
+  SELECT q.qid AS query_id, d.vec_id AS neighbor_id,
+         CAST(list_dot_product(
+           [CAST(a AS DOUBLE) for a in q.v],
+           [CAST(b AS DOUBLE) for b in d.v]) AS BIGINT) AS sim_key
+  FROM qs q CROSS JOIN q8 d
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim_key FROM (
+  SELECT query_id, neighbor_id, sim_key,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim_key DESC, neighbor_id ASC) AS rank
+  FROM sim
+) WHERE rank <= {k}
+""".strip()

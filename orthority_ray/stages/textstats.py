@@ -566,3 +566,51 @@ def compression_ratio(ds: ray.data.Dataset, *,
     return ds.map_batches(cached_stage(CompressionScorer, "textstats:zratio"),
                           batch_format="pyarrow", batch_size=4096,
                           concurrency=concurrency)
+
+
+def sql_lang_id(pages: str = "pages") -> str:
+    """Exact DuckDB twin of :func:`lang_id` (graduated from rows-only, r4):
+    per DISTINCT text, the 16-bit codepoint-trigram set
+    (``((cp0*131 + cp1)*131 + cp2) % 65536`` — DuckDB ``ascii()`` returns
+    the Unicode codepoint, mirroring texthash.trigram16_sets' utf-32 view),
+    voted against the same FNV-derived profile grams interpolated as a
+    VALUES table; argmax with ties to the earlier lang.  Texts with no
+    profile hits (including len < 3) predict LANGS[0], which IS the argmax
+    of an all-zero score row.  All-integer, so the mirror is bit-exact."""
+    from ..core import texthash as TH
+
+    prof_rows = []
+    for li, lang in enumerate(LANGS):
+        grams = sorted(set(
+            (TH.fnv1a_bulk([f"{lang}:{i}".encode() for i in range(64)])
+             & np.uint64(0xFFFF)).tolist()))
+        prof_rows.extend(f"({li}, {g})" for g in grams)
+    lang_rows = ", ".join(f"({li}, '{lang}')"
+                          for li, lang in enumerate(LANGS))
+    tri = ("((ascii(substr(text, i, 1)) * 131 "
+           "+ ascii(substr(text, i + 1, 1))) * 131 "
+           "+ ascii(substr(text, i + 2, 1))) % 65536")
+    return f"""
+, dt AS (
+  SELECT DISTINCT text FROM {pages}
+), tg AS (
+  SELECT DISTINCT text, {tri} AS gram
+  FROM (SELECT text, unnest(generate_series(1, length(text) - 2)) AS i
+        FROM dt WHERE length(text) >= 3)
+), prof(li, gram) AS (FROM (VALUES {', '.join(prof_rows)})
+), langs(li, lang) AS (FROM (VALUES {lang_rows})
+), hits AS (
+  SELECT g.text, p.li, COUNT(*) AS s
+  FROM tg g JOIN prof p ON p.gram = g.gram
+  GROUP BY 1, 2
+), best AS (
+  SELECT text, li FROM (
+    SELECT text, li,
+           row_number() OVER (PARTITION BY text ORDER BY s DESC, li ASC) AS rn
+    FROM hits) WHERE rn = 1
+)
+SELECT p.doc_id, p.lang, COALESCE(l.lang, '{LANGS[0]}') AS lang_pred
+FROM {pages} p
+LEFT JOIN best b ON b.text = p.text
+LEFT JOIN langs l ON l.li = b.li
+""".strip()

@@ -203,3 +203,27 @@ def test_driver_corpus_is_ascii(sf):
                       columns=["text"])
     joined = "".join(t["text"].to_pylist())
     assert joined.isascii()
+
+
+def test_numpy_rowsum_is_unroll8_tree():
+    """sql_ann_int8's norm mirror assumes numpy's 64-element row sum is
+    the unrolled-by-8 pairwise kernel (8 stride-8 sequential partials,
+    fixed binary tree combine).  Pin that association bit-for-bit — if a
+    numpy upgrade changes the kernel, this fails before the oracle does."""
+    m = np.random.default_rng(3).standard_normal((512, 64))
+    x = m * m
+    r = [x[:, j].copy() for j in range(8)]
+    for t in range(1, 8):
+        for j in range(8):
+            r[j] = r[j] + x[:, 8 * t + j]
+    tree = ((r[0] + r[1]) + (r[2] + r[3])) + ((r[4] + r[5]) + (r[6] + r[7]))
+    assert (tree == x.sum(axis=1)).all()
+
+
+def test_round_even_matches_numpy():
+    vals = np.array([2.5, 3.5, -2.5, -3.5, 0.5, -0.5, 1.2345, -7.5])
+    con = duckdb.connect()
+    got = np.array([
+        con.sql(f"SELECT round_even(CAST({v!r} AS DOUBLE), 0)").fetchone()[0]
+        for v in vals])
+    assert (got == np.round(vals)).all()
