@@ -55,11 +55,13 @@ DAMP = 85
 DEFAULT_ITERS = 3
 
 
-def _edge_rows(pages: ray.data.Dataset) -> ray.data.Dataset:
+def _edge_rows(pages: ray.data.Dataset,
+               reps: ray.data.Dataset | None = None) -> ray.data.Dataset:
     """(host_idx=src, dst_idx) one row per syndicated page — the shared
     page/rep attribution join (dedup.attach_rep_doc, same input
-    cross_host_dup folds), filtered to cross-host pairs."""
-    joined = attach_rep_doc(pages)
+    cross_host_dup folds), filtered to cross-host pairs.  ``reps``: the
+    memoized dedup.rep_groups artifact when the corpus is an sf_dir."""
+    joined = attach_rep_doc(pages, reps=reps)
 
     def to_edges(b: pa.Table) -> pa.Table:
         doc = b["doc_id"].to_numpy(zero_copy_only=False)
@@ -74,12 +76,14 @@ def _edge_rows(pages: ray.data.Dataset) -> ray.data.Dataset:
                               batch_size=65536)
 
 
-def syndication_edges(pages: ray.data.Dataset) -> ray.data.Dataset:
+def syndication_edges(pages: ray.data.Dataset,
+                      reps: ray.data.Dataset | None = None
+                      ) -> ray.data.Dataset:
     """Weighted edge list (host_idx=src, dst_idx, w) — each page row that
     duplicates a different-host origin contributes 1 to its host pair."""
     from ..pipelines.relational import combined_groupby_sum
 
-    return combined_groupby_sum(_edge_rows(pages),
+    return combined_groupby_sum(_edge_rows(pages, reps=reps),
                                 ["host_idx", "dst_idx"], [],
                                 count_alias="w")
 
@@ -89,7 +93,10 @@ def syndication_graph(sf_dir: str) -> ray.data.Dataset:
     the url-contract host strings."""
     from ..sources.pages import read_pages
 
-    edges = syndication_edges(read_pages(sf_dir, columns=["doc_id", "text"]))
+    from ..stages.dedup import rep_groups
+
+    edges = syndication_edges(read_pages(sf_dir, columns=["doc_id", "text"]),
+                              reps=rep_groups(sf_dir))
 
     def named(b: pa.Table) -> pa.Table:
         from ..sources.pages import host_str_from_idx
@@ -109,9 +116,12 @@ def host_rank(sf_dir: str, n_iters: int = DEFAULT_ITERS) -> ray.data.Dataset:
     # the node-universe pass needs ONLY doc_id — a separate projection so
     # PageSynth never synthesizes the text column for it (r3 review: unused
     # payload synthesis roughly doubles the hot input stage)
+    from ..stages.dedup import rep_groups
+
     return host_rank_pages(read_pages(sf_dir, columns=["doc_id", "text"]),
                            n_iters=n_iters,
-                           id_pages=read_pages(sf_dir, columns=["doc_id"]))
+                           id_pages=read_pages(sf_dir, columns=["doc_id"]),
+                           reps=rep_groups(sf_dir))
 
 
 SMALL_NODE_LIMIT = 2_000_000  # broadcast fast path: rank vector <= ~16 MB
@@ -135,7 +145,8 @@ def _node_universe(id_pages: ray.data.Dataset) -> ray.data.Dataset:
 
 def host_rank_pages(pages: ray.data.Dataset,
                     n_iters: int = DEFAULT_ITERS,
-                    id_pages: ray.data.Dataset | None = None
+                    id_pages: ray.data.Dataset | None = None,
+                    reps: ray.data.Dataset | None = None
                     ) -> ray.data.Dataset:
     """PageRank over any (doc_id, text) Dataset — see :func:`host_rank`.
 
@@ -154,7 +165,7 @@ def host_rank_pages(pages: ray.data.Dataset,
 
     # the graph is materialized once and re-streamed per iteration (the
     # Pregel tradeoff — see module doc)
-    edges = syndication_edges(pages).materialize()
+    edges = syndication_edges(pages, reps=reps).materialize()
 
     # node universe = every host with >= 1 page (node-dimension-sized);
     # id_pages lets callers pass a doc_id-only projection for this pass
@@ -307,8 +318,10 @@ def host_components(sf_dir: str) -> ray.data.Dataset:
     from ..sources.pages import read_pages
     from .dedup import connected_components
 
+    from .dedup import rep_groups
+
     pages = read_pages(sf_dir, columns=["doc_id", "text"])
-    edges = syndication_edges(pages)
+    edges = syndication_edges(pages, reps=rep_groups(sf_dir))
 
     def as_pairs(b: pa.Table) -> pa.Table:
         return pa.table({"doc_a": b["host_idx"], "doc_b": b["dst_idx"]})

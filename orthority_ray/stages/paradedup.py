@@ -201,10 +201,10 @@ def cross_host_dup(sf_dir: str) -> ray.data.Dataset:
     its pages duplicate an earlier page at all, and how many duplicate a
     page first published on a DIFFERENT host."""
     from ..sources.pages import read_pages
-    from .dedup import attach_rep_doc
+    from .dedup import attach_rep_doc, rep_groups
 
     pages = read_pages(sf_dir, columns=["doc_id", "text"])
-    joined = attach_rep_doc(pages)
+    joined = attach_rep_doc(pages, reps=rep_groups(sf_dir))
 
     def per_host_partial(b: pa.Table) -> pa.Table:
         doc = b["doc_id"].to_numpy(zero_copy_only=False)
