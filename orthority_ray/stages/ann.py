@@ -86,6 +86,16 @@ def _cosine(m: np.ndarray, q: np.ndarray) -> np.ndarray:
 
 
 class _PartialTopSim:
+    # queries per similarity slab: bounds per-batch resident memory at
+    # B x Q_CHUNK x 8 (~32 MB at B=4096) instead of B x Q — the kNN
+    # 100x-query probe (BASELINE.md) showed the full (B, Q) matrix is the
+    # query-side scale hazard (1.2 GB/batch at 39k queries).  Chunk-local
+    # top-k per query column is independent per column, so semantics are
+    # unchanged; sim_key's integer quantization absorbs the <= 1-ulp BLAS
+    # blocking differences exactly as it does for the DuckDB oracle's own
+    # summation order.
+    Q_CHUNK = 2048
+
     def __init__(self, queries_ref, k: int = K):
         self.qids, self.q = ray.get(queries_ref)
         self.k = k
@@ -96,24 +106,29 @@ class _PartialTopSim:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "neighbor_id": pa.array([], pa.int64()),
                              "sim_key": pa.array([], pa.int64())})
-        sims = _cosine(m, self.q)  # (B, Q)
-        sim_key = np.floor(sims * SIM_SCALE + 0.5).astype(np.int64)
-        B, Q = sim_key.shape
-        k = min(self.k, B)
-        # fully vectorized: emit EVERY candidate >= the per-query kth best
-        # (boundary ties included, a few extra rows) and let the final
-        # merge truncate under the (sim desc, vec_id) total order — exact,
-        # no per-query Python loop (same pattern as knn._PartialTopK)
-        part = np.argpartition(-sim_key, k - 1, axis=0)[:k]  # (k, Q)
-        kth = sim_key[part, np.arange(Q)[None, :]].min(axis=0)  # (Q,)
-        rows, cols = np.nonzero(sim_key >= kth[None, :])
-        return pa.table(
-            {
-                "query_id": pa.array(self.qids[cols]),
-                "neighbor_id": pa.array(ids[rows]),
-                "sim_key": pa.array(sim_key[rows, cols]),
-            }
-        )
+        mn = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+        qn = self.q / np.sqrt((self.q * self.q).sum(axis=1, keepdims=True))
+        parts = []
+        for c0 in range(0, len(self.qids), self.Q_CHUNK):
+            sims = mn @ qn[c0:c0 + self.Q_CHUNK].T  # (B, Qc)
+            sim_key = np.floor(sims * SIM_SCALE + 0.5).astype(np.int64)
+            B, Q = sim_key.shape
+            k = min(self.k, B)
+            # fully vectorized: emit EVERY candidate >= the per-query kth
+            # best (boundary ties included, a few extra rows) and let the
+            # final merge truncate under the (sim desc, vec_id) total order
+            # — exact, no per-query Python loop (knn._PartialTopK pattern)
+            part = np.argpartition(-sim_key, k - 1, axis=0)[:k]  # (k, Qc)
+            kth = sim_key[part, np.arange(Q)[None, :]].min(axis=0)  # (Qc,)
+            rows, cols = np.nonzero(sim_key >= kth[None, :])
+            parts.append(pa.table(
+                {
+                    "query_id": pa.array(self.qids[c0 + cols]),
+                    "neighbor_id": pa.array(ids[rows]),
+                    "sim_key": pa.array(sim_key[rows, cols]),
+                }
+            ))
+        return pa.concat_tables(parts)
 
     def _topk_from_candidates(self, ids, cand_q, cand_r, cand_k) -> pa.Table:
         """Shared tail of the pruned scorers (IVF / LSH): one global sort
@@ -610,19 +625,25 @@ class _PartialTopSimInt8(_PartialTopSim):
         m8 = _quantize(m, self.scales, self.bits)
         # integer-valued matmul: float32 partial sums stay exact below 2^24
         # (int8: 127^2 * 64 dims), float64 below 2^53 (int16) — any summation
-        # order yields the same integers, so sim_key is bit-stable
+        # order yields the same integers, so sim_key is bit-stable (and the
+        # query-axis chunking below is trivially exact)
         acc = np.float32 if self.bits == 8 else np.float64
-        sim_key = (m8.astype(acc) @ self.q8.T.astype(acc)).astype(np.int64)
-        B, Q = sim_key.shape
-        k = min(self.k, B)
-        part = np.argpartition(-sim_key, k - 1, axis=0)[:k]
-        kth = sim_key[part, np.arange(Q)[None, :]].min(axis=0)
-        rows, cols = np.nonzero(sim_key >= kth[None, :])
-        return pa.table({
-            "query_id": pa.array(self.qids[cols]),
-            "neighbor_id": pa.array(ids[rows]),
-            "sim_key": pa.array(sim_key[rows, cols]),
-        })
+        m8a = m8.astype(acc)
+        parts = []
+        for c0 in range(0, len(self.qids), self.Q_CHUNK):
+            sim_key = (m8a @ self.q8[c0:c0 + self.Q_CHUNK].T.astype(acc)
+                       ).astype(np.int64)
+            B, Q = sim_key.shape
+            k = min(self.k, B)
+            part = np.argpartition(-sim_key, k - 1, axis=0)[:k]
+            kth = sim_key[part, np.arange(Q)[None, :]].min(axis=0)
+            rows, cols = np.nonzero(sim_key >= kth[None, :])
+            parts.append(pa.table({
+                "query_id": pa.array(self.qids[c0 + cols]),
+                "neighbor_id": pa.array(ids[rows]),
+                "sim_key": pa.array(sim_key[rows, cols]),
+            }))
+        return pa.concat_tables(parts)
 
 
 def ann_int8(sf_dir: str, k: int = K, bits: int = 8,

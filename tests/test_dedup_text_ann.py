@@ -601,3 +601,34 @@ def test_ann_pq_partition_invariant(sf_small):
     b = (ann_pq(sf_small, batch_size=4096).to_pandas()
          .sort_values(["query_id", "rank"]).reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_ann_query_chunking_invariant(sf_small, monkeypatch):
+    """The brute scorers slab the query axis (Q_CHUNK) to bound per-batch
+    memory (the kNN 100x probe's hazard); per-query top-k is column-
+    independent, so any chunk width must emit identical partials.  Driven
+    IN-PROCESS (a worker-side class attr can't be monkeypatched through
+    Ray), directly on one batch per scorer."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from orthority_ray.stages import ann as ANN
+
+    batch = pq.read_table(f"{sf_small}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    queries_ref = ray.put(ANN.load_queries(sf_small))
+    scales_ref = ray.put(ANN._dim_scales(ANN.read_embeddings(sf_small)))
+
+    def run(cls, *args):
+        out = cls(*args)(batch).to_pandas()
+        return out.sort_values(list(out.columns),
+                               kind="mergesort").reset_index(drop=True)
+
+    for cls, args in ((ANN._PartialTopSim, (queries_ref,)),
+                      (ANN._PartialTopSimInt8, (queries_ref, scales_ref))):
+        base = run(cls, *args)
+        monkeypatch.setattr(cls, "Q_CHUNK", 2)
+        chunked = run(cls, *args)
+        monkeypatch.undo()
+        assert len(base) > 0
+        assert (base.values == chunked.values).all(), cls.__name__
