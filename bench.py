@@ -217,11 +217,12 @@ def main() -> None:
     # PARSEABLE final line must stay compact: full dict in the file + the
     # human line below, slowest-20 subset in the final line (r3 verdict #5:
     # BENCH_r02/03 'parsed: null' came from the 160-query line overflowing
-    # the capture window).
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_FULL.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    # the capture window).  Gated on `queries` so headline-only runs (every
+    # --scaling child) can't clobber the full record (r4 review).
     if queries:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL.json"), "w") as f:
+            json.dump(out, f, indent=1)
         print(json.dumps(out))  # human/full line (may exceed capture window)
         slow = dict(sorted(queries.items(), key=lambda kv: -kv[1])[:20])
         out = {**out,

@@ -117,13 +117,16 @@ def grams(toks: str, n: int = 3) -> str:
 
 
 def perm_values_cte(name: str = "perms") -> str:
-    """64-row CTE (j, ahi, alo, b) of the MinHash permutation constants —
-    hi/lo split of stages/dedup._PERM_A with _PERM_B whole (b < 2^64 and
-    is only ever ADDED, so no split needed)."""
+    """N_PERM-row CTE (j, ahi, alo, b) of the MinHash permutation
+    constants, read DIRECTLY from stages/dedup._PERM_A/_PERM_B at SQL
+    build time (lazy import; dedup is always loaded by then) — a re-
+    derivation here would silently diverge if the engine's constants were
+    ever retuned (r4 review).  ahi/alo = hi/lo 32-bit split of A (the
+    mul64 trick); B travels whole (only ever ADDED, < 2^64)."""
+    from ..stages.dedup import _PERM_A, _PERM_B
+
     rows = []
-    for j in range(64):
-        a = ((2 * j + 1) * GOLD) % M64
-        b = (j * 0xC2B2AE3D27D4EB4F) % M64
+    for j, (a, b) in enumerate(zip(_PERM_A.tolist(), _PERM_B.tolist())):
         rows.append(f"({j}, {a >> 32}, {a & 0xFFFFFFFF}, "
                     f"CAST({b} AS HUGEINT))")
     return f"{name}(j, ahi, alo, b) AS (FROM (VALUES {', '.join(rows)}))"
@@ -137,12 +140,18 @@ def bit_values_cte(name: str = "bits") -> str:
 
 
 def minhash_band_rows(pages: str = "pages", n: int = 3,
-                      n_bands: int = 8) -> str:
+                      n_bands: int | None = None) -> str:
     """CTE chain ending in ``brows(doc_id, band, band_hash)`` — the LSH
     band rows of the exact-dedup representatives of ``pages``; the SQL
     twin of dedup.exact_dedup -> MinHasher.  band_hash is the signed-64
-    reinterpretation the engine emits."""
-    rows_per_band = 64 // n_bands
+    reinterpretation the engine emits.  Band geometry defaults to the
+    engine's own N_PERM/N_BANDS (lazy import, same reason as
+    perm_values_cte)."""
+    from ..stages.dedup import N_BANDS, N_PERM
+
+    if n_bands is None:
+        n_bands = N_BANDS
+    rows_per_band = N_PERM // n_bands
     perm = mul64_cols("gh.h", "p.ahi", "p.alo")
     fold = f"((x * {DOC_MULT}) % {M64} + y) % {M64}"
     return f"""

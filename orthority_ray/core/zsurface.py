@@ -79,10 +79,19 @@ def pyproj_status() -> tuple[str, str]:
         from pyproj import Transformer
 
         for epsg in _DATUM_EPSG.values():
-            t = Transformer.from_crs("EPSG:4979", epsg, always_xy=True)
+            # allow_ballpark=False: without the geoid grids PROJ builds a
+            # "ballpark vertical transformation" that passes z through
+            # UNCHANGED (finite!) — a finiteness check alone would accept
+            # it and silently zero every geoid offset (r4 review)
+            t = Transformer.from_crs("EPSG:4979", epsg, always_xy=True,
+                                     allow_ballpark=False)
             _, _, zz = t.transform(16.0, 48.0, 100.0)
-            if not np.isfinite(zz):
-                _PYPROJ_PROBE = ("no-grids", f"{epsg} probe returned {zz}")
+            undulation = 100.0 - zz
+            # EGM undulation near 16E/48N is ~44-47 m; accept the broad
+            # physical envelope, reject inf/NaN and pass-through (~0)
+            if not np.isfinite(zz) or not (1.0 < abs(undulation) < 120.0):
+                _PYPROJ_PROBE = ("no-grids",
+                                 f"{epsg} probe undulation {undulation!r}")
                 return _PYPROJ_PROBE
         _PYPROJ_PROBE = ("ok", pyproj.__version__)
     except Exception as e:  # grid download disabled, CRS db missing, ...

@@ -131,27 +131,37 @@ def incremental_ingest(
     bad: list[str] = []
     if quarantine and new:
         def check(p: str) -> tuple[str, bool]:
-            # Classification contract (r3 advice): errors raised while
-            # PARSING an already-open file are data-shaped (truncated
-            # object, bad footer — pa.ArrowInvalid OR ArrowIOError from a
-            # short read) -> quarantine, so one bad shard can never block
-            # the whole drop; only failures of the filesystem OPEN itself
-            # are transient -> retry, then raise.
+            # Classification contract (r3 advice + r4 review): an error is
+            # quarantined only when it is DATA-shaped — pa.ArrowInvalid, or
+            # an OSError whose message carries a parquet-parse signature
+            # (bad magic / footer / short read: on object stores the real
+            # range reads happen inside pq.read_schema, so a transient
+            # TimeoutError/ConnectionResetError surfaces THERE, not at
+            # fs.open, and must be retried-then-RAISED, never silently
+            # written to the no-retry quarantine manifest).  Anything else
+            # (filesystem layer, network) retries 3x then raises.
             last: Exception | None = None
             for _ in range(3):
                 try:
-                    f = fs.open(p, "rb")
-                except Exception as e:  # storage layer: retry, then raise
-                    last = e
-                    continue
-                try:
-                    with f:
+                    with fs.open(p, "rb") as f:
                         pq.read_schema(f)
                     return p, True
-                except pa.ArrowException:
-                    return p, False  # corrupt footer/short read: quarantine
-                except OSError:
-                    return p, False  # ArrowIOError aliases OSError
+                except pa.ArrowInvalid:
+                    return p, False  # corrupt footer/encoding: quarantine
+                except OSError as e:
+                    msg = str(e).lower()
+                    # measured signatures (tests/test_ingest): garbage /
+                    # truncated / empty files raise ArrowInvalid (caught
+                    # above); the one data-shaped OSError is the thrift
+                    # footer deserializer ("Couldn't deserialize thrift")
+                    if any(sig in msg for sig in
+                           ("thrift", "parquet", "footer")):
+                        return p, False  # data-shaped short read/garbage
+                    last = e  # transient storage failure: retry
+                except pa.ArrowException as e:
+                    last = e  # non-Invalid Arrow error: retry, then raise
+                except Exception as e:  # fsspec timeout types etc.
+                    last = e
             raise RuntimeError(
                 f"transient read failure on {p!r} after 3 attempts "
                 f"(NOT quarantined — fix the storage issue and re-run)"

@@ -99,6 +99,10 @@ class _PartialTopSim:
     def __init__(self, queries_ref, k: int = K):
         self.qids, self.q = ray.get(queries_ref)
         self.k = k
+        # normalized once per actor, not per batch (hot-path; r4 review)
+        self.qn = (self.q / np.sqrt((self.q * self.q)
+                                    .sum(axis=1, keepdims=True))
+                   if len(self.qids) else self.q)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, m = _emb_matrix(batch)
@@ -107,7 +111,7 @@ class _PartialTopSim:
                              "neighbor_id": pa.array([], pa.int64()),
                              "sim_key": pa.array([], pa.int64())})
         mn = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
-        qn = self.q / np.sqrt((self.q * self.q).sum(axis=1, keepdims=True))
+        qn = self.qn
         parts = []
         for c0 in range(0, len(self.qids), self.Q_CHUNK):
             sims = mn @ qn[c0:c0 + self.Q_CHUNK].T  # (B, Qc)
@@ -614,6 +618,10 @@ class _PartialTopSimInt8(_PartialTopSim):
         self.scales = ray.get(scales_ref)
         self.bits = bits
         self.q8 = _quantize(q, self.scales, bits) if len(self.qids) else q
+        # pre-cast once per actor (the per-chunk .astype in __call__ was
+        # O(Q*d) redundant work per batch; r4 review)
+        acc = np.float32 if bits == 8 else np.float64
+        self.q8a = self.q8.astype(acc) if len(self.qids) else self.q8
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -627,11 +635,10 @@ class _PartialTopSimInt8(_PartialTopSim):
         # (int8: 127^2 * 64 dims), float64 below 2^53 (int16) — any summation
         # order yields the same integers, so sim_key is bit-stable (and the
         # query-axis chunking below is trivially exact)
-        acc = np.float32 if self.bits == 8 else np.float64
-        m8a = m8.astype(acc)
+        m8a = m8.astype(self.q8a.dtype)
         parts = []
         for c0 in range(0, len(self.qids), self.Q_CHUNK):
-            sim_key = (m8a @ self.q8[c0:c0 + self.Q_CHUNK].T.astype(acc)
+            sim_key = (m8a @ self.q8a[c0:c0 + self.Q_CHUNK].T
                        ).astype(np.int64)
             B, Q = sim_key.shape
             k = min(self.k, B)

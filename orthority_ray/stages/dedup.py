@@ -482,8 +482,13 @@ def neardup_family(sf_dir: str, threshold: float = 0.8) -> tuple:
     ``verified`` the materialized Jaccard-verified near-dup pairs
     (doc_a, doc_b, jaccard_pm), or None when LSH yields no candidates.
     Deterministic (fixed MinHash seeds), so the memo cannot go stale
-    within a session for a fixed input directory."""
-    key = (sf_dir, threshold)
+    within a session for a fixed input directory; session-keyed because
+    materialized Datasets die with their Ray session (a restart in the
+    same process must rebuild, not serve dead object refs — the
+    core/config.session_token contract)."""
+    from ..core.config import session_token
+
+    key = (sf_dir, threshold, session_token())
     hit = _NEARDUP_MEMO.get(key)
     if hit is not None:
         return hit

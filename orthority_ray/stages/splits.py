@@ -197,7 +197,8 @@ def split_leakage_neardup(sf_dir: str, threshold: float = 0.8
     ~5 s of the query's 6 s even with the chain memo warm).  Above
     ``_ENDPOINT_BROADCAST_LIMIT`` distinct endpoints (dup-pair-dense
     corpora where the lookup table would no longer broadcast cheaply) it
-    falls back to the bucketed-join path (:func:`_neardup_masks_bucketed`).
+    falls back to the bucketed-join path
+    (:func:`_split_leakage_neardup_distributed`).
     The kind test is pure bit arithmetic and the fold is 3 rows.
     Deterministic (MinHash seeds fixed)."""
     from ..sources.pages import read_pages

@@ -33,21 +33,26 @@ def probe(sf_dir: str) -> dict:
     from __ray_entry__ import _geo
 
     out: dict = {"sf": sf_dir, "k": KNN.K}
-    for label, mod in (("base", 997), ("x100", 10)):
-        KNN.QUERY_MOD = mod
-        geo = _geo(sf_dir)
-        n_q = int(KNN.make_queries(geo).shape[0])
-        t0 = time.perf_counter()
-        ds = KNN.knn_cellring(_geo(sf_dir))
-        rows = ds.count()
-        dt = time.perf_counter() - t0
-        out[label] = {
-            "query_mod": mod, "n_queries": n_q,
-            "broadcast_bytes": n_q * 5 * 8,
-            "result_rows": rows, "sec": round(dt, 2),
-            "sec_per_query_ms": round(1000.0 * dt / max(1, n_q), 3),
-        }
-    KNN.QUERY_MOD = 997
+    saved_mod = KNN.QUERY_MOD
+    try:
+        for label, mod in (("base", 997), ("x100", 10)):
+            KNN.QUERY_MOD = mod
+            geo = _geo(sf_dir)
+            n_q = int(KNN.make_queries(geo).shape[0])
+            t0 = time.perf_counter()
+            ds = KNN.knn_cellring(geo)
+            rows = ds.count()
+            dt = time.perf_counter() - t0
+            out[label] = {
+                "query_mod": mod, "n_queries": n_q,
+                "broadcast_bytes": n_q * 5 * 8,
+                "result_rows": rows, "sec": round(dt, 2),
+                "sec_per_query_ms": round(1000.0 * dt / max(1, n_q), 3),
+            }
+    finally:
+        # an OOM mid-probe (the hazard being probed) must not leave the
+        # module's query density at 100x for the rest of the process
+        KNN.QUERY_MOD = saved_mod
     out["scale_factor_queries"] = round(
         out["x100"]["n_queries"] / out["base"]["n_queries"], 1)
     out["slowdown"] = round(out["x100"]["sec"] / out["base"]["sec"], 2)
