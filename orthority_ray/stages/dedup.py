@@ -474,6 +474,33 @@ def verify_pairs(pairs: ray.data.Dataset, reps: ray.data.Dataset,
 # key is kept so at most ONE corpus's reps stay pinned (they spill under
 # pressure — Ray materialized blocks are spillable, not heap-resident).
 _NEARDUP_MEMO: dict[tuple[str, float], tuple] = {}
+_CANDIDATE_MEMO: dict[tuple[str, str], tuple] = {}
+
+
+def neardup_candidates(sf_dir: str) -> tuple:
+    """-> (reps, pairs) for the corpus at ``sf_dir``: ``reps`` the
+    materialized exact-dedup representatives (doc_id, text) and ``pairs``
+    the materialized LSH candidate pairs (doc_a, doc_b) between them —
+    the threshold-independent prefix of the near-dup chain, shared by
+    :func:`neardup_family` and the ``minhash_pairs`` query so one
+    bench/driver session runs exact-dedup + MinHash-LSH exactly once.
+    Deterministic (fixed MinHash seeds); session-keyed because
+    materialized Datasets die with their Ray session (the
+    core/config.session_token contract)."""
+    from ..core.config import session_token
+
+    key = (sf_dir, session_token())
+    hit = _CANDIDATE_MEMO.get(key)
+    if hit is not None:
+        return hit
+    from ..sources.pages import read_pages
+
+    pages = read_pages(sf_dir, columns=["doc_id", "text"])
+    reps = exact_dedup(pages).select_columns(["doc_id", "text"]).materialize()
+    pairs = minhash_candidate_pairs(reps, pre_dedup=False).materialize()
+    _CANDIDATE_MEMO.clear()
+    _CANDIDATE_MEMO[key] = (reps, pairs)
+    return reps, pairs
 
 
 def neardup_family(sf_dir: str, threshold: float = 0.8) -> tuple:
@@ -492,11 +519,7 @@ def neardup_family(sf_dir: str, threshold: float = 0.8) -> tuple:
     hit = _NEARDUP_MEMO.get(key)
     if hit is not None:
         return hit
-    from ..sources.pages import read_pages
-
-    pages = read_pages(sf_dir, columns=["doc_id", "text"])
-    reps = exact_dedup(pages).select_columns(["doc_id", "text"]).materialize()
-    pairs = minhash_candidate_pairs(reps, pre_dedup=False).materialize()
+    reps, pairs = neardup_candidates(sf_dir)
     verified = (verify_pairs(pairs, reps, threshold=threshold).materialize()
                 if pairs.count() else None)
     _NEARDUP_MEMO.clear()

@@ -172,12 +172,46 @@ def _expand_to_docs(rows: ray.data.Dataset, rep_rows: ray.data.Dataset,
         ["doc_id"] + [c for c in right_cols if c != "text_md5"])
 
 
-def tfidf_topk(pages: ray.data.Dataset, k: int = K_TOP) -> ray.data.Dataset:
-    """Per doc: top-``k`` tokens by ``(tf * SCALE) // df`` (ties: token asc)."""
+_FAMILY_MEMO: dict[tuple[str, str], tuple] = {}
+
+
+def token_family(sf_dir: str) -> tuple:
+    """-> (rows, reps, rep_tf), materialized — the shared prefix of the
+    token-index family (tfidf_topk, posting_stats, token_cooccurrence,
+    boolean_search, phrase_search), session-memoized so one bench/driver
+    session hashes + dedups + tokenizes the corpus ONCE; each query then
+    pays only its own tail (df attach / pair explosion / term filter /
+    expansion join).  Deterministic for a fixed ``sf_dir``; session-keyed
+    because materialized Datasets die with their Ray session (the
+    core/config.session_token contract)."""
+    from ..core.config import session_token
+    from ..sources.pages import read_pages
+
+    key = (sf_dir, session_token())
+    hit = _FAMILY_MEMO.get(key)
+    if hit is None:
+        rows = _doc_text_rows(read_pages(sf_dir, columns=["doc_id", "text"]))
+        reps = _reps(rows).materialize()
+        rep_tf = _rep_tf(reps).materialize()
+        _FAMILY_MEMO.clear()
+        _FAMILY_MEMO[key] = hit = (rows, reps, rep_tf)
+    return hit
+
+
+def tfidf_topk(pages: ray.data.Dataset | None, k: int = K_TOP, *,
+               rows: ray.data.Dataset | None = None,
+               rep_tf: ray.data.Dataset | None = None) -> ray.data.Dataset:
+    """Per doc: top-``k`` tokens by ``(tf * SCALE) // df`` (ties: token asc).
+
+    ``rows``/``rep_tf``: pass :func:`token_family`'s memoized artifacts
+    when the corpus is an sf_dir (``pages`` is then unused); None derives
+    them from ``pages``."""
     from ..stages.grouping import bucketed_group_apply
 
-    rows = _doc_text_rows(pages)
-    scored = _with_df(_rep_tf(_reps(rows)))
+    rows = _doc_text_rows(pages) if rows is None else rows
+    if rep_tf is None:
+        rep_tf = _rep_tf(_reps(rows))
+    scored = _with_df(rep_tf)
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
@@ -196,11 +230,16 @@ def tfidf_topk(pages: ray.data.Dataset, k: int = K_TOP) -> ray.data.Dataset:
                "score": pa.int64(), "rnk": pa.int64()})
 
 
-def posting_stats(pages: ray.data.Dataset) -> ray.data.Dataset:
-    """Inverted-index summary: per token (df, total_tf, first_doc)."""
+def posting_stats(pages: ray.data.Dataset | None, *,
+                  rep_tf: ray.data.Dataset | None = None) -> ray.data.Dataset:
+    """Inverted-index summary: per token (df, total_tf, first_doc).
+
+    ``rep_tf``: pass :func:`token_family`'s memoized artifact when the
+    corpus is an sf_dir; None derives it from ``pages``."""
     from ..stages.grouping import bucketed_group_apply
 
-    rep_tf = _rep_tf(_reps(_doc_text_rows(pages)))
+    if rep_tf is None:
+        rep_tf = _rep_tf(_reps(_doc_text_rows(pages)))
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
         w = g["tf"].to_numpy() * g["n_docs"].to_numpy()
@@ -253,23 +292,30 @@ FROM tok GROUP BY token
 COOC_PCT = 50  # keep pairs present in >= total_docs/COOC_PCT distinct docs
 
 
-def token_cooccurrence(pages: ray.data.Dataset) -> ray.data.Dataset:
+def token_cooccurrence(pages: ray.data.Dataset | None, *,
+                       reps: ray.data.Dataset | None = None,
+                       rep_tf: ray.data.Dataset | None = None
+                       ) -> ray.data.Dataset:
     """Distinct-token pairs co-occurring in >= 2% of distinct documents
     (integer threshold ``n_docs * COOC_PCT >= total_docs``).  The pair
     explosion — the classic co-occurrence cost — runs per REPRESENTATIVE
     (each distinct text once, weighted by its doc count), and the pair
     rows shuffle once into a bucketed sum; the total-docs scalar is a
-    dimension-sized aggregate of the rep table."""
+    dimension-sized aggregate of the rep table.
+
+    ``reps``/``rep_tf``: pass :func:`token_family`'s memoized artifacts
+    when the corpus is an sf_dir; None derives them from ``pages``."""
     from ..stages.grouping import _triu, bucketed_group_apply
 
-    rows = _doc_text_rows(pages)
-    reps = _reps(rows).materialize()
+    if reps is None:
+        reps = _reps(_doc_text_rows(pages)).materialize()
     # total distinct docs = sum of per-rep distinct-doc counts over the REP
     # table (every doc has exactly one rep).  Summing over rep_tf instead
     # would drop token-less (empty/whitespace) texts' docs and shift the
     # prevalence threshold vs the oracle's COUNT(*) FROM dpages (r3 review).
     total_docs = int(reps.sum("n_docs") or 0)
-    rep_tf = _rep_tf(reps).materialize()  # tokenized once; pairs pass reuses
+    if rep_tf is None:
+        rep_tf = _rep_tf(reps).materialize()  # tokenized once; pairs reuse
 
     def pairs(b: pa.Table) -> pa.Table:
         # within-rep unordered pair expansion, vectorized over whole reps
@@ -339,17 +385,23 @@ HAVING CAST(COUNT(*) AS BIGINT) * {COOC_PCT} >= (SELECT n FROM tot)
 SEARCH_TERMS = ("data", "batch", "filter")
 
 
-def boolean_search(pages: ray.data.Dataset,
-                   terms: tuple[str, ...] = SEARCH_TERMS) -> ray.data.Dataset:
+def boolean_search(pages: ray.data.Dataset | None,
+                   terms: tuple[str, ...] = SEARCH_TERMS, *,
+                   rows: ray.data.Dataset | None = None,
+                   rep_tf: ray.data.Dataset | None = None) -> ray.data.Dataset:
     """Posting-list intersection: documents containing ALL ``terms``
     (conjunctive keyword search).  Rep-level: a text matches iff its
     distinct-token rows cover every term — the match test touches only the
     term-filtered slice of the rep-token table, then the usual md5
-    expansion join emits (doc_id, tf_total)."""
+    expansion join emits (doc_id, tf_total).
+
+    ``rows``/``rep_tf``: pass :func:`token_family`'s memoized artifacts
+    when the corpus is an sf_dir; None derives them from ``pages``."""
     from ..stages.grouping import bucketed_group_apply
 
-    rows = _doc_text_rows(pages)
-    rep_tf = _rep_tf(_reps(rows))
+    rows = _doc_text_rows(pages) if rows is None else rows
+    if rep_tf is None:
+        rep_tf = _rep_tf(_reps(rows))
     term_set = set(terms)
 
     def only_terms(b: pa.Table) -> pa.Table:
@@ -385,15 +437,20 @@ GROUP BY doc_id HAVING COUNT(*) = {len(terms)}
 PHRASE = "data batch"
 
 
-def phrase_search(pages: ray.data.Dataset,
-                  phrase: str = PHRASE) -> ray.data.Dataset:
+def phrase_search(pages: ray.data.Dataset | None,
+                  phrase: str = PHRASE, *,
+                  rows: ray.data.Dataset | None = None,
+                  reps: ray.data.Dataset | None = None) -> ray.data.Dataset:
     """Exact phrase search: (doc_id, n_hits) for documents whose text
     contains the phrase, with the non-overlapping occurrence count
     (Arrow ``count_substring`` == DuckDB's replace-length arithmetic for a
     non-self-overlapping phrase).  Counting runs once per DISTINCT text
-    (rep level), then the md5 expansion join labels the docs."""
-    rows = _doc_text_rows(pages)
-    reps = _reps(rows)
+    (rep level), then the md5 expansion join labels the docs.
+
+    ``rows``/``reps``: pass :func:`token_family`'s memoized artifacts when
+    the corpus is an sf_dir; None derives them from ``pages``."""
+    rows = _doc_text_rows(pages) if rows is None else rows
+    reps = _reps(rows) if reps is None else reps
 
     def hits(b: pa.Table) -> pa.Table:
         n = pc.count_substring(b["text"], phrase)

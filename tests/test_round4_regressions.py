@@ -164,3 +164,59 @@ def test_host_stats_multisegment_paths_match_duckdb(ray_session):
         assert got[c].astype("int64").tolist() == \
             want[c].astype("int64").tolist(), c
     assert got["host"].tolist() == want["host"].tolist()
+
+
+def _sorted_pdf(ds):
+    df = ds.to_pandas()
+    return df.sort_values(list(df.columns), kind="mergesort") \
+        .reset_index(drop=True)
+
+
+def test_token_family_matches_fresh_paths(ray_session):
+    """The session-memoized token_family prefix must be invisible to
+    results: every family-backed query equals its fresh (pages-derived)
+    computation, and a second call serves the same materialized objects."""
+    from orthority_ray.sources.pages import read_pages
+    from orthority_ray.stages import tfidf as TF
+
+    sf = "/root/testdata/sf0.001"
+    TF._FAMILY_MEMO.clear()
+    rows, reps, rep_tf = TF.token_family(sf)
+    assert TF.token_family(sf)[2] is rep_tf  # memo hit, same objects
+
+    pages = read_pages(sf, columns=["doc_id", "text"])
+    cases = [
+        (TF.tfidf_topk(None, rows=rows, rep_tf=rep_tf),
+         TF.tfidf_topk(pages)),
+        (TF.posting_stats(None, rep_tf=rep_tf),
+         TF.posting_stats(pages)),
+        (TF.token_cooccurrence(None, reps=reps, rep_tf=rep_tf),
+         TF.token_cooccurrence(pages)),
+        (TF.boolean_search(None, rows=rows, rep_tf=rep_tf),
+         TF.boolean_search(pages)),
+        (TF.phrase_search(None, rows=rows, reps=reps),
+         TF.phrase_search(pages)),
+    ]
+    for fam, fresh in cases:
+        a, b = _sorted_pdf(fam), _sorted_pdf(fresh)
+        pd.testing.assert_frame_equal(a, b)
+    TF._FAMILY_MEMO.clear()
+
+
+def test_neardup_candidates_matches_direct_chain(ray_session):
+    """minhash_pairs served from the memoized neardup_candidates prefix
+    equals the original direct minhash_candidate_pairs(read_pages(...))
+    construction, and neardup_family reuses the same reps object."""
+    from orthority_ray.sources.pages import read_pages
+    from orthority_ray.stages import dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    D._CANDIDATE_MEMO.clear()
+    D._NEARDUP_MEMO.clear()
+    reps, pairs = D.neardup_candidates(sf)
+    direct = D.minhash_candidate_pairs(read_pages(sf))
+    pd.testing.assert_frame_equal(_sorted_pdf(pairs), _sorted_pdf(direct))
+    reps2, _ = D.neardup_family(sf)
+    assert reps2 is reps  # family builds on the memoized prefix
+    D._CANDIDATE_MEMO.clear()
+    D._NEARDUP_MEMO.clear()
