@@ -466,8 +466,8 @@ def q_token_cooccurrence(sf_dir: str):
     """Token pairs co-occurring in >= 2% of distinct docs (stages/tfidf.py:
     rep-level pair explosion weighted by doc count, one bucketed sum);
     shares the memoized token_family prefix."""
-    _, reps, rep_tf = TF.token_family(sf_dir)
-    return TF.token_cooccurrence(None, reps=reps, rep_tf=rep_tf)
+    _, reps, _ = TF.token_family(sf_dir)
+    return TF.token_cooccurrence(None, reps=reps)
 
 
 # weighted sampling shares the stratified sampler's hash spec — one

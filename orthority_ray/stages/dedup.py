@@ -498,7 +498,12 @@ def neardup_candidates(sf_dir: str) -> tuple:
     pages = read_pages(sf_dir, columns=["doc_id", "text"])
     reps = exact_dedup(pages).select_columns(["doc_id", "text"]).materialize()
     pairs = minhash_candidate_pairs(reps, pre_dedup=False).materialize()
+    # pinning a new corpus clears BOTH memos so at most one corpus's
+    # materialized reps/pairs/verified stay pinned in the object store at
+    # a time (the single-entry invariant the per-memo clears promised
+    # individually but not jointly; r4 review)
     _CANDIDATE_MEMO.clear()
+    _NEARDUP_MEMO.clear()
     _CANDIDATE_MEMO[key] = (reps, pairs)
     return reps, pairs
 

@@ -172,6 +172,19 @@ def _expand_to_docs(rows: ray.data.Dataset, rep_rows: ray.data.Dataset,
         ["doc_id"] + [c for c in right_cols if c != "text_md5"])
 
 
+def _need_pages(pages: ray.data.Dataset | None) -> ray.data.Dataset:
+    """Loud contract check for the dual-entry signatures below: deriving a
+    prefix artifact requires ``pages``; calling with pages=None and no
+    memoized artifact would otherwise die deep inside map_batches with an
+    opaque AttributeError (r4 review)."""
+    if pages is None:
+        raise TypeError(
+            "pages is required to derive this artifact — pass a pages "
+            "Dataset, or the matching token_family(sf_dir) output via "
+            "the keyword-only parameters")
+    return pages
+
+
 _FAMILY_MEMO: dict[tuple[str, str], tuple] = {}
 
 
@@ -208,7 +221,7 @@ def tfidf_topk(pages: ray.data.Dataset | None, k: int = K_TOP, *,
     them from ``pages``."""
     from ..stages.grouping import bucketed_group_apply
 
-    rows = _doc_text_rows(pages) if rows is None else rows
+    rows = _doc_text_rows(_need_pages(pages)) if rows is None else rows
     if rep_tf is None:
         rep_tf = _rep_tf(_reps(rows))
     scored = _with_df(rep_tf)
@@ -239,7 +252,7 @@ def posting_stats(pages: ray.data.Dataset | None, *,
     from ..stages.grouping import bucketed_group_apply
 
     if rep_tf is None:
-        rep_tf = _rep_tf(_reps(_doc_text_rows(pages)))
+        rep_tf = _rep_tf(_reps(_doc_text_rows(_need_pages(pages))))
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
         w = g["tf"].to_numpy() * g["n_docs"].to_numpy()
@@ -293,8 +306,7 @@ COOC_PCT = 50  # keep pairs present in >= total_docs/COOC_PCT distinct docs
 
 
 def token_cooccurrence(pages: ray.data.Dataset | None, *,
-                       reps: ray.data.Dataset | None = None,
-                       rep_tf: ray.data.Dataset | None = None
+                       reps: ray.data.Dataset | None = None
                        ) -> ray.data.Dataset:
     """Distinct-token pairs co-occurring in >= 2% of distinct documents
     (integer threshold ``n_docs * COOC_PCT >= total_docs``).  The pair
@@ -303,36 +315,44 @@ def token_cooccurrence(pages: ray.data.Dataset | None, *,
     rows shuffle once into a bucketed sum; the total-docs scalar is a
     dimension-sized aggregate of the rep table.
 
-    ``reps``/``rep_tf``: pass :func:`token_family`'s memoized artifacts
-    when the corpus is an sf_dir; None derives them from ``pages``."""
+    ``reps``: pass :func:`token_family`'s memoized artifact when the
+    corpus is an sf_dir; None derives it from ``pages``.  The pair
+    expansion tokenizes INSIDE its own batch fn over the rep ROWS (a
+    row cannot straddle a block) rather than consuming rep_tf token
+    rows — Ray's dynamic block splitting may slice a large map_batches
+    output mid-rep, which would silently drop that rep's cross-slice
+    pairs (r4 review); re-tokenizing is distinct-corpus-sized, i.e.
+    free relative to the page volume."""
+    from ..core.texthash import split_tokens_arrow
     from ..stages.grouping import _triu, bucketed_group_apply
 
     if reps is None:
-        reps = _reps(_doc_text_rows(pages)).materialize()
+        reps = _reps(_doc_text_rows(_need_pages(pages))).materialize()
     # total distinct docs = sum of per-rep distinct-doc counts over the REP
     # table (every doc has exactly one rep).  Summing over rep_tf instead
     # would drop token-less (empty/whitespace) texts' docs and shift the
     # prevalence threshold vs the oracle's COUNT(*) FROM dpages (r3 review).
     total_docs = int(reps.sum("n_docs") or 0)
-    if rep_tf is None:
-        rep_tf = _rep_tf(reps).materialize()  # tokenized once; pairs reuse
 
     def pairs(b: pa.Table) -> pa.Table:
         # within-rep unordered pair expansion, vectorized over whole reps
         # (cached triu indices per group size — grouping.grouped_pairs'
-        # shape); tokens are already distinct per rep, and sorting by
-        # (md5, token) makes tok_a < tok_b by construction
+        # shape); tokens are deduped per rep, and sorting by (rep, token)
+        # makes tok_a < tok_b by construction
+        toks = split_tokens_arrow(b["text"])
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
         df = pd.DataFrame({
-            "md5": b["text_md5"].to_numpy(zero_copy_only=False),
-            "token": b["token"].to_numpy(zero_copy_only=False),
-            "n_docs": b["n_docs"].to_numpy(zero_copy_only=False),
-        }).sort_values(["md5", "token"], kind="mergesort")
-        md5 = df["md5"].to_numpy()
+            "rep": parent[keep],
+            "token": flat.to_numpy(zero_copy_only=False)[keep],
+        }).drop_duplicates().sort_values(["rep", "token"], kind="mergesort")
+        rep = df["rep"].to_numpy()
         tok = df["token"].to_numpy()
-        nd = df["n_docs"].to_numpy()
+        nd_all = b["n_docs"].to_numpy(zero_copy_only=False)
         change = np.zeros(len(df), dtype=bool)
         if len(df):
-            change[1:] = md5[1:] != md5[:-1]
+            change[1:] = rep[1:] != rep[:-1]
         boundary = np.flatnonzero(change)
         starts = np.concatenate([[0], boundary]) if len(df) else boundary
         ends = np.concatenate([boundary, [len(df)]]) if len(df) else boundary
@@ -344,7 +364,7 @@ def token_cooccurrence(pages: ray.data.Dataset | None, *,
             ia, ib = _triu(int(c))
             parts_a.append(tok[s + ia])
             parts_b.append(tok[s + ib])
-            parts_n.append(np.full(ia.shape[0], nd[s], np.int64))
+            parts_n.append(np.full(ia.shape[0], nd_all[rep[s]], np.int64))
         if not parts_a:
             return pa.table({"tok_a": pa.array([], pa.string()),
                              "tok_b": pa.array([], pa.string()),
@@ -354,11 +374,8 @@ def token_cooccurrence(pages: ray.data.Dataset | None, *,
             "tok_b": pa.array(np.concatenate(parts_b), pa.string()),
             "n": pa.array(np.concatenate(parts_n))})
 
-    # batch_size=None: a rep's token rows never straddle a BLOCK (each
-    # _rep_tf call emits whole reps), but a sliced batch_size batch could
-    # split one and silently undercount its within-rep pairs
-    pair_rows = rep_tf.map_batches(pairs, batch_format="pyarrow",
-                                   batch_size=None)
+    pair_rows = reps.map_batches(pairs, batch_format="pyarrow",
+                                 batch_size=4096)
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(["tok_a", "tok_b"], as_index=False)["n"].sum()
@@ -399,7 +416,7 @@ def boolean_search(pages: ray.data.Dataset | None,
     when the corpus is an sf_dir; None derives them from ``pages``."""
     from ..stages.grouping import bucketed_group_apply
 
-    rows = _doc_text_rows(pages) if rows is None else rows
+    rows = _doc_text_rows(_need_pages(pages)) if rows is None else rows
     if rep_tf is None:
         rep_tf = _rep_tf(_reps(rows))
     term_set = set(terms)
@@ -449,7 +466,7 @@ def phrase_search(pages: ray.data.Dataset | None,
 
     ``rows``/``reps``: pass :func:`token_family`'s memoized artifacts when
     the corpus is an sf_dir; None derives them from ``pages``."""
-    rows = _doc_text_rows(pages) if rows is None else rows
+    rows = _doc_text_rows(_need_pages(pages)) if rows is None else rows
     reps = _reps(rows) if reps is None else reps
 
     def hits(b: pa.Table) -> pa.Table:

@@ -64,3 +64,16 @@ def sf_multifile(tmp_path_factory) -> str:
                 break
             pq.write_table(chunk, d / f"part-{i:04d}.parquet")
     return str(root)
+
+
+def canon_pdf(df):
+    """Shared order-insensitive compare canonicalizer (the driver's shape):
+    sort columns by name, stringify object columns, total row sort.  Single
+    definition so NaN/dtype handling can't drift between test modules
+    (r4 review: was duplicated in 4 files)."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns),
+                          kind="mergesort").reset_index(drop=True)

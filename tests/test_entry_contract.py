@@ -32,12 +32,7 @@ def _to_pdf(res) -> pd.DataFrame:
     return res
 
 
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+from conftest import canon_pdf as _canon  # shared canonicalizer
 
 
 ORACLE_NAMES = sorted(E.oracle_sql().keys())

@@ -30,12 +30,7 @@ def _to_pdf(r):
     return r.to_pandas() if isinstance(r, (ray.data.Dataset, pa.Table)) else r
 
 
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+from conftest import canon_pdf as _canon  # shared canonicalizer
 
 
 def test_should_materialize_decision(sf_multifile, sf_unit, ray_session):

@@ -21,12 +21,7 @@ def _to_pdf(r):
     return r.to_pandas() if isinstance(r, (ray.data.Dataset, pa.Table)) else r
 
 
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+from conftest import canon_pdf as _canon  # shared canonicalizer
 
 
 @pytest.fixture(scope="module")

@@ -167,40 +167,58 @@ def test_host_stats_multisegment_paths_match_duckdb(ray_session):
 
 
 def _sorted_pdf(ds):
-    df = ds.to_pandas()
-    return df.sort_values(list(df.columns), kind="mergesort") \
-        .reset_index(drop=True)
+    from conftest import canon_pdf
+
+    return canon_pdf(ds.to_pandas())
 
 
 def test_token_family_matches_fresh_paths(ray_session):
     """The session-memoized token_family prefix must be invisible to
     results: every family-backed query equals its fresh (pages-derived)
-    computation, and a second call serves the same materialized objects."""
+    computation, and a second call serves the same materialized objects.
+    Memo clears run in finally so a failure can't leak sf0.001 entries
+    into later tests (r4 review)."""
     from orthority_ray.sources.pages import read_pages
     from orthority_ray.stages import tfidf as TF
 
     sf = "/root/testdata/sf0.001"
     TF._FAMILY_MEMO.clear()
-    rows, reps, rep_tf = TF.token_family(sf)
-    assert TF.token_family(sf)[2] is rep_tf  # memo hit, same objects
+    try:
+        rows, reps, rep_tf = TF.token_family(sf)
+        assert TF.token_family(sf)[2] is rep_tf  # memo hit, same objects
 
-    pages = read_pages(sf, columns=["doc_id", "text"])
-    cases = [
-        (TF.tfidf_topk(None, rows=rows, rep_tf=rep_tf),
-         TF.tfidf_topk(pages)),
-        (TF.posting_stats(None, rep_tf=rep_tf),
-         TF.posting_stats(pages)),
-        (TF.token_cooccurrence(None, reps=reps, rep_tf=rep_tf),
-         TF.token_cooccurrence(pages)),
-        (TF.boolean_search(None, rows=rows, rep_tf=rep_tf),
-         TF.boolean_search(pages)),
-        (TF.phrase_search(None, rows=rows, reps=reps),
-         TF.phrase_search(pages)),
-    ]
-    for fam, fresh in cases:
-        a, b = _sorted_pdf(fam), _sorted_pdf(fresh)
-        pd.testing.assert_frame_equal(a, b)
-    TF._FAMILY_MEMO.clear()
+        pages = read_pages(sf, columns=["doc_id", "text"])
+        cases = [
+            (TF.tfidf_topk(None, rows=rows, rep_tf=rep_tf),
+             TF.tfidf_topk(pages)),
+            (TF.posting_stats(None, rep_tf=rep_tf),
+             TF.posting_stats(pages)),
+            (TF.token_cooccurrence(None, reps=reps),
+             TF.token_cooccurrence(pages)),
+            (TF.boolean_search(None, rows=rows, rep_tf=rep_tf),
+             TF.boolean_search(pages)),
+            (TF.phrase_search(None, rows=rows, reps=reps),
+             TF.phrase_search(pages)),
+        ]
+        for fam, fresh in cases:
+            a, b = _sorted_pdf(fam), _sorted_pdf(fresh)
+            pd.testing.assert_frame_equal(a, b)
+    finally:
+        TF._FAMILY_MEMO.clear()
+
+
+def test_token_stage_requires_pages_or_artifact(ray_session):
+    """pages=None without the memoized artifact raises the loud TypeError,
+    not an AttributeError deep inside map_batches (r4 review)."""
+    from orthority_ray.stages import tfidf as TF
+
+    for call in (lambda: TF.tfidf_topk(None),
+                 lambda: TF.posting_stats(None),
+                 lambda: TF.token_cooccurrence(None),
+                 lambda: TF.boolean_search(None),
+                 lambda: TF.phrase_search(None)):
+        with pytest.raises(TypeError, match="pages is required"):
+            call()
 
 
 def test_neardup_candidates_matches_direct_chain(ray_session):
@@ -213,10 +231,13 @@ def test_neardup_candidates_matches_direct_chain(ray_session):
     sf = "/root/testdata/sf0.001"
     D._CANDIDATE_MEMO.clear()
     D._NEARDUP_MEMO.clear()
-    reps, pairs = D.neardup_candidates(sf)
-    direct = D.minhash_candidate_pairs(read_pages(sf))
-    pd.testing.assert_frame_equal(_sorted_pdf(pairs), _sorted_pdf(direct))
-    reps2, _ = D.neardup_family(sf)
-    assert reps2 is reps  # family builds on the memoized prefix
-    D._CANDIDATE_MEMO.clear()
-    D._NEARDUP_MEMO.clear()
+    try:
+        reps, pairs = D.neardup_candidates(sf)
+        direct = D.minhash_candidate_pairs(read_pages(sf))
+        pd.testing.assert_frame_equal(_sorted_pdf(pairs),
+                                      _sorted_pdf(direct))
+        reps2, _ = D.neardup_family(sf)
+        assert reps2 is reps  # family builds on the memoized prefix
+    finally:
+        D._CANDIDATE_MEMO.clear()
+        D._NEARDUP_MEMO.clear()

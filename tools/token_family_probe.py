@@ -47,10 +47,11 @@ def probe(sf_dir: str, replicate: int) -> dict:
     )
     from orthority_ray.stages import tfidf as TF
 
-    pages = pages_from_keys(
-        read_page_keys_replicated(sf_dir, replicate), sf_dir,
-        columns=["doc_id", "text"])
-    n_docs = pages.count()
+    keys = read_page_keys_replicated(sf_dir, replicate)
+    # keys-only count: counting the synthesized pages would execute the
+    # full text-synthesis pipeline once just to learn N (r4 review)
+    n_docs = keys.count()
+    pages = pages_from_keys(keys, sf_dir, columns=["doc_id", "text"])
 
     out: dict = {"sf": sf_dir, "replicate": replicate, "n_docs": n_docs}
     t0 = time.perf_counter()
