@@ -151,53 +151,30 @@ def _apply_merge(sym_ds: ray.data.Dataset, left: str, right: str) -> ray.data.Da
     return sym_ds.map_batches(apply, batch_format="pyarrow", batch_size=None)
 
 
-def train_bpe(pages: ray.data.Dataset, n_merges: int = N_MERGES) -> pd.DataFrame:
-    """Learn the merge table; returns (rank, left, right, n_pairs)."""
-    hist = word_histogram(pages).materialize()
-    # the bucketed histogram arrives as ~n_buckets near-empty blocks; the
-    # per-round passes would each dispatch that many tiny tasks — reblock
-    # to a DATA-sized count (rows/64k, capped) before iterating
-    blocks = max(1, min(256, hist.count() // 65536 + 1))
-    sym = _initial_sym(hist).repartition(blocks).materialize()
-    merges = []
-    for rank in range(n_merges):
-        best = _best_pair(sym)
-        if best is None:
-            break
-        left, right, cnt = best
-        merges.append((rank, left, right, cnt))
-        sym = _apply_merge(sym, left, right).materialize()
-    return pd.DataFrame(merges, columns=["rank", "left", "right", "n_pairs"]) \
-        .astype({"rank": np.int64, "n_pairs": np.int64})
+# Below this DISTINCT-WORD count the merge loop runs on the driver from
+# the collected histogram: the rounds are inherently sequential, and at
+# small vocab each distributed round is pure Ray dispatch latency (2
+# round-trips x ~80 ms x n_merges).  The bound is vocab-sized state
+# (<= 64k (word, n) rows, a few MB) — the same driver-fallback contract
+# as dedup.connected_components' SMALL_EDGE_LIMIT.  Crawl-scale vocabs
+# exceed it and take the distributed rounds.
+SMALL_VOCAB_LIMIT = 65536
 
 
-def bpe_train(sf_dir: str, n_merges: int = 12) -> pd.DataFrame:
-    """Rows-only query: the learned merge table over the page corpus.
-    12 merges keeps the (inherently sequential) round count benchmarkable;
-    each round is ~0.1 s of fixed dispatch on this corpus — the histogram
-    passes themselves are vocab-sized, not corpus-sized."""
-    from ..sources.pages import read_pages
-
-    return train_bpe(read_pages(sf_dir), n_merges)
-
-
-def reference_bpe(texts: list[str], n_merges: int = N_MERGES) -> pd.DataFrame:
-    """Single-process reference (same algorithm, no Ray) for tests."""
-    from collections import Counter
-
-    from ..core.texthash import TOKEN_RE
-
-    words = Counter()
-    for t in texts:
-        words.update(TOKEN_RE.findall(t))
+def _merge_loop(words: dict[str, int], n_merges: int) -> pd.DataFrame:
+    """The sequential merge loop over an in-memory (word -> count)
+    histogram — the SINGLE definition of the tie-break and stop rules,
+    shared by the driver fast path and the test reference so they cannot
+    drift from each other (the distributed path mirrors it and is pinned
+    bit-identical in tests/test_bpe.py)."""
     sym = {w: tuple(list(w) + [END_MARK]) for w in words}
     merges = []
     for rank in range(n_merges):
-        pairs: Counter = Counter()
+        pairs: dict[tuple[str, str], int] = {}
         for w, cnt in words.items():
             s = sym[w]
             for a, b in zip(s, s[1:]):
-                pairs[(a, b)] += cnt
+                pairs[(a, b)] = pairs.get((a, b), 0) + cnt
         cand = [(c, p) for p, c in pairs.items() if c >= 2]
         if not cand:
             break
@@ -216,6 +193,57 @@ def reference_bpe(texts: list[str], n_merges: int = N_MERGES) -> pd.DataFrame:
             sym[w] = tuple(res)
     return pd.DataFrame(merges, columns=["rank", "left", "right", "n_pairs"]) \
         .astype({"rank": np.int64, "n_pairs": np.int64})
+
+
+def train_bpe(pages: ray.data.Dataset, n_merges: int = N_MERGES) -> pd.DataFrame:
+    """Learn the merge table; returns (rank, left, right, n_pairs)."""
+    hist = word_histogram(pages).materialize()
+    n_words = hist.count()
+    if n_words <= SMALL_VOCAB_LIMIT:
+        df = hist.to_pandas()
+        return _merge_loop(dict(zip(df["word"], df["n"].astype(int))),
+                           n_merges)
+    # the bucketed histogram arrives as ~n_buckets near-empty blocks; the
+    # per-round passes would each dispatch that many tiny tasks — reblock
+    # to a DATA-sized count (rows/64k, capped) before iterating
+    blocks = max(1, min(256, n_words // 65536 + 1))
+    sym = _initial_sym(hist).repartition(blocks).materialize()
+    merges = []
+    for rank in range(n_merges):
+        best = _best_pair(sym)
+        if best is None:
+            break
+        left, right, cnt = best
+        merges.append((rank, left, right, cnt))
+        sym = _apply_merge(sym, left, right).materialize()
+    return pd.DataFrame(merges, columns=["rank", "left", "right", "n_pairs"]) \
+        .astype({"rank": np.int64, "n_pairs": np.int64})
+
+
+def bpe_train(sf_dir: str, n_merges: int = 12) -> pd.DataFrame:
+    """Rows-only query: the learned merge table over the page corpus.
+    12 merges keeps the (inherently sequential) round count benchmarkable;
+    below SMALL_VOCAB_LIMIT distinct words the rounds fold on the driver,
+    so the query's cost is the one corpus tokenize pass (text column
+    only — synthesizing the unused page columns was ~2/3 of the old
+    wall time)."""
+    from ..sources.pages import read_pages
+
+    return train_bpe(read_pages(sf_dir, columns=["text"]), n_merges)
+
+
+def reference_bpe(texts: list[str], n_merges: int = N_MERGES) -> pd.DataFrame:
+    """Single-process reference (same algorithm, no Ray) for tests:
+    tokenize with the engine's TOKEN_RE, then run the shared
+    :func:`_merge_loop`."""
+    from collections import Counter
+
+    from ..core.texthash import TOKEN_RE
+
+    words: Counter = Counter()
+    for t in texts:
+        words.update(TOKEN_RE.findall(t))
+    return _merge_loop(dict(words), n_merges)
 
 
 # --- applying a trained merge table to the corpus ----------------------------

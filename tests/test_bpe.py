@@ -95,3 +95,21 @@ def test_bpe_encode_query_deterministic(ray_session, sf_unit):
     assert len(a) == 6000
     assert a.equals(b)
     assert (a["n_bpe_tokens"] >= a["n_words"]).all()  # >= 1 subtoken per word
+
+
+def test_distributed_rounds_match_driver_fast_path(ray_session, sf_unit,
+                                                   monkeypatch):
+    """The distributed merge rounds (vocab above SMALL_VOCAB_LIMIT) learn
+    the exact same table as the driver fast path — the limit is a pure
+    perf switch, never a semantics switch.  SMALL_VOCAB_LIMIT is read on
+    the DRIVER inside train_bpe, so monkeypatching reaches it."""
+    import pandas as pd
+
+    from orthority_ray.sources.pages import read_pages
+    from orthority_ray.stages import bpe as B
+
+    pages = read_pages(sf_unit, columns=["doc_id", "text"])
+    fast = train_bpe(pages, n_merges=6)
+    monkeypatch.setattr(B, "SMALL_VOCAB_LIMIT", 0)
+    dist = train_bpe(pages, n_merges=6)
+    pd.testing.assert_frame_equal(fast, dist)
