@@ -196,7 +196,14 @@ def token_family(sf_dir: str) -> tuple:
     pays only its own tail (df attach / pair explosion / term filter /
     expansion join).  Deterministic for a fixed ``sf_dir``; session-keyed
     because materialized Datasets die with their Ray session (the
-    core/config.session_token contract)."""
+    core/config.session_token contract).
+
+    Memory honesty at scale: ``reps``/``rep_tf`` are distinct-corpus-sized,
+    but ``rows`` is page-volume-sized (one skinny (md5, doc_id) row per
+    page) — a materialized O(N) artifact pinned for the session.  Its
+    blocks live in the object store and SPILL under pressure (never the
+    driver heap), and only ONE corpus stays pinned at a time (the clear-
+    then-pin below), so the cost is bounded disk, not memory."""
     from ..core.config import session_token
     from ..sources.pages import read_pages
 
