@@ -125,7 +125,12 @@ def _pyproj_geoid_offset(x, y, flavor: str) -> np.ndarray:
 
     lon = np.mod(np.asarray(x, dtype=np.float64) / 1_000.0 + 180.0, 360.0) - 180.0
     lat = np.mod(np.asarray(y, dtype=np.float64) / 1_000.0 + 90.0, 180.0) - 90.0
-    t = Transformer.from_crs("EPSG:4979", _DATUM_EPSG[flavor], always_xy=True)
+    # allow_ballpark=False here too, not just in the probe: if the geoid
+    # grid becomes unreadable AFTER pyproj_status cached 'ok', PROJ would
+    # otherwise silently fall back to the ballpark pass-through (offset
+    # ~0 everywhere) — raise instead (r4 review)
+    t = Transformer.from_crs("EPSG:4979", _DATUM_EPSG[flavor],
+                             always_xy=True, allow_ballpark=False)
     _, _, zz = t.transform(lon, lat, np.zeros_like(lon))
     return -np.asarray(zz, dtype=np.float64)
 

@@ -149,13 +149,19 @@ def incremental_ingest(
                 except pa.ArrowInvalid:
                     return p, False  # corrupt footer/encoding: quarantine
                 except OSError as e:
-                    msg = str(e).lower()
+                    # Strip the file path from the message BEFORE signature
+                    # matching: every checked path ends in '.parquet', so a
+                    # transient OSError that embeds the path (fsspec
+                    # FileNotFoundError, EIO with filename) would otherwise
+                    # match a data-shaped signature and be quarantined
+                    # without retry (r4 review).
+                    msg = str(e).lower().replace(p.lower(), "")
                     # measured signatures (tests/test_ingest): garbage /
                     # truncated / empty files raise ArrowInvalid (caught
                     # above); the one data-shaped OSError is the thrift
                     # footer deserializer ("Couldn't deserialize thrift")
                     if any(sig in msg for sig in
-                           ("thrift", "parquet", "footer")):
+                           ("deserialize thrift", "footer")):
                         return p, False  # data-shaped short read/garbage
                     last = e  # transient storage failure: retry
                 except pa.ArrowException as e:

@@ -927,7 +927,7 @@ SELECT query_id, neighbor_id, rank, sim_key FROM (
 """.strip()
 
 
-def sql_ann_int8(k: int = K) -> str:
+def sql_ann_int8(k: int = K, dim: int = 64) -> str:
     """Exact DuckDB twin of :func:`ann_int8` (graduated from rows-only,
     r4).  The only float steps are the per-row norm and the quantizer, and
     both are mirrored to the BIT:
@@ -935,21 +935,32 @@ def sql_ann_int8(k: int = K) -> str:
     - numpy's 64-element row sum is its unrolled-by-8 pairwise kernel —
       8 stride-8 sequential partial sums combined in a fixed binary tree;
       the twin spells out that exact association (verified bit-equal to
-      ``(m*m).sum(axis=1)`` in tests/test_sqlmirror.py);
+      ``(m*m).sum(axis=1)`` in tests/test_sqlmirror.py) for ``dim``
+      elements, guarded by a LOUD in-SQL dim check (a narrower table
+      would index past the list -> NULL norms -> silently empty oracle;
+      r4 review);
     - ``np.round`` is half-to-even -> DuckDB ``round_even(x, 0)``;
-    - the calibration scale is an order-free global max of |normalized|;
+    - the calibration scale mirrors the engine's _dim_scales EXACTLY,
+      including the all-zero-dimension clamp to 1.0 (per-dim max of
+      |normalized| is <= 1, so 'any dim max = 0 -> scale 1.0' equals the
+      engine's np.where(out == 0, 1, out) folded through np.max; r4
+      review) — not just the raw global max;
     - the int8 dot product is a small-integer sum (< 2^21), exact in any
       order, so ranking and ``sim_key`` are deterministic integers.
     """
+    if dim % 8:
+        raise ValueError("the unroll-8 mirror needs dim % 8 == 0")
+
     # numpy pairwise unroll-8: r_j = ((x_j + x_{j+8}) + x_{j+16}) + ...,
     # result = ((r0+r1)+(r2+r3)) + ((r4+r5)+(r6+r7))
     def sq(i: int) -> str:  # 1-based list index
         return f"(e[{i + 1}] * e[{i + 1}])"
 
+    stride = dim // 8
     r = []
     for j in range(8):
         acc = sq(j)
-        for t in range(1, 8):
+        for t in range(1, stride):
             acc = f"({acc} + {sq(j + 8 * t)})"
         r.append(acc)
     norm_sq = (f"((({r[0]} + {r[1]}) + ({r[2]} + {r[3]})) + "
@@ -961,10 +972,23 @@ def sql_ann_int8(k: int = K) -> str:
 WITH emb AS (
   SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
   FROM embeddings
+), chk AS (
+  -- load-bearing guard: ok is ADDED into s2 below (+0.0, exact) so the
+  -- optimizer cannot prune the unused-column cross join and skip the
+  -- error() evaluation
+  SELECT CASE WHEN MIN(len(e)) <> {dim} OR MAX(len(e)) <> {dim}
+              THEN error('sql_ann_int8 mirrors a fixed dim={dim} unroll; '
+                         || 'regenerate with sql_ann_int8(dim=...)')
+         ELSE 0.0 END AS ok FROM emb
 ), nrm AS (
-  SELECT vec_id, e, {norm_sq} AS s2 FROM emb
+  SELECT vec_id, e, {norm_sq} + chk.ok AS s2 FROM emb CROSS JOIN chk
 ), cal AS (
-  SELECT MAX(list_max([abs(x / sqrt(s2)) for x in e])) AS sc FROM nrm
+  SELECT CASE WHEN MIN(mx) = 0.0 THEN 1.0 ELSE MAX(mx) END AS sc
+  FROM (
+    SELECT j, MAX(v) AS mx FROM (
+      SELECT unnest([abs(x / sqrt(s2)) for x in e]) AS v,
+             unnest(range(len(e))) AS j
+      FROM nrm) GROUP BY j)
 ), q8 AS (
   SELECT vec_id, [{quant} for x in e] AS v
   FROM nrm CROSS JOIN cal

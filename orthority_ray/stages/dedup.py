@@ -109,6 +109,34 @@ def rep_groups(sf_dir: str) -> ray.data.Dataset:
     return hit
 
 
+# single-entry cache for attach_rep_doc's driver-side (count, collected
+# broadcast ref) — the four graph queries (host_rank, host_components,
+# syndication_graph, cross_host_dup) all pass the SAME memoized rep_groups
+# Dataset, and without this each call re-collected reps.to_pandas() and
+# minted a fresh ray.put, so every worker rebuilt its lookup per query
+# (cached_instance is keyed by the ObjectRef hex; r4 review).  Holding a
+# strong ref to the reps object makes the identity key safe: a new Dataset
+# can never reuse the cached object's id while the cache pins it.
+_ATTACH_CACHE: list[tuple] = []
+
+
+def _rep_count_and_ref(reps: ray.data.Dataset, broadcast_limit: int):
+    """-> (n_rows, ray.put(reps.to_pandas()) or None when above the
+    broadcast limit), cached per (session, reps identity, limit)."""
+    from ..core.config import session_token
+
+    tok = session_token()
+    if _ATTACH_CACHE:
+        t, obj, lim, n, ref = _ATTACH_CACHE[0]
+        if t == tok and obj is reps and lim == broadcast_limit:
+            return n, ref
+    n = reps.count()
+    ref = ray.put(reps.to_pandas()) if n <= broadcast_limit else None
+    _ATTACH_CACHE.clear()
+    _ATTACH_CACHE.append((tok, reps, broadcast_limit, n, ref))
+    return n, ref
+
+
 def attach_rep_doc(pages: ray.data.Dataset, *,
                    reps: ray.data.Dataset | None = None,
                    broadcast_limit: int = 200_000) -> ray.data.Dataset:
@@ -133,10 +161,9 @@ def attach_rep_doc(pages: ray.data.Dataset, *,
     def md5_only(b: pa.Table) -> pa.Table:
         return add_text_md5(b).drop_columns(["text"])
 
-    if reps.count() <= broadcast_limit:
+    n_reps, rep_ref = _rep_count_and_ref(reps, broadcast_limit)
+    if n_reps <= broadcast_limit:
         from ..sources.pages import cached_instance
-
-        rep_ref = ray.put(reps.to_pandas())
 
         def probe(b: pa.Table) -> pa.Table:
             t = md5_only(b)

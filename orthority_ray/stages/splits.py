@@ -212,9 +212,12 @@ def split_leakage_neardup(sf_dir: str, threshold: float = 0.8
                              "n_pairs": np.zeros(3, np.int64)})
 
     if verified.count() > _ENDPOINT_BROADCAST_LIMIT // 2:
-        # pair-dense corpus: stay fully distributed (bucketed joins)
-        return _split_leakage_neardup_distributed(pages, reps, verified,
-                                                  kinds)
+        # pair-dense corpus: stay fully distributed (bucketed joins),
+        # attributing pages via the session-memoized rep_groups table
+        from .dedup import rep_groups
+
+        return _split_leakage_neardup_distributed(pages, rep_groups(sf_dir),
+                                                  verified, kinds)
 
     pairs = verified.select_columns(["doc_a", "doc_b"]).to_pandas()
     da = pairs["doc_a"].to_numpy().astype(np.int64)
@@ -285,12 +288,14 @@ def _endpoint_masks_broadcast(pages, reps, endpoints: np.ndarray,
             mask_arr[np.searchsorted(endpoints, db)])
 
 
-def _split_leakage_neardup_distributed(pages, reps, verified,
+def _split_leakage_neardup_distributed(pages, rep_table, verified,
                                        kinds: list[str]) -> pd.DataFrame:
     """The pair-dense fallback: per-rep split bitmasks via the full
-    page<->rep text attribution join (one bucketed string exchange),
-    attached to each pair through two bucketed int joins; everything
-    stays distributed except the 3-row fold."""
+    page->rep attribution pass (``rep_table`` = the session-memoized
+    dedup.rep_groups (text_md5, rep_doc_id) artifact, so exact dedup is
+    NOT re-derived here; r4 review), attached to each pair through two
+    bucketed int joins; everything stays distributed except the 3-row
+    fold."""
     from ..pipelines.relational import combined_groupby_sum
     from .dedup import attach_rep_doc
     from .hashjoin import hash_join
@@ -303,9 +308,8 @@ def _split_leakage_neardup_distributed(pages, reps, verified,
         return pa.Table.from_pandas(df, preserve_index=False)
 
     distinct_bits = combined_groupby_sum(
-        attach_rep_doc(pages).map_batches(mask_partial,
-                                          batch_format="pyarrow",
-                                          batch_size=65536),
+        attach_rep_doc(pages, reps=rep_table).map_batches(
+            mask_partial, batch_format="pyarrow", batch_size=65536),
         ["rep", "mask"], [], count_alias="c").select_columns(
         ["rep", "mask"])
     rep_mask = combined_groupby_sum(distinct_bits, ["rep"], ["mask"])

@@ -97,3 +97,43 @@ def test_incremental_ingest_quarantines_corrupt_files(ray_session, shards,
     # quarantined paths are not retried on the next run
     new2, _, _, bad2 = incremental_ingest(str(shards), str(state))
     assert new2 == [] and bad2 == []
+
+
+def test_transient_oserror_with_parquet_path_retries_then_raises(
+        ray_session, shards, tmp_path, monkeypatch):
+    """A transient OSError whose MESSAGE embeds the file path (which always
+    ends in '.parquet') must be retried and raised, never quarantined —
+    the signature match strips the path first (r4 review)."""
+    import pyarrow.parquet as pq_mod
+
+    state = tmp_path / "state"
+    calls = {"n": 0}
+
+    def flaky(f, *a, **kw):
+        calls["n"] += 1
+        raise OSError(
+            f"[Errno 5] Input/output error: '{shards}/part-0000.parquet'")
+
+    # ingest imports pyarrow.parquet lazily inside the function, so the
+    # patch must land on the module itself
+    monkeypatch.setattr(pq_mod, "read_schema", flaky)
+    with pytest.raises(RuntimeError, match="NOT quarantined"):
+        incremental_ingest(str(shards), str(state))
+    assert calls["n"] >= 3  # retried, not first-strike quarantined
+
+
+def test_thrift_footer_oserror_still_quarantines(ray_session, shards,
+                                                 tmp_path, monkeypatch):
+    """The measured data-shaped OSError signature (thrift footer
+    deserializer) still quarantines after the path-stripping fix."""
+    import pyarrow.parquet as pq_mod
+
+    state = tmp_path / "state"
+
+    def thrifty(f, *a, **kw):
+        raise OSError("Couldn't deserialize thrift: TProtocolException: "
+                      "Invalid data")
+
+    monkeypatch.setattr(pq_mod, "read_schema", thrifty)
+    new, ds, commit, bad = incremental_ingest(str(shards), str(state))
+    assert new == [] and len(bad) == 3  # all checked files quarantined

@@ -195,7 +195,7 @@ def test_cms_index_matches_cms_hash():
         assert (got == want).all(), r
 
 
-@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
 def test_driver_corpus_is_ascii(sf):
     """fnv1a's ascii(char) folding equals utf-8 byte folding only for
     ASCII text — assert the contract holds on the driver corpora."""
@@ -227,3 +227,60 @@ def test_round_even_matches_numpy():
         con.sql(f"SELECT round_even(CAST({v!r} AS DOUBLE), 0)").fetchone()[0]
         for v in vals])
     assert (got == np.round(vals)).all()
+
+
+def test_ann_int8_oracle_matches_on_degenerate_dim_corpus(ray_session,
+                                                          tmp_path):
+    """The calibration mirror must reproduce _dim_scales' all-zero-dim
+    clamp: with one dimension zero in every vector (and true max < 1.0)
+    the engine quantizes with scale 1.0 — the raw-global-max oracle used
+    to diverge here (r4 review)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from orthority_ray.stages import ann as A
+
+    rng = np.random.default_rng(7)
+    m = rng.standard_normal((200, 64))
+    m[:, 5] = 0.0
+    pq.write_table(
+        pa.table({"vec_id": pa.array(np.arange(200, dtype=np.int64)),
+                  "embedding": pa.array(list(m.astype(np.float64)),
+                                        pa.list_(pa.float64()))}),
+        str(tmp_path / "embeddings.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{tmp_path}/embeddings.parquet'")
+    ours = A.ann_int8(str(tmp_path)).to_pandas()
+    want = con.sql(A.sql_ann_int8()).df()
+
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns),
+                              kind="mergesort").reset_index(drop=True)
+
+    a, b = canon(ours), canon(want)
+    assert a.shape == b.shape
+    for c in a.columns:
+        assert (a[c].values == b[c].values).all(), c
+
+
+def test_ann_int8_oracle_dim_guard_errors_loudly():
+    """A corpus of the wrong width must ERROR in SQL, not silently emit
+    NULL norms (r4 review)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from orthority_ray.stages import ann as A
+
+    con = duckdb.connect()
+    con.register("embeddings", pa.table({
+        "vec_id": pa.array(np.arange(4, dtype=np.int64)),
+        "embedding": pa.array([list(np.ones(32))] * 4,
+                              pa.list_(pa.float64()))}))
+    with _pytest.raises(Exception, match="dim=64"):
+        con.sql(A.sql_ann_int8()).df()
