@@ -13,7 +13,11 @@ EXACT DuckDB oracles (integer arithmetic end-to-end):
   frequency, total term frequency and first posting (min doc_id).
 
 Topology — dedup-then-process, the crawl-scale shape (process each
-DISTINCT text once, weight by its multiplicity):
+DISTINCT text once, weight by its multiplicity).  Data-model contract:
+doc_id DETERMINES text (rows may repeat, but one doc_id never carries
+two different texts — the corpus synthesizer guarantees it, and both
+this topology and the oracles' dpages CTE assume it; pinned by the
+token_cooccurrence property test):
 
 1. representatives: ONE pass over pages emits block-distinct (md5,
    doc_id) rows plus per-block (md5, text) rows (materialized, shared by
@@ -314,7 +318,7 @@ COOC_PCT = 50  # keep pairs present in >= total_docs/COOC_PCT distinct docs
 
 def token_cooccurrence(pages: ray.data.Dataset | None, *,
                        reps: ray.data.Dataset | None = None
-                       ) -> ray.data.Dataset:
+                       ) -> ray.data.Dataset | pa.Table:
     """Distinct-token pairs co-occurring in >= 2% of distinct documents
     (integer threshold ``n_docs * COOC_PCT >= total_docs``).  The pair
     explosion — the classic co-occurrence cost — runs per REPRESENTATIVE
@@ -383,6 +387,20 @@ def token_cooccurrence(pages: ray.data.Dataset | None, *,
 
     pair_rows = reps.map_batches(pairs, batch_format="pyarrow",
                                  batch_size=4096)
+
+    # Degenerate corpora (no rep with >= 2 distinct tokens) emit ZERO pair
+    # rows; map_groups then never runs and the result would be SCHEMA-LESS
+    # (r4 property test) — short-circuit to the typed empty the oracle
+    # returns.  Returned as a pa.Table (a valid driver-contract result):
+    # Dataset.to_pandas() DROPS the schema of any zero-row dataset, so a
+    # Dataset wrapper would still compare as column-less.  The probe
+    # re-executes at most one rep-table pass (reps is materialized,
+    # distinct-corpus-sized).
+    if pair_rows.limit(1).count() == 0:
+        return pa.table({
+            "tok_a": pa.array([], pa.string()),
+            "tok_b": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64())})
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(["tok_a", "tok_b"], as_index=False)["n"].sum()

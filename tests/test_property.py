@@ -223,3 +223,62 @@ def test_pad_units_arrow_matches_list_path():
         _pad_units_arrow(pa.array(["a", None]))
     with pytest.raises(ValueError):
         _pad_units(["a", None])
+
+
+_words = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+    min_size=0, max_size=8)
+
+
+@st.composite
+def _corpus(draw):
+    """Corpora honoring the pages data-model contract that doc_id
+    DETERMINES text (the synthesizer guarantees it; the dedup-then-
+    process topology and the oracle's dpages CTE agree only under it) —
+    duplicate (doc_id, text) rows, empty texts, and shared texts across
+    doc_ids are all still generated."""
+    n = draw(st.integers(1, 10))
+    texts = {i: " ".join(draw(_words)) for i in range(n)}
+    ids = draw(st.lists(st.integers(0, n - 1), min_size=1, max_size=25))
+    return [(i, texts[i]) for i in ids]
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_corpus(), n_blocks=st.integers(1, 4))
+def test_token_cooccurrence_matches_duckdb_property(ray_session, rows,
+                                                    n_blocks):
+    """The rep-row pair explosion (r4 rewrite: tokenize inside the batch
+    fn over rep ROWS, immune to block splitting) equals the oracle's
+    doc-level self-join on arbitrary small corpora at arbitrary block
+    counts — duplicate rows, empty texts, shared texts included."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from orthority_ray.stages.tfidf import (
+        sql_token_cooccurrence,
+        token_cooccurrence,
+    )
+
+    df = pd.DataFrame({
+        "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+        "text": [r[1] for r in rows],
+    })
+    ds = ray.data.from_pandas(df).repartition(n_blocks)
+    got = token_cooccurrence(ds).to_pandas()
+    con = duckdb.connect()
+    con.register("pages", df)
+    want = con.sql("WITH pages2 AS (SELECT * FROM pages)"
+                   + sql_token_cooccurrence().replace(
+                       "FROM pages", "FROM pages2", 1)).df()
+    con.close()
+
+    def canon(d):
+        d = d[sorted(d.columns)].copy()
+        return d.sort_values(list(d.columns),
+                             kind="mergesort").reset_index(drop=True)
+
+    a, b = canon(got), canon(want)
+    assert a.shape == b.shape
+    for c in a.columns:
+        assert (a[c].values == b[c].values).all(), c
