@@ -282,3 +282,56 @@ def test_token_cooccurrence_matches_duckdb_property(ray_session, rows,
     assert a.shape == b.shape
     for c in a.columns:
         assert (a[c].values == b[c].values).all(), c
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=_corpus(), n_blocks=st.integers(1, 3))
+def test_token_family_matches_duckdb_property(ray_session, rows, n_blocks):
+    """tfidf_topk / posting_stats / boolean_search / phrase_search equal
+    their oracles on arbitrary contract-honoring corpora at arbitrary
+    block counts (dedup-then-process + md5 expansion join invariance)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from orthority_ray.stages import tfidf as TF
+
+    df = pd.DataFrame({
+        "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+        "text": [r[1] for r in rows],
+    })
+    ds = ray.data.from_pandas(df).repartition(n_blocks)
+    con = duckdb.connect()
+    con.register("pages", df)
+
+    def canon(d):
+        d = d[sorted(d.columns)].copy()
+        for c in d.columns:
+            if d[c].dtype == object:
+                d[c] = d[c].astype(str)
+        return d.sort_values(list(d.columns),
+                             kind="mergesort").reset_index(drop=True)
+
+    cases = [
+        (TF.tfidf_topk(ds), TF.sql_tfidf_topk()),
+        (TF.posting_stats(ds), TF.sql_posting_stats()),
+        (TF.boolean_search(ds, terms=("aa", "bb")),
+         TF.sql_boolean_search(("aa", "bb"))),
+        (TF.phrase_search(ds, phrase="aa bb"),
+         TF.sql_phrase_search("aa bb")),
+    ]
+    for got, frag in cases:
+        a = canon(got.to_pandas()
+                  if isinstance(got, (ray.data.Dataset, pa.Table)) else got)
+        b = canon(con.sql("WITH pages2 AS (SELECT * FROM pages)"
+                          + frag.replace("FROM pages", "FROM pages2", 1)).df())
+        if len(b) == 0:
+            # engine zero-row Datasets lose their schema in to_pandas (the
+            # known Ray wart) — rows-empty equality is the assertable part
+            assert len(a) == 0, frag[:40]
+            continue
+        assert a.shape == b.shape, frag[:40]
+        for c in a.columns:
+            assert (a[c].values == b[c].values).all(), (frag[:40], c)
+    con.close()
