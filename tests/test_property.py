@@ -335,3 +335,72 @@ def test_token_family_matches_duckdb_property(ray_session, rows, n_blocks):
         for c in a.columns:
             assert (a[c].values == b[c].values).all(), (frag[:40], c)
     con.close()
+
+
+_join_side = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(-5, 5)),
+    min_size=0, max_size=30)
+
+
+@settings(max_examples=8, deadline=None)
+@given(left=_join_side, right=_join_side,
+       how=st.sampled_from(["inner", "left", "semi", "anti"]),
+       n_buckets=st.integers(1, 5))
+def test_hash_join_matches_duckdb_property(ray_session, left, right, how,
+                                           n_buckets):
+    n_blocks = 2
+    """hash_join equals the DuckDB join of the same shape on arbitrary
+    small int tables at arbitrary bucket counts — duplicate keys (pair
+    explosion), keys on one side only, and empty sides included."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from orthority_ray.stages.hashjoin import hash_join
+
+    ldf = pd.DataFrame({"k": pd.array([r[0] for r in left], dtype="int64"),
+                        "lv": pd.array([r[1] for r in left], dtype="int64")})
+    rdf = pd.DataFrame({"k": pd.array([r[0] for r in right], dtype="int64"),
+                        "rv": pd.array([r[1] for r in right], dtype="int64")})
+    lds = ray.data.from_pandas(ldf).repartition(n_blocks)
+    rds = ray.data.from_pandas(rdf).repartition(n_blocks)
+    if how in ("semi", "anti"):
+        got = hash_join(lds, rds, "k", ["k", "lv"], ["k"],
+                        how=how, n_buckets=n_buckets,
+                        types={"lv": pa.int64()})
+        op = "IN" if how == "semi" else "NOT IN"
+        sql = (f"SELECT k, lv FROM ldf "
+               f"WHERE k {op} (SELECT k FROM rdf)")
+    else:
+        got = hash_join(lds, rds, "k", ["k", "lv"], ["k", "rv"],
+                        how=how, n_buckets=n_buckets,
+                        types={"lv": pa.int64(), "rv": pa.int64()})
+        join_kw = "JOIN" if how == "inner" else "LEFT JOIN"
+        sql = (f"SELECT l.k, l.lv, r.rv FROM ldf l "
+               f"{join_kw} rdf r ON l.k = r.k")
+    con = duckdb.connect()
+    con.register("ldf", ldf)
+    con.register("rdf", rdf)
+    want = con.sql(sql).df()
+    con.close()
+    gp = got.to_pandas()
+    if len(want) == 0:
+        assert len(gp) == 0  # schema of zero-row Datasets is a known wart
+        return
+    def canon(d):
+        d = d[sorted(d.columns)].copy()
+        return d.sort_values(list(d.columns),
+                             kind="mergesort").reset_index(drop=True)
+    a, b = canon(gp), canon(want)
+    assert a.shape == b.shape, (how, a.shape, b.shape)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if how == "left" and c == "rv":
+            # DuckDB NULL-fills -> float; compare with NaN-aware equality
+            av = pd.array(a[c]).astype("Float64")
+            bv = pd.array(b[c]).astype("Float64")
+            assert (pd.isna(av) == pd.isna(bv)).all()
+            assert (av[~pd.isna(av)] == bv[~pd.isna(bv)]).all()
+        else:
+            assert (av == bv).all(), (how, c)
