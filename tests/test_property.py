@@ -404,3 +404,39 @@ def test_hash_join_matches_duckdb_property(ray_session, left, right, how,
             assert (av[~pd.isna(av)] == bv[~pd.isna(bv)]).all()
         else:
             assert (av == bv).all(), (how, c)
+
+
+_grp_rows = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(-100, 100)),
+    min_size=1, max_size=60)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_grp_rows, q=st.sampled_from([0.25, 0.5, 0.75, 0.95]),
+       n_blocks=st.integers(1, 4))
+def test_grouped_median_matches_duckdb_property(ray_session, rows, q,
+                                                n_blocks):
+    """grouped_median (discrete quantile) equals DuckDB's
+    quantile_disc on arbitrary int groups — even group sizes, duplicate
+    values, negative values, single-row groups."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from orthority_ray.stages.quantiles import grouped_median, \
+        sql_grouped_median
+
+    df = pd.DataFrame({"k": pd.array([r[0] for r in rows], dtype="int64"),
+                       "v": pd.array([r[1] for r in rows], dtype="int64")})
+    ds = ray.data.from_pandas(df).repartition(n_blocks)
+    got = grouped_median(ds, "k", "v", q=q).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(sql_grouped_median("k", "v", "t", q=q)
+                   + " ORDER BY 1").df()
+    con.close()
+    assert list(got.columns) == list(want.columns), (got.columns,
+                                                     want.columns)
+    for c in got.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
