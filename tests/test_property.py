@@ -440,3 +440,201 @@ def test_grouped_median_matches_duckdb_property(ray_session, rows, q,
                                                      want.columns)
     for c in got.columns:
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+_evt_rows = st.lists(
+    st.tuples(st.integers(0, 4),          # key
+              st.integers(0, 40),         # time
+              st.integers(-50, 50)),      # value
+    min_size=1, max_size=50)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_evt_rows, n_blocks=st.integers(1, 4),
+       n_buckets=st.integers(1, 5))
+def test_windows_family_matches_duckdb_property(ray_session, rows, n_blocks,
+                                                n_buckets):
+    """grouped_lag_delta / grouped_running_sum / grouped_rolling_sum /
+    grouped_topn equal their DuckDB window-function twins on arbitrary
+    (key, time, value) tables — duplicate times inside a key (broken by the
+    unique id tiebreaker), single-row keys, negative values, any block and
+    bucket count."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from orthority_ray.stages.windows import (grouped_lag_delta,
+                                              grouped_rolling_sum,
+                                              grouped_running_sum,
+                                              grouped_topn)
+
+    df = pd.DataFrame({
+        "k": pd.array([r[0] for r in rows], dtype="int64"),
+        "t": pd.array([r[1] for r in rows], dtype="int64"),
+        "v": pd.array([r[2] for r in rows], dtype="int64"),
+        "id": pd.array(range(len(rows)), dtype="int64"),
+    })
+    ds = ray.data.from_pandas(df).repartition(n_blocks)
+    con = duckdb.connect()
+    con.register("t", df)
+
+    cases = [
+        (grouped_lag_delta(ds, "k", ["t", "id"], "v", ["id"],
+                           delta_name="delta", fill=-1,
+                           n_buckets=n_buckets),
+         """SELECT id, COALESCE(v - LAG(v) OVER
+              (PARTITION BY k ORDER BY t, id), -1) AS delta FROM t"""),
+        (grouped_running_sum(ds, "k", ["t", "id"], "v", ["id"],
+                             cum_name="cum", n_buckets=n_buckets),
+         """SELECT id, SUM(v) OVER (PARTITION BY k ORDER BY t, id
+              ROWS UNBOUNDED PRECEDING) AS cum FROM t"""),
+        (grouped_rolling_sum(ds, "k", ["t", "id"], "v", ["id"], win=3,
+                             roll_name="roll", n_buckets=n_buckets),
+         """SELECT id, SUM(v) OVER (PARTITION BY k ORDER BY t, id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll FROM t"""),
+        (grouped_topn(ds, "k", ["v", "id"], [False, True], 2, ["id"],
+                      rank_name="rn", n_buckets=n_buckets),
+         """SELECT id, row_number() OVER
+              (PARTITION BY k ORDER BY v DESC, id) AS rn
+            FROM t QUALIFY rn <= 2"""),
+    ]
+    for got, sql in cases:
+        a = got.to_pandas().sort_values("id").reset_index(drop=True)
+        b = con.sql(sql + " ORDER BY id").df()
+        assert a.shape == b.shape, sql[:60]
+        for c in ("id", a.columns[-1]):
+            assert (a[c].to_numpy().astype(np.int64)
+                    == b[c].to_numpy().astype(np.int64)).all(), (sql[:60], c)
+    con.close()
+
+
+@settings(max_examples=8, deadline=None)
+@given(left=_evt_rows, right=_evt_rows, n_blocks=st.integers(1, 3),
+       n_buckets=st.integers(1, 5))
+def test_asof_join_matches_duckdb_property(ray_session, left, right,
+                                           n_blocks, n_buckets):
+    """asof_join equals DuckDB's native ASOF LEFT JOIN on arbitrary event
+    tables.  The engine tie-breaks duplicate right (key, time) rows to the
+    MAX value (right side sorted by (time, value), merge_asof takes the
+    last), so the oracle pre-collapses the right side with max(v) per
+    (key, time) — after which DuckDB's asof semantics are unambiguous.
+    Unmatched left rows carry fill=-1 vs the oracle's COALESCE."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from orthority_ray.stages.asof import asof_join
+
+    ldf = pd.DataFrame({
+        "k": pd.array([r[0] for r in left], dtype="int64"),
+        "t": pd.array([r[1] for r in left], dtype="int64"),
+        "lv": pd.array([r[2] for r in left], dtype="int64"),
+    })
+    rdf = pd.DataFrame({
+        "k": pd.array([r[0] for r in right], dtype="int64"),
+        "t": pd.array([r[1] for r in right], dtype="int64"),
+        "rv": pd.array([r[2] for r in right], dtype="int64"),
+    })
+    lds = ray.data.from_pandas(ldf).repartition(n_blocks)
+    rds = ray.data.from_pandas(rdf).repartition(n_blocks)
+    got = asof_join(lds, rds, "k", "t",
+                    left_cols=["k", "t", "lv"], right_cols=["rv"],
+                    fill=-1, n_buckets=n_buckets).to_pandas()
+    con = duckdb.connect()
+    con.register("ldf", ldf)
+    con.register("rdf", rdf)
+    want = con.sql("""
+        WITH r AS (SELECT k, t, max(rv) AS rv FROM rdf GROUP BY k, t)
+        SELECT l.k, l.t, l.lv, COALESCE(r.rv, -1) AS rv
+        FROM ldf l ASOF LEFT JOIN r ON l.k = r.k AND l.t >= r.t
+    """).df()
+    con.close()
+
+    def canon(d):
+        d = d[["k", "t", "lv", "rv"]].astype("int64")
+        return d.sort_values(["k", "t", "lv", "rv"],
+                             kind="mergesort").reset_index(drop=True)
+
+    a, b = canon(got), canon(want)
+    assert a.shape == b.shape
+    for c in a.columns:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_evt_rows, window=st.integers(0, 15), n_blocks=st.integers(1, 3),
+       n_buckets=st.integers(1, 5))
+def test_self_window_count_matches_duckdb_property(ray_session, rows, window,
+                                                   n_blocks, n_buckets):
+    """self_window_count (range join: same-key rows in (t, t+W]) equals the
+    DuckDB inequality LEFT JOIN + GROUP BY on arbitrary event tables —
+    duplicate timestamps inside a key, zero windows, any bucketing."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from orthority_ray.stages.rangejoin import self_window_count
+
+    df = pd.DataFrame({
+        "k": pd.array([r[0] for r in rows], dtype="int64"),
+        "t": pd.array([r[1] for r in rows], dtype="int64"),
+        "id": pd.array(range(len(rows)), dtype="int64"),
+    })
+    ds = ray.data.from_pandas(df).repartition(n_blocks)
+    got = self_window_count(ds, "k", "t", "id", window,
+                            n_buckets=n_buckets).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(f"""
+        SELECT l.id, COUNT(r.id) AS n_follow
+        FROM t l LEFT JOIN t r
+          ON l.k = r.k AND r.t > l.t AND r.t <= l.t + {window}
+        GROUP BY l.id ORDER BY l.id
+    """).df()
+    con.close()
+    assert got.shape == want.shape
+    assert (got["id"].to_numpy() == want["id"].to_numpy()).all()
+    assert (got["n_follow"].to_numpy().astype(np.int64)
+            == want["n_follow"].to_numpy().astype(np.int64)).all()
+
+
+_dedup_texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=8),
+    min_size=1, max_size=40)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_dedup_texts, n_blocks=st.integers(1, 4))
+def test_exact_dedup_groups_matches_duckdb_property(ray_session, texts,
+                                                    n_blocks):
+    """exact_dedup_groups (block-local combiner + md5 groupby) equals the
+    DuckDB md5 GROUP BY on arbitrary text corpora — heavy duplication,
+    empty strings, whitespace-only texts, any block count."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from orthority_ray.stages.dedup import exact_dedup_groups
+
+    df = pd.DataFrame({
+        "doc_id": pd.array(range(len(texts)), dtype="int64"),
+        "text": texts,
+    })
+    ds = ray.data.from_pandas(df).repartition(n_blocks)
+    got = exact_dedup_groups(ds).to_pandas() \
+        .sort_values("text_md5").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("pages", df)
+    want = con.sql("""
+        SELECT md5(text) AS text_md5,
+               COUNT(*) AS n_dups,
+               MIN(doc_id) AS rep_doc_id
+        FROM pages GROUP BY 1 ORDER BY 1
+    """).df()
+    con.close()
+    assert got.shape == want.shape
+    assert (got["text_md5"].to_numpy() == want["text_md5"].to_numpy()).all()
+    for c in ("n_dups", "rep_doc_id"):
+        assert (got[c].to_numpy().astype(np.int64)
+                == want[c].to_numpy().astype(np.int64)).all(), c
