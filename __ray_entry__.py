@@ -1094,6 +1094,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "paragraph_dedup", "cross_host_dup", "token_budget_mix", "vocab_growth",
     "syndication_graph", "host_rank", "template_detect", "host_components",
     "split_assign", "split_leakage", "value_deciles",
+    "trimmed_mean", "rolling_active_users", "event_intervals",
 ]
 
 
@@ -1212,6 +1213,9 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "events_moving_sum": EV.q_events_moving_sum,
         "user_event_path": EV.q_user_event_path,
         "user_top_event": EV.q_user_top_event,
+        "trimmed_mean": EV.q_trimmed_mean,
+        "rolling_active_users": EV.q_rolling_active_users,
+        "event_intervals": EV.q_event_intervals,
         "doc_chunks": CH.doc_chunks,
         "bigram_top": CH.bigram_top,
         "bigram_coverage": CH.bigram_coverage,
@@ -1403,6 +1407,9 @@ def oracle_sql() -> dict[str, str]:
         "events_moving_sum": EV.SQL_EVENTS_MOVING_SUM,
         "user_event_path": EV.SQL_USER_EVENT_PATH,
         "user_top_event": EV.SQL_USER_TOP_EVENT,
+        "trimmed_mean": EV.SQL_TRIMMED_MEAN,
+        "rolling_active_users": EV.SQL_ROLLING_ACTIVE_USERS,
+        "event_intervals": EV.SQL_EVENT_INTERVALS,
         "doc_chunks": CH.SQL_DOC_CHUNKS,
         "bigram_top": CH.SQL_BIGRAM_TOP,
         "bigram_coverage": CH.SQL_BIGRAM_COVERAGE,

@@ -27,7 +27,7 @@ import ray.data
 
 from ..stages.grouping import bucketed_group_apply
 from ..stages.windows import grouped_rolling_sum
-from .relational import DAY_US, _read, cents
+from .relational import DAY_US, _read, cents, combined_groupby_sum
 
 MOVING_WIN = 3
 PATH_N = 5
@@ -328,4 +328,204 @@ FROM (
          COUNT(*) OVER (PARTITION BY event_type) AS n
   FROM events
 ) GROUP BY event_type
+""".strip()
+
+
+# --- trimmed mean: per-type aggregate over the p10..p90 value band -----------
+
+TRIM_LO = 0.1
+TRIM_HI = 0.9
+
+
+def q_trimmed_mean(sf_dir: str) -> ray.data.Dataset:
+    """Per event_type TRIMMED aggregate: count + integer-cents sum of the
+    values inside the [p10, p90] discrete-quantile band — the
+    outlier-resistant mean every quality-score pipeline wants before
+    thresholding (exact: boundaries are quantile_disc order statistics,
+    money stays in int cents, no float mean crosses the wire; the caller
+    divides).
+
+    Ray shape: ONE bucketed per-group pass picks both boundary order
+    statistics (group count is event_type-dimension-sized, so the
+    boundary table is tiny); boundaries broadcast via ``ray.put``; one
+    filtered combiner + small groupby does the trimmed sum.  Per-group
+    sort assumes a group fits its bucket's worker (grouped_median
+    contract) — at 100-TB scale swap stage 1 for a per-group
+    distributed histogram (quantiles.exact_quantiles_int per key)."""
+    from ..stages.grouping import bucketed_group_apply
+    from ..sources.pages import cached_get
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "v_cents": pa.array(
+                cents(b["value"].to_numpy(zero_copy_only=False))),
+        })
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow",
+                             batch_size=65536).materialize()
+
+    def bounds_fn(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["event_type", "v_cents"], kind="mergesort")
+        k = d["event_type"].to_numpy()
+        v = d["v_cents"].to_numpy()
+        starts = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
+        ends = np.concatenate([starts[1:], [len(d)]])
+        n = ends - starts
+        # DuckDB quantile_disc: smallest element with CDF >= q
+        lo = v[starts + np.ceil(n * TRIM_LO).astype(np.int64) - 1]
+        hi = v[starts + np.ceil(n * TRIM_HI).astype(np.int64) - 1]
+        return pd.DataFrame({"event_type": k[starts],
+                             "lo": lo.astype(np.int64),
+                             "hi": hi.astype(np.int64)})
+
+    bounds = bucketed_group_apply(
+        prepped, ["event_type"], bounds_fn).to_pandas()
+    import ray as _ray
+
+    bounds_ref = _ray.put({t: (int(l), int(h)) for t, l, h in
+                           zip(bounds["event_type"], bounds["lo"],
+                               bounds["hi"])})
+
+    def keep(b: pa.Table) -> pa.Table:
+        bd = cached_get(bounds_ref)
+        t = b["event_type"].to_pandas()
+        v = b["v_cents"].to_numpy(zero_copy_only=False)
+        lo = t.map(lambda x: bd[x][0]).to_numpy(dtype=np.int64)
+        hi = t.map(lambda x: bd[x][1]).to_numpy(dtype=np.int64)
+        m = (v >= lo) & (v <= hi)
+        return pa.table({"event_type": b["event_type"].filter(pa.array(m)),
+                         "sum_kept_cents": pa.array(v[m])})
+
+    kept = prepped.map_batches(keep, batch_format="pyarrow",
+                               batch_size=65536)
+    return combined_groupby_sum(kept, ["event_type"], ["sum_kept_cents"],
+                                count_alias="n_kept")
+
+
+SQL_TRIMMED_MEAN = f"""
+WITH c AS (SELECT event_type,
+                  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+           FROM events),
+     b AS (SELECT event_type,
+                  quantile_disc(v, {TRIM_LO}) AS lo,
+                  quantile_disc(v, {TRIM_HI}) AS hi
+           FROM c GROUP BY 1)
+SELECT c.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(c.v) AS BIGINT) AS sum_kept_cents
+FROM c JOIN b USING (event_type)
+WHERE c.v BETWEEN b.lo AND b.hi
+GROUP BY c.event_type
+""".strip()
+
+
+# --- rolling distinct: trailing-3-day active users per day --------------------
+
+ROLL_DAYS = 3
+
+
+def q_rolling_active_users(sf_dir: str) -> ray.data.Dataset:
+    """Per observed day: DISTINCT users active in the trailing
+    ``ROLL_DAYS``-day window ending that day — the windowed COUNT(DISTINCT)
+    Ray Data lacks, built as bounded-expansion distinct so no window ever
+    re-scans history:
+
+    1. distinct (day, user) pairs (one combiner exchange, <= pairs rows);
+    2. each pair fans out to the ROLL_DAYS window-end days it covers
+       (x3 bounded expansion, map-side) and a second distinct collapses
+       multi-day users per window;
+    3. a day-dimension count, filtered to days observed in the data
+       (day list is dimension-sized, broadcast via ``ray.put``).
+
+    The expansion join IS the scale trick: work is O(pairs x window), never
+    O(days x history re-scan), and every exchange carries distinct rows."""
+    from ..sources.pages import cached_get
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"day": pa.array(t // DAY_US),
+                         "user_id": b["user_id"]})
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow",
+                             batch_size=65536)
+    pairs = combined_groupby_sum(prepped, ["day", "user_id"], [],
+                                 count_alias="__n") \
+        .select_columns(["day", "user_id"])
+
+    days = combined_groupby_sum(prepped, ["day"], [], count_alias="__n") \
+        .to_pandas()  # day-dimension-sized (bounded)
+    import ray as _ray
+
+    days_ref = _ray.put(np.sort(days["day"].to_numpy().astype(np.int64)))
+
+    def expand(b: pa.Table) -> pa.Table:
+        obs = cached_get(days_ref)
+        d = b["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wd = np.concatenate([d + i for i in range(ROLL_DAYS)])
+        wu = np.tile(u, ROLL_DAYS)
+        keep = np.isin(wd, obs)  # drop window-ends past the observed days
+        return pa.table({"day": pa.array(wd[keep]),
+                         "user_id": pa.array(wu[keep])})
+
+    windowed = pairs.map_batches(expand, batch_format="pyarrow",
+                                 batch_size=65536)
+    wpairs = combined_groupby_sum(windowed, ["day", "user_id"], [],
+                                  count_alias="__n") \
+        .select_columns(["day", "user_id"])
+    return combined_groupby_sum(wpairs, ["day"], [],
+                                count_alias="n_active")
+
+
+SQL_ROLLING_ACTIVE_USERS = f"""
+WITH du AS (SELECT DISTINCT epoch_us(ts) // {DAY_US} AS day, user_id
+            FROM events),
+     days AS (SELECT DISTINCT day FROM du),
+     ex AS (SELECT du.day + t.u AS day, du.user_id
+            FROM du CROSS JOIN UNNEST([{", ".join(str(i) for i in range(ROLL_DAYS))}]) AS t(u))
+SELECT ex.day, CAST(COUNT(DISTINCT ex.user_id) AS BIGINT) AS n_active
+FROM ex JOIN days ON ex.day = days.day
+GROUP BY ex.day
+""".strip()
+
+
+# --- SCD-2 validity intervals: each event's effective time range -------------
+
+
+def q_event_intervals(sf_dir: str) -> ray.data.Dataset:
+    """Per event: the half-open validity interval [ts, next same-user ts) —
+    the slowly-changing-dimension (SCD-2) snapshot builder: an event
+    stream becomes a state-history table whose rows can answer "what was
+    this user's latest event at time T" with a plain range predicate.
+    Last event per user stays open (valid_to_us = -1).  Built on the
+    :func:`stages.windows.grouped_lead` primitive (one co-partitioning
+    exchange, vectorized backward shift per bucket)."""
+    from ..stages.windows import grouped_lead
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"],
+                         "valid_from_us": b["ts"].cast(pa.int64())})
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow",
+                             batch_size=65536)
+    return grouped_lead(prepped, "user_id",
+                        ["valid_from_us", "event_id"], "valid_from_us",
+                        ["event_id", "user_id", "valid_from_us"],
+                        lead_name="valid_to_us", fill=-1)
+
+
+SQL_EVENT_INTERVALS = """
+SELECT event_id, user_id, epoch_us(ts) AS valid_from_us,
+       COALESCE(LEAD(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+                -1) AS valid_to_us
+FROM events
 """.strip()

@@ -178,6 +178,41 @@ def grouped_topn(
     return bucketed_group_apply(ds, [key], fn, n_buckets=n_buckets)
 
 
+def grouped_lead(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: list[str],
+    value: str,
+    out_cols: list[str],
+    lead_name: str = "lead",
+    fill: int = -1,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-key NEXT row's ``value`` in ``order_cols`` order (``LEAD(value)``);
+    the last row of each partition gets ``fill``.  The SCD-2 interval
+    builder: with ``value`` = the order timestamp itself, each row's lead is
+    its validity end.  Output columns: ``out_cols`` + ``lead_name`` (int64).
+    Same one-sort segment arithmetic as :func:`grouped_lag_delta` — a
+    backward shift with segment ENDS (not starts) taking the fill."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        d = _sorted_by(g, key, order_cols)
+        k = d[key].to_numpy()
+        v = d[value].to_numpy().astype(np.int64)
+        nxt = np.empty(v.shape[0], dtype=np.int64)
+        if v.shape[0]:
+            nxt[:-1] = v[1:]
+            nxt[-1] = fill
+            # rows just before a new segment start are segment ENDS
+            ends = np.flatnonzero(_segment_starts(k)[1:])
+            nxt[ends] = fill
+        out = d[out_cols].copy()
+        out[lead_name] = nxt
+        return out
+
+    return bucketed_group_apply(ds, [key], fn, n_buckets=n_buckets)
+
+
 def global_rank(ds: ray.data.Dataset, val_col: str, id_col: str,
                 out_cols: list[str], *, descending: bool = True,
                 rank_name: str = "rnk", ntile: int | None = None,

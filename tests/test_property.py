@@ -464,6 +464,7 @@ def test_windows_family_matches_duckdb_property(ray_session, rows, n_blocks,
     import ray.data
 
     from orthority_ray.stages.windows import (grouped_lag_delta,
+                                              grouped_lead,
                                               grouped_rolling_sum,
                                               grouped_running_sum,
                                               grouped_topn)
@@ -497,6 +498,10 @@ def test_windows_family_matches_duckdb_property(ray_session, rows, n_blocks,
          """SELECT id, row_number() OVER
               (PARTITION BY k ORDER BY v DESC, id) AS rn
             FROM t QUALIFY rn <= 2"""),
+        (grouped_lead(ds, "k", ["t", "id"], "v", ["id"],
+                      lead_name="nxt", fill=-1, n_buckets=n_buckets),
+         """SELECT id, COALESCE(LEAD(v) OVER
+              (PARTITION BY k ORDER BY t, id), -1) AS nxt FROM t"""),
     ]
     for got, sql in cases:
         a = got.to_pandas().sort_values("id").reset_index(drop=True)
