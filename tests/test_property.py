@@ -643,3 +643,49 @@ def test_exact_dedup_groups_matches_duckdb_property(ray_session, texts,
     for c in ("n_dups", "rep_doc_id"):
         assert (got[c].to_numpy().astype(np.int64)
                 == want[c].to_numpy().astype(np.int64)).all(), c
+
+
+@settings(max_examples=8, deadline=None)
+@given(vals=st.lists(st.integers(-20, 20), min_size=1, max_size=60),
+       descending=st.booleans(), ntile=st.sampled_from([None, 3, 4]),
+       n_buckets=st.integers(1, 6), n_blocks=st.integers(1, 4))
+def test_global_rank_matches_duckdb_property(ray_session, vals, descending,
+                                             ntile, n_buckets, n_blocks):
+    """global_rank (sampled range boundaries -> per-bucket offset + local
+    sort) equals ROW_NUMBER()/NTILE() OVER (ORDER BY val, id) on arbitrary
+    int columns — heavy ties (values must never straddle a range bucket),
+    ascending and descending, NTILE remainder distribution, any bucket and
+    block count."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from orthority_ray.stages.windows import global_rank
+
+    df = pd.DataFrame({
+        "v": pd.array(vals, dtype="int64"),
+        "id": pd.array(range(len(vals)), dtype="int64"),
+    })
+    ds = ray.data.from_pandas(df).repartition(n_blocks)
+    got = global_rank(ds, "v", "id", ["id", "v"], descending=descending,
+                      rank_name="rnk", ntile=ntile, ntile_name="nt",
+                      n_buckets=n_buckets).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    order = "DESC" if descending else "ASC"
+    nt_sel = (f", CAST(ntile({ntile}) OVER (ORDER BY v {order}, id) AS BIGINT) AS nt"
+              if ntile else "")
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(f"""
+        SELECT id, v,
+               CAST(row_number() OVER (ORDER BY v {order}, id) AS BIGINT) AS rnk
+               {nt_sel}
+        FROM t ORDER BY id
+    """).df()
+    con.close()
+    assert got.shape == want.shape
+    cols = ["id", "v", "rnk"] + (["nt"] if ntile else [])
+    assert sorted(got.columns) == sorted(cols)
+    for c in cols:
+        assert (got[c].to_numpy().astype(np.int64)
+                == want[c].to_numpy().astype(np.int64)).all(), c
