@@ -574,6 +574,33 @@ def q_quality(sf_dir: str):
         .select_columns(["doc_id", "quality"])
 
 
+def q_host_cap(sf_dir: str, k: int = 3):
+    """Per-host document cap — the per-domain page limit every web-corpus
+    curation pipeline applies before training: keep each host's top ``k``
+    pages by (quality DESC, doc_id), emitting the in-host rank.  Composes
+    the SQL-mirrored integer quality scorer with the distributed
+    ``grouped_topn`` primitive (one co-partitioning exchange on host;
+    selection is vectorized segment arithmetic inside each bucket)."""
+    import pyarrow as pa
+
+    from orthority_ray.sources.pages import N_HOSTS
+    from orthority_ray.stages.windows import grouped_topn
+
+    scored = T.quality(read_pages(sf_dir, columns=["doc_id", "text"]))
+
+    def prep(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": b["doc_id"],
+                         "host": pa.array(doc % N_HOSTS),
+                         "quality": b["quality"]})
+
+    prepped = scored.map_batches(prep, batch_format="pyarrow",
+                                 batch_size=65536)
+    return grouped_topn(prepped, "host", ["quality", "doc_id"],
+                        [False, True], k, ["doc_id", "host", "quality"],
+                        rank_name="rn")
+
+
 def q_extract_verify(sf_dir: str):
     """(n_pages, n_bad): the byte-identical-extraction invariant as a query
     — one pass, per-batch partial counts summed."""
@@ -1143,6 +1170,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": q_vocab_growth,
         "compression_ratio": q_compression_ratio,
         "quality": q_quality,
+        "host_cap": q_host_cap,
         "host_stats": q_host_stats,
         "host_page_join": q_host_page_join,
         "host_page_join_broadcast": q_host_page_join_broadcast,
@@ -1320,6 +1348,14 @@ def oracle_sql() -> dict[str, str]:
         "lexical_diversity": S.with_pages(LX.SQL_LEXICAL_DIVERSITY),
         "oov_rate": S.with_pages(LX.sql_oov_rate()),
         "quality": S.with_pages(T.SQL_QUALITY),
+        "host_cap": S.with_pages(f"""
+SELECT doc_id, host, quality, rn FROM (
+  SELECT doc_id, doc_id % {_N_HOSTS} AS host,
+         {T.SQL_QUALITY_EXPR} AS quality,
+         CAST(row_number() OVER (PARTITION BY doc_id % {_N_HOSTS}
+                ORDER BY {T.SQL_QUALITY_EXPR} DESC, doc_id) AS BIGINT) AS rn
+  FROM pages)
+WHERE rn <= 3"""),
         # r4: integer trigram-vote classifier mirrored exactly (profile
         # grams interpolated as a VALUES table; textstats.sql_lang_id)
         "lang_id": S.with_pages(T.sql_lang_id()),
