@@ -23,6 +23,7 @@ from orthority_ray.pipelines import relational as R
 from orthority_ray.pipelines.flagship import flagship_result
 from orthority_ray.pipelines.training_prep import sql_training_prep
 from orthority_ray.sources import sql as S
+from orthority_ray.sources.pages import N_HOSTS as _N_HOSTS
 from orthority_ray.sources.pages import read_pages, read_page_keys
 from orthority_ray.stages import ann as ANN
 from orthority_ray.stages import dedup as D
@@ -71,6 +72,10 @@ from orthority_ray.stages.pip import pip_join
 from orthority_ray.stages.sharpen import pan_sharpen
 from orthority_ray.stages.stats import grouped_covariance
 from orthority_ray.stages.tiles import N_ASSIGN_TILES, SQL_ASSIGN, assign_tiles, cell_counts
+
+# Per-host page cap shared by q_host_cap and its oracle (r4 review: a
+# hardcoded literal in the SQL could silently diverge from the default k).
+HOST_CAP_K = 3
 
 
 def entry() -> Any:
@@ -574,7 +579,7 @@ def q_quality(sf_dir: str):
         .select_columns(["doc_id", "quality"])
 
 
-def q_host_cap(sf_dir: str, k: int = 3):
+def q_host_cap(sf_dir: str, k: int = HOST_CAP_K):
     """Per-host document cap — the per-domain page limit every web-corpus
     curation pipeline applies before training: keep each host's top ``k``
     pages by (quality DESC, doc_id), emitting the in-host rank.  Composes
@@ -1121,7 +1126,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "paragraph_dedup", "cross_host_dup", "token_budget_mix", "vocab_growth",
     "syndication_graph", "host_rank", "template_detect", "host_components",
     "split_assign", "split_leakage", "value_deciles",
-    "trimmed_mean", "rolling_active_users", "event_intervals",
+    "trimmed_mean", "rolling_active_users", "event_intervals", "host_cap",
 ]
 
 
@@ -1355,7 +1360,7 @@ SELECT doc_id, host, quality, rn FROM (
          CAST(row_number() OVER (PARTITION BY doc_id % {_N_HOSTS}
                 ORDER BY {T.SQL_QUALITY_EXPR} DESC, doc_id) AS BIGINT) AS rn
   FROM pages)
-WHERE rn <= 3"""),
+WHERE rn <= {HOST_CAP_K}"""),
         # r4: integer trigram-vote classifier mirrored exactly (profile
         # grams interpolated as a VALUES table; textstats.sql_lang_id)
         "lang_id": S.with_pages(T.sql_lang_id()),

@@ -374,9 +374,11 @@ def q_trimmed_mean(sf_dir: str) -> ray.data.Dataset:
         starts = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
         ends = np.concatenate([starts[1:], [len(d)]])
         n = ends - starts
-        # DuckDB quantile_disc: smallest element with CDF >= q
-        lo = v[starts + np.ceil(n * TRIM_LO).astype(np.int64) - 1]
-        hi = v[starts + np.ceil(n * TRIM_HI).astype(np.int64) - 1]
+        # DuckDB quantile_disc: smallest element with CDF >= q — the
+        # property-tested index formula, vectorized across groups
+        from ..stages.quantiles import disc_index_vec
+        lo = v[starts + disc_index_vec(n, TRIM_LO)]
+        hi = v[starts + disc_index_vec(n, TRIM_HI)]
         return pd.DataFrame({"event_type": k[starts],
                              "lo": lo.astype(np.int64),
                              "hi": hi.astype(np.int64)})
@@ -391,11 +393,12 @@ def q_trimmed_mean(sf_dir: str) -> ray.data.Dataset:
 
     def keep(b: pa.Table) -> pa.Table:
         bd = cached_get(bounds_ref)
-        t = b["event_type"].to_pandas()
+        # factorize once, then two vectorized np gathers — no per-row Python
+        codes, cats = pd.factorize(b["event_type"].to_pandas())
+        lo_arr = np.array([bd[x][0] for x in cats], np.int64)
+        hi_arr = np.array([bd[x][1] for x in cats], np.int64)
         v = b["v_cents"].to_numpy(zero_copy_only=False)
-        lo = t.map(lambda x: bd[x][0]).to_numpy(dtype=np.int64)
-        hi = t.map(lambda x: bd[x][1]).to_numpy(dtype=np.int64)
-        m = (v >= lo) & (v <= hi)
+        m = (v >= lo_arr[codes]) & (v <= hi_arr[codes])
         return pa.table({"event_type": b["event_type"].filter(pa.array(m)),
                          "sum_kept_cents": pa.array(v[m])})
 

@@ -40,6 +40,12 @@ def _disc_index(n: int, q: float) -> int:
     return max(int(np.ceil(n * q)) - 1, 0)
 
 
+def disc_index_vec(n: np.ndarray, q: float) -> np.ndarray:
+    """Vectorized :func:`_disc_index` over an array of group sizes — same
+    ``max(ceil(n*q) - 1, 0)`` formula, one element per group."""
+    return np.maximum(np.ceil(n * q).astype(np.int64) - 1, 0)
+
+
 def grouped_median(ds: ray.data.Dataset, key: str, col: str,
                    q: float = 0.5) -> ray.data.Dataset:
     """(key, n, median) per group — exact discrete quantile inside each
