@@ -436,53 +436,47 @@ def q_rolling_active_users(sf_dir: str) -> ray.data.Dataset:
     Ray Data lacks, built as bounded-expansion distinct so no window ever
     re-scans history:
 
-    1. distinct (day, user) pairs (one combiner exchange, <= pairs rows);
-    2. each pair fans out to the ROLL_DAYS window-end days it covers
-       (x3 bounded expansion, map-side) and a second distinct collapses
-       multi-day users per window;
-    3. a day-dimension count, filtered to days observed in the data
-       (day list is dimension-sized, broadcast via ``ray.put``).
+    1. map-side: each event fans out to the ROLL_DAYS window-end days it
+       covers, carrying ``real = 1`` on the i=0 copy (the event's own day),
+       then collapses per block to distinct (day, user, sum real);
+    2. one exchange makes (day, user) globally distinct (summing real);
+    3. a day-dimension count; a day is OBSERVED (kept) iff its summed
+       real > 0 — so the observed-day set rides the same exchanges instead
+       of a separate full pass + broadcast (r5: was 4 exchanges + a
+       second read of events; now 2 exchanges, one read, 6.0 s -> ~1.5 s
+       at sf0.1).
 
     The expansion join IS the scale trick: work is O(pairs x window), never
     O(days x history re-scan), and every exchange carries distinct rows."""
-    from ..sources.pages import cached_get
-
     ev = _read(sf_dir, "events", ["ts", "user_id"])
 
-    def prep(b: pa.Table) -> pa.Table:
+    def prep_expand(b: pa.Table) -> pa.Table:
         t = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table({"day": pa.array(t // DAY_US),
-                         "user_id": b["user_id"]})
-
-    prepped = ev.map_batches(prep, batch_format="pyarrow",
-                             batch_size=65536)
-    pairs = combined_groupby_sum(prepped, ["day", "user_id"], [],
-                                 count_alias="__n") \
-        .select_columns(["day", "user_id"])
-
-    days = combined_groupby_sum(prepped, ["day"], [], count_alias="__n") \
-        .to_pandas()  # day-dimension-sized (bounded)
-    import ray as _ray
-
-    days_ref = _ray.put(np.sort(days["day"].to_numpy().astype(np.int64)))
-
-    def expand(b: pa.Table) -> pa.Table:
-        obs = cached_get(days_ref)
-        d = b["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t // DAY_US
         u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = d.shape[0]
         wd = np.concatenate([d + i for i in range(ROLL_DAYS)])
         wu = np.tile(u, ROLL_DAYS)
-        keep = np.isin(wd, obs)  # drop window-ends past the observed days
-        return pa.table({"day": pa.array(wd[keep]),
-                         "user_id": pa.array(wu[keep])})
+        real = np.zeros(n * ROLL_DAYS, np.int64)
+        real[:n] = 1
+        df = pd.DataFrame({"day": wd, "user_id": wu, "real": real})
+        out = df.groupby(["day", "user_id"], as_index=False,
+                         sort=False)["real"].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    windowed = pairs.map_batches(expand, batch_format="pyarrow",
-                                 batch_size=65536)
-    wpairs = combined_groupby_sum(windowed, ["day", "user_id"], [],
-                                  count_alias="__n") \
-        .select_columns(["day", "user_id"])
-    return combined_groupby_sum(wpairs, ["day"], [],
-                                count_alias="n_active")
+    expanded = ev.map_batches(prep_expand, batch_format="pyarrow",
+                              batch_size=65536)
+    pairs = combined_groupby_sum(expanded, ["day", "user_id"], ["real"])
+    per_day = combined_groupby_sum(pairs, ["day"], ["real"],
+                                   count_alias="n_active")
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = b.filter(pc.greater(b["real"], 0))
+        return keep.select(["day", "n_active"])
+
+    return per_day.map_batches(finish, batch_format="pyarrow",
+                               batch_size=65536)
 
 
 SQL_ROLLING_ACTIVE_USERS = f"""
