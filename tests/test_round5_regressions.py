@@ -56,3 +56,63 @@ def test_disc_index_vec_matches_scalar():
         want = np.array([_disc_index(int(n), q) for n in ns])
         got = disc_index_vec(ns, q)
         assert (want == got).all(), q
+
+
+# --- combined_groupby_sum multi-key bucket exchange (r5) ---------------------
+
+
+def _cgs(df, keys, sum_cols, count_alias=None):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from orthority_ray.pipelines.relational import combined_groupby_sum
+
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(4)
+    out = combined_groupby_sum(ds, keys, sum_cols,
+                               count_alias=count_alias).to_pandas()
+    return out.sort_values(keys).reset_index(drop=True)
+
+
+def test_combined_groupby_sum_multikey_matches_pandas():
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "a": rng.integers(0, 50, 5000),
+        "b": rng.integers(-3, 3, 5000),
+        "x": rng.integers(-1000, 1000, 5000),
+        "y": rng.integers(0, 10, 5000),
+    })
+    got = _cgs(df, ["a", "b"], ["x", "y"], count_alias="n")
+    want = df.groupby(["a", "b"], as_index=False).agg(
+        n=("x", "size"), x=("x", "sum"), y=("y", "sum"))
+    want["n"] = want["n"].astype("int64")
+    want = want[["a", "b", "n", "x", "y"]].sort_values(["a", "b"]) \
+        .reset_index(drop=True)
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_combined_groupby_sum_multikey_string_key():
+    import numpy as np
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "k": ["x", "y", "x", "x", "y", "z"],
+        "d": [1, 1, 2, 1, 1, 3],
+        "v": [10, 20, 30, 40, 50, 60],
+    })
+    got = _cgs(df, ["k", "d"], ["v"])
+    want = df.groupby(["k", "d"], as_index=False)["v"].sum() \
+        .sort_values(["k", "d"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_combined_groupby_sum_multikey_single_group():
+    import pandas as pd
+
+    df = pd.DataFrame({"a": [1, 1, 1], "b": [2, 2, 2], "v": [5, 6, 7]})
+    got = _cgs(df, ["a", "b"], ["v"], count_alias="n")
+    assert got.to_dict("records") == [{"a": 1, "b": 2, "n": 3, "v": 18}]
