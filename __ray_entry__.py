@@ -28,6 +28,8 @@ from orthority_ray.sources.pages import read_pages, read_page_keys
 from orthority_ray.stages import ann as ANN
 from orthority_ray.stages import dedup as D
 from orthority_ray.stages.editdist import SQL_EDIT_DISTANCE
+from orthority_ray.stages.editdist import SQL_HAMMING_NEIGHBORS as _SQL_HAMMING
+from orthority_ray.stages.editdist import hamming_neighbors as _hamming_neighbors
 from orthority_ray.stages import knn as KNN
 from orthority_ray.pipelines import tpch_extra as TX
 from orthority_ray.pipelines import tpch_more as TM
@@ -606,6 +608,13 @@ def q_host_cap(sf_dir: str, k: int = HOST_CAP_K):
                         rank_name="rn")
 
 
+def q_hamming_neighbors(sf_dir: str):
+    """Similarity JOIN: per-document count of Hamming-distance-1 doc-key
+    neighbors via per-position deletion blocking (stages/editdist.py) —
+    finds near-identical URLs without any quadratic pass."""
+    return _hamming_neighbors(read_pages(sf_dir, columns=["doc_id"]))
+
+
 def q_extract_verify(sf_dir: str):
     """(n_pages, n_bad): the byte-identical-extraction invariant as a query
     — one pass, per-batch partial counts summed."""
@@ -1127,6 +1136,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "syndication_graph", "host_rank", "template_detect", "host_components",
     "split_assign", "split_leakage", "value_deciles",
     "trimmed_mean", "rolling_active_users", "event_intervals", "host_cap",
+    "interval_coverage", "hamming_neighbors",
 ]
 
 
@@ -1249,6 +1259,8 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "trimmed_mean": EV.q_trimmed_mean,
         "rolling_active_users": EV.q_rolling_active_users,
         "event_intervals": EV.q_event_intervals,
+        "interval_coverage": EV.q_interval_coverage,
+        "hamming_neighbors": q_hamming_neighbors,
         "doc_chunks": CH.doc_chunks,
         "bigram_top": CH.bigram_top,
         "bigram_coverage": CH.bigram_coverage,
@@ -1451,6 +1463,8 @@ WHERE rn <= {HOST_CAP_K}"""),
         "trimmed_mean": EV.SQL_TRIMMED_MEAN,
         "rolling_active_users": EV.SQL_ROLLING_ACTIVE_USERS,
         "event_intervals": EV.SQL_EVENT_INTERVALS,
+        "interval_coverage": EV.SQL_INTERVAL_COVERAGE,
+        "hamming_neighbors": S.with_pages(_SQL_HAMMING),
         "doc_chunks": CH.SQL_DOC_CHUNKS,
         "bigram_top": CH.SQL_BIGRAM_TOP,
         "bigram_coverage": CH.SQL_BIGRAM_COVERAGE,

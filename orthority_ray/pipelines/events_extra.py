@@ -526,3 +526,74 @@ SELECT event_id, user_id, epoch_us(ts) AS valid_from_us,
                 -1) AS valid_to_us
 FROM events
 """.strip()
+
+
+# --- interval union: per-user covered time across overlapping intervals ------
+
+# each event opens a fixed 30-minute activity interval; overlaps merge
+COVER_DUR_US = 30 * 60 * 1_000_000
+
+
+def q_interval_coverage(sf_dir: str) -> ray.data.Dataset:
+    """Per user: the UNION of its (possibly overlapping) activity
+    intervals — each event opens [ts, ts + COVER_DUR_US); overlapping /
+    touching intervals merge into islands.  Returns (user_id, n_islands,
+    covered_us): how many disjoint activity stretches the user had and
+    their total length — the interval-union primitive behind session
+    coverage, ad-viewability and SLA-uptime rollups, and the windowed
+    complement of gap-based ``event_sessions``.
+
+    Ray shape: ONE co-partitioning exchange on user_id
+    (``bucketed_group_apply``); inside each bucket the island sweep is
+    vectorized across ALL its users — sort by (user, start), running
+    ``cummax`` of interval ends per user (pandas C groupby), an island
+    break wherever start > previous running max, then one
+    (user, island) fold and one per-user fold.  No per-user Python; per
+    bucket memory is O(events / n_buckets) (grouping.py contract)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        s = b["ts"].cast(pa.int64())
+        return pa.table({"user_id": b["user_id"], "s": s})
+
+    def coverage(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["user_id", "s"], kind="mergesort")
+        d["e"] = d["s"] + COVER_DUR_US
+        gb = d.groupby("user_id", sort=False)
+        prev_max = gb["e"].cummax().groupby(d["user_id"], sort=False) \
+            .shift(1)
+        new_island = prev_max.isna() | (d["s"] > prev_max)
+        d["island"] = new_island.cumsum()  # globally unique per (user, run)
+        isl = d.groupby(["user_id", "island"], sort=False).agg(
+            st=("s", "min"), en=("e", "max"))
+        out = isl.groupby("user_id", sort=False).agg(
+            n_islands=("st", "size"), covered_us=("en", "sum"))
+        st_sum = isl.groupby("user_id", sort=False)["st"].sum()
+        out["covered_us"] = (out["covered_us"] - st_sum).astype(np.int64)
+        out["n_islands"] = out["n_islands"].astype(np.int64)
+        return out.reset_index()
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow",
+                             batch_size=65536)
+    return bucketed_group_apply(prepped, ["user_id"], coverage)
+
+
+SQL_INTERVAL_COVERAGE = f"""
+WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + {COVER_DUR_US} AS e FROM events),
+w AS (SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM iv),
+g AS (SELECT user_id, s, e,
+             SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e) AS island
+      FROM w),
+isl AS (SELECT user_id, island, MIN(s) AS st, MAX(e) AS en
+        FROM g GROUP BY 1, 2)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(en - st) AS BIGINT) AS covered_us
+FROM isl GROUP BY user_id
+""".strip()

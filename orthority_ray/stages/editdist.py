@@ -192,3 +192,78 @@ SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b,
        CAST(levenshtein(d1.text, d2.text) AS BIGINT) AS edit_dist
 FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
 """.strip()
+
+
+# --- Hamming-1 similarity JOIN via per-position deletion blocking ------------
+
+KEY_WIDTH = 10  # zero-padded doc-key width (the url path digits)
+
+
+def hamming_neighbors(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_nbrs): for every document, how many OTHER documents have
+    a doc key (the zero-padded ``KEY_WIDTH``-digit url path segment)
+    within Hamming distance EXACTLY 1 — the near-identical-URL join
+    behind session-id/tracking-param collision detection.  Documents with
+    no neighbor are absent (inner-join semantics, mirroring the oracle).
+
+    This is the similarity-JOIN primitive (``edit_distance`` is pairwise
+    compute on given pairs; this FINDS the pairs): each key emits
+    ``KEY_WIDTH`` blocking keys (position p wildcarded); two keys collide
+    on blocking key (p, k[:p]+'_'+k[p+1:]) iff they differ at exactly
+    position p — so every Hamming-1 pair meets in EXACTLY one group (no
+    dedup pass needed) and no non-pair ever meets.  Work is
+    O(N * KEY_WIDTH) rows through one co-partitioning exchange; group
+    sizes are collision-cluster-sized, never corpus-sized.
+
+    Ray shape: map-side 10x skinny expansion (vectorized pandas str
+    slicing) -> ``bucketed_group_apply`` on (p, bk) computing
+    (group size - 1) per member via one transform('size') across the
+    whole bucket -> single-key ``combined_groupby_sum`` fold per doc."""
+    import pandas as pd
+
+    from ..pipelines.relational import combined_groupby_sum
+    from .grouping import bucketed_group_apply
+
+    def expand(b: pa.Table) -> pa.Table:
+        # block-level dedup; the global dedup is free (identical doc_ids
+        # produce identical blocking keys, so every duplicate pair
+        # co-locates and group_counts drops it without an extra exchange)
+        doc = np.unique(b["doc_id"].to_numpy(zero_copy_only=False))
+        k = pd.Series(doc).astype(str).str.zfill(KEY_WIDTH)
+        parts = []
+        for p in range(KEY_WIDTH):
+            bk = k.str.slice(0, p) + "_" + k.str.slice(p + 1)
+            parts.append(pd.DataFrame({
+                "doc_id": doc, "p": np.int64(p), "bk": bk}))
+        return pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
+                                    preserve_index=False)
+
+    def group_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()  # whole-corpus distinct (see expand note)
+        n = g.groupby(["p", "bk"], sort=False)["doc_id"].transform("size")
+        out = pd.DataFrame({"doc_id": g["doc_id"],
+                            "n_nbrs": (n - 1).astype(np.int64)})
+        return out[out["n_nbrs"] > 0]
+
+    expanded = pages.map_batches(expand, batch_format="pyarrow",
+                                 batch_size=65536)
+    member = bucketed_group_apply(expanded, ["p", "bk"], group_counts)
+    return combined_groupby_sum(member, ["doc_id"], ["n_nbrs"])
+
+
+SQL_HAMMING_NEIGHBORS = f"""
+, keys AS (SELECT DISTINCT doc_id,
+                  lpad(CAST(doc_id AS VARCHAR), {KEY_WIDTH}, '0') AS k
+           FROM pages),
+bl AS (SELECT doc_id, p,
+              substr(k, 1, CAST(p AS INT) - 1) || '_'
+                || substr(k, CAST(p AS INT) + 1) AS bk
+       FROM keys, generate_series(1, {KEY_WIDTH}) AS g(p)),
+cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bl a JOIN bl b ON a.bk = b.bk AND a.p = b.p
+            AND a.doc_id < b.doc_id),
+both_sides AS (SELECT id_a AS doc_id FROM cand
+               UNION ALL SELECT id_b FROM cand)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_nbrs
+FROM both_sides GROUP BY doc_id
+""".strip()
