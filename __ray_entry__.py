@@ -292,6 +292,16 @@ def q_host_rank(sf_dir: str):
     return host_rank(sf_dir)
 
 
+def q_host_distance(sf_dir: str):
+    """BFS hop distance from the min-index syndication host
+    (stages/linkrank.host_distance): the graph family's SSSP member —
+    driver frontier masks under SMALL_EDGE_LIMIT, distributed
+    Bellman-Ford (join + grouped-min per hop) above it."""
+    from orthority_ray.stages.linkrank import host_distance
+
+    return host_distance(sf_dir)
+
+
 def q_host_components(sf_dir: str):
     """Syndication communities (stages/linkrank.host_components):
     connected components of the undirected host graph via distributed
@@ -1136,7 +1146,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "syndication_graph", "host_rank", "template_detect", "host_components",
     "split_assign", "split_leakage", "value_deciles",
     "trimmed_mean", "rolling_active_users", "event_intervals", "host_cap",
-    "interval_coverage", "hamming_neighbors",
+    "interval_coverage", "hamming_neighbors", "host_distance",
 ]
 
 
@@ -1176,6 +1186,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "syndication_graph": q_syndication_graph,
         "host_rank": q_host_rank,
         "host_components": q_host_components,
+        "host_distance": q_host_distance,
         "template_detect": q_template_detect,
         "split_assign": q_split_assign,
         "split_leakage": q_split_leakage,
@@ -1498,6 +1509,7 @@ WHERE rn <= {HOST_CAP_K}"""),
         "syndication_graph": S.with_pages(LR.SQL_SYNDICATION_GRAPH),
         "host_rank": S.with_pages(LR.sql_host_rank()),
         "host_components": S.with_pages(LR.SQL_HOST_COMPONENTS),
+        "host_distance": S.with_pages(LR.SQL_HOST_DISTANCE),
         "template_detect": S.with_pages(BO.SQL_TEMPLATE_DETECT),
         "split_assign": S.with_pages(SPL.SQL_SPLIT_ASSIGN),
         "split_leakage": S.with_pages(SPL.SQL_SPLIT_LEAKAGE),

@@ -445,3 +445,148 @@ SELECT 'site' || lpad(CAST(h AS VARCHAR), 4, '0') || '.example' AS host,
 FROM r{n_iters}
 """.strip())
     return "\n".join(parts)
+
+
+# --- single-source BFS distance: the graph family's SSSP member --------------
+
+MAX_BFS_HOPS = 32
+
+
+def host_distance(sf_dir: str, force_distributed: bool = False
+                  ) -> ray.data.Dataset:
+    """-> (host, dist): BFS hop count from the deterministic ROOT host
+    (the minimum host index carrying any syndication edge) over the
+    UNDIRECTED syndication graph — single-source shortest paths, rounding
+    out the graph family (host_components = reachability, host_rank =
+    centrality, this = distance).  Hosts unreachable from the root are
+    absent (inner semantics); the root itself has dist 0.
+
+    Two bit-equal paths (the host_rank pattern, equality pinned in
+    tests/test_linkrank.py):
+    - edge lists under ``dedup.SMALL_EDGE_LIMIT``: one driver BFS over
+      dense numpy frontier masks (per hop: one gather + one unvisited
+      filter, no Python per node);
+    - above it (or ``force_distributed``): distributed Bellman-Ford —
+      per hop ONE bucketed ``hash_join`` of the current dist table
+      against the materialized undirected edge list (graph streamed from
+      the object store, never the driver), a union with the previous
+      dists, and one single-key grouped MIN fold; converges when the
+      (count, sum) signature of the node-dimension dist table stops
+      changing.  Hop count is diameter-bounded (cap ``MAX_BFS_HOPS``,
+      matching the oracle's recursion cap)."""
+    from ..pipelines.relational import combined_groupby_sum
+    from ..sources.pages import host_str_from_idx, read_pages
+    from .dedup import SMALL_EDGE_LIMIT, rep_groups
+
+    pages = read_pages(sf_dir, columns=["doc_id", "text"])
+    edges = syndication_edges(pages, reps=rep_groups(sf_dir))
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        s = b["host_idx"].to_numpy(zero_copy_only=False)
+        d = b["dst_idx"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(np.concatenate([s, d])),
+                         "dst": pa.array(np.concatenate([d, s]))})
+
+    und = combined_groupby_sum(
+        edges.map_batches(both_dirs, batch_format="pyarrow"),
+        ["src", "dst"], [], count_alias="__n") \
+        .select_columns(["src", "dst"]).materialize()
+
+    empty = pa.table({"host": pa.array([], pa.string()),
+                      "dist": pa.array([], pa.int64())})
+    if und.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    dist = bfs_hops(und, force_distributed=force_distributed)
+
+    def named(b: pa.Table) -> pa.Table:
+        return pa.table({"host": host_str_from_idx(b["node"]),
+                         "dist": b["d"].cast(pa.int64())})
+
+    return dist.map_batches(named, batch_format="pyarrow")
+
+
+def bfs_hops(und: ray.data.Dataset, force_distributed: bool = False
+             ) -> ray.data.Dataset:
+    """(node, d) BFS hop counts from ``min(src)`` over a MATERIALIZED
+    undirected (src, dst) edge Dataset — both host_distance paths; see
+    its docstring for the shape contract."""
+    from ..sources.pages import host_str_from_idx  # noqa: F401 (doc link)
+    from .dedup import SMALL_EDGE_LIMIT
+
+    n_edges = und.count()
+    if n_edges <= SMALL_EDGE_LIMIT and not force_distributed:
+        df = und.to_pandas()  # host-pair-dimension-sized (bounded)
+        src = df["src"].to_numpy().astype(np.int64)
+        dst = df["dst"].to_numpy().astype(np.int64)
+        root = int(src.min())
+        n_dense = int(max(src.max(), dst.max())) + 1
+        dist = np.full(n_dense, -1, np.int64)
+        dist[root] = 0
+        frontier = np.array([root], np.int64)
+        for d in range(1, MAX_BFS_HOPS + 1):
+            fmask = np.zeros(n_dense, bool)
+            fmask[frontier] = True
+            nxt = np.unique(dst[fmask[src]])
+            nxt = nxt[dist[nxt] < 0]
+            if nxt.size == 0:
+                break
+            dist[nxt] = d
+            frontier = nxt
+        reach = np.flatnonzero(dist >= 0)
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(reach),
+            "d": pa.array(dist[reach])}))
+
+    # distributed Bellman-Ford (node-dim dist table, edge list streamed)
+    from ray.data.aggregate import Min
+
+    root = int(und.min("src"))
+    dist = ray.data.from_arrow(pa.table({
+        "node": pa.array([root], pa.int64()),
+        "d": pa.array([0], pa.int64())}))
+    renamed = und.map_batches(
+        lambda b: b.rename_columns(["node", "dst"]),
+        batch_format="pyarrow").materialize()
+    prev_sig = (1, 0)
+    for _ in range(MAX_BFS_HOPS):
+        stepped = hash_join(dist, renamed, "node", ["node", "d"],
+                            ["node", "dst"],
+                            types={"d": pa.int64(), "dst": pa.int64()})
+
+        def bump(b: pa.Table) -> pa.Table:
+            return pa.table({"node": b["dst"],
+                             "d": pc.add(b["d"], 1).cast(pa.int64())})
+
+        cand = stepped.map_batches(bump, batch_format="pyarrow").union(dist)
+        dist = cand.groupby("node").aggregate(
+            Min("d", alias_name="d")).materialize()
+        sig = (dist.count(), int(dist.sum("d")))
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return dist
+
+
+SQL_HOST_DISTANCE = f"""
+, reps AS (
+  SELECT md5(text) AS m, MIN(doc_id) AS rep FROM pages GROUP BY md5(text)
+), edges AS (
+  SELECT DISTINCT doc_id % {N_HOSTS} AS src, rep % {N_HOSTS} AS dst
+  FROM pages JOIN reps ON md5(text) = m
+  WHERE doc_id % {N_HOSTS} <> rep % {N_HOSTS}
+), und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), bfs AS (
+  WITH RECURSIVE b(node, d) AS (
+    SELECT MIN(src), 0 FROM und
+    UNION
+    SELECT u.dst, b.d + 1 FROM b JOIN und u ON u.src = b.node
+    WHERE b.d < {MAX_BFS_HOPS}
+  )
+  SELECT node, MIN(d) AS dist FROM b GROUP BY node
+)
+SELECT 'site' || lpad(CAST(node AS VARCHAR), 4, '0') || '.example' AS host,
+       CAST(dist AS BIGINT) AS dist
+FROM bfs
+""".strip()

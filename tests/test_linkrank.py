@@ -144,3 +144,50 @@ def test_host_rank_mass_conservation_bound(tiny):
     r = host_rank_pages(tiny, n_iters=3).to_pandas()
     assert int(r["rank_score"].sum()) <= len(r) * R0
     assert (r["rank_score"] >= BASE).all()
+
+
+# --- host_distance / bfs_hops (r5) -------------------------------------------
+
+
+def _und_ds(pairs):
+    import pyarrow as pa
+    import ray.data
+
+    s = [a for a, b in pairs] + [b for a, b in pairs]
+    d = [b for a, b in pairs] + [a for a, b in pairs]
+    return ray.data.from_arrow(pa.table({
+        "src": pa.array(s, pa.int64()),
+        "dst": pa.array(d, pa.int64())})).materialize()
+
+
+def _hops(pairs, force):
+    from orthority_ray.stages.linkrank import bfs_hops
+
+    out = bfs_hops(_und_ds(pairs), force_distributed=force).to_pandas()
+    return dict(zip(out["node"], out["d"]))
+
+
+def test_bfs_hops_chain_and_branch_both_paths():
+    # 0-1-2-3-4 chain, branch 2-7, isolated component 8-9 (unreachable)
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (2, 7), (8, 9)]
+    want = {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 7: 3}
+    assert _hops(pairs, force=False) == want
+    assert _hops(pairs, force=True) == want
+
+
+def test_bfs_hops_cycle_shortcut_both_paths():
+    # cycle 0-1-2-3-0: node 3 is 1 hop via the back edge, not 3
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    want = {0: 0, 1: 1, 2: 2, 3: 1}
+    assert _hops(pairs, force=False) == want
+    assert _hops(pairs, force=True) == want
+
+
+def test_host_distance_matches_oracle_shape(sf_unit):
+    import __ray_entry__ as E
+
+    out = E.queries()["host_distance"](sf_unit).to_pandas()
+    assert list(out.columns) == ["host", "dist"]
+    assert (out["dist"] >= 0).all()
+    # exactly one root at dist 0
+    assert int((out["dist"] == 0).sum()) == 1
