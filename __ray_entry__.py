@@ -1147,6 +1147,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "split_assign", "split_leakage", "value_deciles",
     "trimmed_mean", "rolling_active_users", "event_intervals", "host_cap",
     "interval_coverage", "hamming_neighbors", "host_distance",
+    "supplier_cooccurrence",
 ]
 
 
@@ -1264,6 +1265,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "important_parts": TL.q_important_parts,
         "excess_suppliers": TL.q_excess_suppliers,
         "min_bal_supplier": TL.q_min_bal_supplier,
+        "supplier_cooccurrence": TL.q_supplier_cooccurrence,
         "events_moving_sum": EV.q_events_moving_sum,
         "user_event_path": EV.q_user_event_path,
         "user_top_event": EV.q_user_top_event,
@@ -1468,6 +1470,7 @@ WHERE rn <= {HOST_CAP_K}"""),
         "important_parts": TL.SQL_IMPORTANT_PARTS,
         "excess_suppliers": TL.SQL_EXCESS_SUPPLIERS,
         "min_bal_supplier": TL.SQL_MIN_BAL_SUPPLIER,
+        "supplier_cooccurrence": TL.SQL_SUPPLIER_COOCCURRENCE,
         "events_moving_sum": EV.SQL_EVENTS_MOVING_SUM,
         "user_event_path": EV.SQL_USER_EVENT_PATH,
         "user_top_event": EV.SQL_USER_TOP_EVENT,

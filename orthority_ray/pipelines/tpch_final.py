@@ -493,3 +493,55 @@ SELECT o_orderkey,
             OVER (PARTITION BY o_custkey) AS BIGINT) AS cust_total_cents
 FROM orders
 """.strip()
+
+
+# --- market-basket co-occurrence: supplier pairs sharing orders --------------
+
+COOCCUR_TOPK = 20
+
+
+def q_supplier_cooccurrence(sf_dir: str) -> ray.data.Dataset:
+    """Top-``COOCCUR_TOPK`` supplier pairs by co-occurrence support (the
+    number of orders both supplied) — association mining over the fact
+    table, the relational twin of the text family's token_cooccurrence.
+
+    Ray shape: per-block DISTINCT (order, supplier) combiner -> ONE
+    co-partitioning exchange on l_orderkey (``bucketed_group_apply``)
+    generating per-order pairs with the LSH machinery's vectorized
+    ``grouped_pairs`` (expansion bounded by order size: <= C(7,2) rows
+    per order) -> pair-dimension ``combined_groupby_sum`` -> global
+    top-k without a global sort (per-block partial top-k + one k-row
+    merge).  Ties break on (s_a, s_b) on both sides."""
+    from ..stages.grouping import grouped_pairs
+    from .relational import combined_groupby_sum, global_topk
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "ok": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "s": b["l_suppkey"].to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def pairs_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return grouped_pairs(g, ["ok"], "s", "s_a", "s_b")
+
+    prepped = li.map_batches(prep, batch_format="pyarrow",
+                             batch_size=65536)
+    pairs = bucketed_group_apply(prepped, ["ok"], pairs_fn)
+    counts = combined_groupby_sum(pairs, ["s_a", "s_b"], [],
+                                  count_alias="support")
+    return global_topk(counts, ["support", "s_a", "s_b"],
+                       [False, True, True], COOCCUR_TOPK)
+
+
+SQL_SUPPLIER_COOCCURRENCE = f"""
+WITH ds AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+pairs AS (SELECT a.s AS s_a, b.s AS s_b, CAST(COUNT(*) AS BIGINT) AS support
+          FROM ds a JOIN ds b ON a.ok = b.ok AND a.s < b.s
+          GROUP BY 1, 2)
+SELECT s_a, s_b, support,
+       row_number() OVER (ORDER BY support DESC, s_a, s_b) AS rank
+FROM pairs ORDER BY support DESC, s_a, s_b LIMIT {COOCCUR_TOPK}
+""".strip()
