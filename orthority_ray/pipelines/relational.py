@@ -172,7 +172,8 @@ def bucketed_sum(partials: ray.data.Dataset, key: str, val: str,
 
 def combined_groupby_sum(ds: ray.data.Dataset, keys: list[str], sum_cols: list[str],
                          count_alias: str | None = None,
-                         batch_size: int | None = 65536) -> ray.data.Dataset:
+                         batch_size: int | None = 65536,
+                         bucketed: bool | None = None) -> ray.data.Dataset:
     """groupby(keys) with COUNT + integer SUMs, pre-combined per block: each
     batch collapses to <= distinct(keys) rows (vectorized pandas groupby)
     before the shuffle.  The sums must already be per-row values named as
@@ -202,12 +203,16 @@ def combined_groupby_sum(ds: ray.data.Dataset, keys: list[str], sum_cols: list[s
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=batch_size)
-    if len(keys) > 1:
-        # Ray's multi-key groupby sorts on a tuple path that measured
-        # 3.9 s for 51k rows (r5, rolling_active_users) — ~80x slower
-        # than the single-int-key sort.  Route the exchange through the
-        # bucket hash instead: one int key, whole groups per bucket,
-        # exact vectorized merge inside.
+    if bucketed is None:
+        bucketed = len(keys) > 1
+    if bucketed:
+        # Ray's groupby sort path degrades with KEY CARDINALITY, not row
+        # count: multi-key tuples measured 3.9 s for 51k rows and a
+        # single int64 key with 2.5M distinct values measured 42 s for
+        # 5.8M rows (r5) — while the same exchange through a 64-value
+        # bucket hash runs in ~1.5 s.  Default the bucket path for
+        # multi-key; single-key callers whose key is ROW-SCALE (per-doc
+        # folds) should pass ``bucketed=True``.
         from ..stages.grouping import bucketed_group_apply
 
         val_cols = ([count_alias] if count_alias else []) + sum_cols

@@ -208,15 +208,19 @@ def hamming_neighbors(pages: ray.data.Dataset) -> ray.data.Dataset:
 
     This is the similarity-JOIN primitive (``edit_distance`` is pairwise
     compute on given pairs; this FINDS the pairs): each key emits
-    ``KEY_WIDTH`` blocking keys (position p wildcarded); two keys collide
-    on blocking key (p, k[:p]+'_'+k[p+1:]) iff they differ at exactly
-    position p — so every Hamming-1 pair meets in EXACTLY one group (no
-    dedup pass needed) and no non-pair ever meets.  Work is
-    O(N * KEY_WIDTH) rows through one co-partitioning exchange; group
-    sizes are collision-cluster-sized, never corpus-sized.
+    ``KEY_WIDTH`` blocking keys — digit position p ZEROED, encoded as one
+    int64 ``(key - digit_p * 10^p) * 10 + p`` — and two keys collide on a
+    blocking key iff they differ at exactly digit p.  So every Hamming-1
+    pair meets in EXACTLY one group (no dedup pass) and no non-pair ever
+    meets.  Work is O(N * KEY_WIDTH) 16-byte rows through one
+    co-partitioning exchange; group sizes are collision-cluster-sized,
+    never corpus-sized.  All keys are integer arithmetic end to end — the
+    first cut used pandas str slicing + a string-keyed exchange and spent
+    21 s of a 24 s wall inside the shuffle at sf0.1; the int64 encoding
+    runs the same join in ~3 s.
 
-    Ray shape: map-side 10x skinny expansion (vectorized pandas str
-    slicing) -> ``bucketed_group_apply`` on (p, bk) computing
+    Ray shape: map-side 10x skinny expansion (pure numpy) ->
+    ``bucketed_group_apply`` on the int64 blocking key computing
     (group size - 1) per member via one transform('size') across the
     whole bucket -> single-key ``combined_groupby_sum`` fold per doc."""
     import pandas as pd
@@ -224,44 +228,46 @@ def hamming_neighbors(pages: ray.data.Dataset) -> ray.data.Dataset:
     from ..pipelines.relational import combined_groupby_sum
     from .grouping import bucketed_group_apply
 
+    pows = np.array([10 ** p for p in range(KEY_WIDTH)], np.int64)
+
     def expand(b: pa.Table) -> pa.Table:
         # block-level dedup; the global dedup is free (identical doc_ids
         # produce identical blocking keys, so every duplicate pair
         # co-locates and group_counts drops it without an extra exchange)
         doc = np.unique(b["doc_id"].to_numpy(zero_copy_only=False))
-        k = pd.Series(doc).astype(str).str.zfill(KEY_WIDTH)
-        parts = []
+        n = doc.shape[0]
+        bks = np.empty(n * KEY_WIDTH, np.int64)
         for p in range(KEY_WIDTH):
-            bk = k.str.slice(0, p) + "_" + k.str.slice(p + 1)
-            parts.append(pd.DataFrame({
-                "doc_id": doc, "p": np.int64(p), "bk": bk}))
-        return pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
-                                    preserve_index=False)
+            zeroed = doc - ((doc // pows[p]) % 10) * pows[p]
+            bks[p * n:(p + 1) * n] = zeroed * KEY_WIDTH + p
+        return pa.table({"doc_id": pa.array(np.tile(doc, KEY_WIDTH)),
+                         "bk": pa.array(bks)})
 
     def group_counts(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates()  # whole-corpus distinct (see expand note)
-        n = g.groupby(["p", "bk"], sort=False)["doc_id"].transform("size")
+        n = g.groupby("bk", sort=False)["doc_id"].transform("size")
         out = pd.DataFrame({"doc_id": g["doc_id"],
                             "n_nbrs": (n - 1).astype(np.int64)})
         return out[out["n_nbrs"] > 0]
 
     expanded = pages.map_batches(expand, batch_format="pyarrow",
                                  batch_size=65536)
-    member = bucketed_group_apply(expanded, ["p", "bk"], group_counts)
-    return combined_groupby_sum(member, ["doc_id"], ["n_nbrs"])
+    member = bucketed_group_apply(expanded, ["bk"], group_counts)
+    # the fold key is ROW-SCALE (one per doc): force the bucket exchange
+    # — Ray's plain single-key aggregate measured 20 s at 456k keys (r5)
+    return combined_groupby_sum(member, ["doc_id"], ["n_nbrs"],
+                                bucketed=True)
 
 
 SQL_HAMMING_NEIGHBORS = f"""
-, keys AS (SELECT DISTINCT doc_id,
-                  lpad(CAST(doc_id AS VARCHAR), {KEY_WIDTH}, '0') AS k
-           FROM pages),
-bl AS (SELECT doc_id, p,
-              substr(k, 1, CAST(p AS INT) - 1) || '_'
-                || substr(k, CAST(p AS INT) + 1) AS bk
-       FROM keys, generate_series(1, {KEY_WIDTH}) AS g(p)),
+, pows AS (SELECT p, CAST(power(10, p) AS BIGINT) AS pw
+           FROM generate_series(0, {KEY_WIDTH - 1}) AS g(p)),
+keys AS (SELECT DISTINCT doc_id FROM pages),
+bl AS (SELECT doc_id,
+              (doc_id - ((doc_id // pw) % 10) * pw) * {KEY_WIDTH} + p AS bk
+       FROM keys, pows),
 cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM bl a JOIN bl b ON a.bk = b.bk AND a.p = b.p
-            AND a.doc_id < b.doc_id),
+         FROM bl a JOIN bl b ON a.bk = b.bk AND a.doc_id < b.doc_id),
 both_sides AS (SELECT id_a AS doc_id FROM cand
                UNION ALL SELECT id_b FROM cand)
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_nbrs
