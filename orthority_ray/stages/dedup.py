@@ -74,14 +74,13 @@ def exact_dedup_groups(ds: ray.data.Dataset, col: str = "text") -> ray.data.Data
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
+    # text_md5 is ROW-SCALE on a low-duplication corpus: fold through the
+    # bucket exchange, not Ray's cardinality-cliffed native aggregate (r5)
+    from .grouping import bucketed_agg
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby("text_md5")
-        .aggregate(Sum("n_dups", alias_name="n_dups"),
-                   Min("rep_doc_id", alias_name="rep_doc_id"))
-    )
+    return bucketed_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["text_md5"], {"n_dups": "sum", "rep_doc_id": "min"})
 
 
 _REP_GROUPS_MEMO: dict[tuple, ray.data.Dataset] = {}
@@ -770,14 +769,15 @@ def connected_components(pairs: ray.data.Dataset, max_rounds: int = 64) -> ray.d
         return _unionfind_small(edges)
 
     # labels: node -> current component label (starts as the node itself)
-    labels = (
+    from .grouping import bucketed_agg
+
+    # node is row-scale: bucket-hash folds, not the cardinality-cliffed
+    # native aggregate (r5; see grouping.bucketed_agg)
+    labels = bucketed_agg(
         edges.map_batches(
             lambda b: pa.table({"node": b["a"], "label": b["a"]}), batch_format="pyarrow"
-        )
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-        .materialize()
-    )
+        ),
+        ["node"], {"label": "min"}).materialize()
     checksum = _label_checksum(labels)
 
     for _ in range(max_rounds):
@@ -791,12 +791,8 @@ def connected_components(pairs: ray.data.Dataset, max_rounds: int = 64) -> ray.d
             lambda t: pa.table({"node": t["a"], "label": t["label"]}),
             batch_format="pyarrow",
         )
-        labels = (
-            pushed.union(labels)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
+        labels = bucketed_agg(pushed.union(labels),
+                              ["node"], {"label": "min"}).materialize()
         new_checksum = _label_checksum(labels)
         if new_checksum == checksum:
             break

@@ -143,3 +143,34 @@ def distinct_rows(ds: ray.data.Dataset, keys: list[str],
         return g.sort_values(order, kind="mergesort").drop_duplicates(keys)
 
     return bucketed_group_apply(ds, keys, fn, n_buckets=n_buckets)
+
+
+def bucketed_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    agg_map: dict[str, str],
+    n_buckets: int = 64,
+    batch_size: int | None = 65536,
+) -> ray.data.Dataset:
+    """``groupby(keys).agg(agg_map)`` through the bucket-hash exchange —
+    the high-cardinality-safe replacement for Ray's
+    ``Dataset.groupby().aggregate(...)``: Ray's sort-based reduce degrades
+    with KEY CARDINALITY (r5 measurement: 2.5M distinct int64 keys over
+    5.8M rows = 42 s vs 1.5 s through a 64-value bucket hash), so any
+    fold whose key is ROW-SCALE (per-text, per-node, per-doc) should come
+    through here.  ``agg_map``: output column -> pandas agg name
+    ('sum' | 'min' | 'max' | 'size' etc., applied to the column of the
+    same name); column order = keys + agg_map order, dtypes preserved by
+    the vectorized in-bucket pandas agg.  Callers whose fold key is
+    dimension-sized should keep Ray's native aggregate (one less map
+    stage and the reduce is cheap there)."""
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby(keys, as_index=False, sort=False).agg(
+            **{c: (c, f) for c, f in agg_map.items()})
+        # emit ARROW blocks so callers can union the result with
+        # arrow-block datasets (mixed block types fail Ray's batcher)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed_group_apply(ds, keys, merge, n_buckets=n_buckets,
+                                batch_size=batch_size)
