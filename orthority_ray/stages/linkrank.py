@@ -539,8 +539,6 @@ def bfs_hops(und: ray.data.Dataset, force_distributed: bool = False
             "d": pa.array(dist[reach])}))
 
     # distributed Bellman-Ford (node-dim dist table, edge list streamed)
-    from ray.data.aggregate import Min
-
     root = int(und.min("src"))
     dist = ray.data.from_arrow(pa.table({
         "node": pa.array([root], pa.int64()),
@@ -559,8 +557,11 @@ def bfs_hops(und: ray.data.Dataset, force_distributed: bool = False
                              "d": pc.add(b["d"], 1).cast(pa.int64())})
 
         cand = stepped.map_batches(bump, batch_format="pyarrow").union(dist)
-        dist = cand.groupby("node").aggregate(
-            Min("d", alias_name="d")).materialize()
+        # node is row-scale on a general graph: bucket-hash fold (r5,
+        # grouping.bucketed_agg) instead of the cardinality-cliffed
+        # native aggregate
+        from .grouping import bucketed_agg
+        dist = bucketed_agg(cand, ["node"], {"d": "min"}).materialize()
         sig = (dist.count(), int(dist.sum("d")))
         if sig == prev_sig:
             break
