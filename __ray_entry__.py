@@ -1147,7 +1147,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "split_assign", "split_leakage", "value_deciles",
     "trimmed_mean", "rolling_active_users", "event_intervals", "host_cap",
     "interval_coverage", "hamming_neighbors", "host_distance",
-    "supplier_cooccurrence",
+    "supplier_cooccurrence", "value_cdf",
 ]
 
 
@@ -1273,6 +1273,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "rolling_active_users": EV.q_rolling_active_users,
         "event_intervals": EV.q_event_intervals,
         "interval_coverage": EV.q_interval_coverage,
+        "value_cdf": EV.q_value_cdf,
         "hamming_neighbors": q_hamming_neighbors,
         "doc_chunks": CH.doc_chunks,
         "bigram_top": CH.bigram_top,
@@ -1478,6 +1479,7 @@ WHERE rn <= {HOST_CAP_K}"""),
         "rolling_active_users": EV.SQL_ROLLING_ACTIVE_USERS,
         "event_intervals": EV.SQL_EVENT_INTERVALS,
         "interval_coverage": EV.SQL_INTERVAL_COVERAGE,
+        "value_cdf": EV.SQL_VALUE_CDF,
         "hamming_neighbors": S.with_pages(_SQL_HAMMING),
         "doc_chunks": CH.SQL_DOC_CHUNKS,
         "bigram_top": CH.SQL_BIGRAM_TOP,

@@ -597,3 +597,63 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
        CAST(SUM(en - st) AS BIGINT) AS covered_us
 FROM isl GROUP BY user_id
 """.strip()
+
+
+# --- exact per-type CDF table: the distribution-function primitive -----------
+
+CDF_PPM = 1_000_000
+
+
+def q_value_cdf(sf_dir: str) -> ray.data.Dataset:
+    """Per (event_type, distinct v_cents): count, running count, and the
+    exact cumulative-distribution point in integer parts-per-million —
+    the CDF table behind percent_rank / cume_dist / calibration curves,
+    keyed by DISTINCT value so the output is value-domain-sized, never
+    row-scale (the scale-safe way to expose a distribution function:
+    value_deciles answers "which bin", this answers "what fraction is
+    <= v" for every observed v).
+
+    Ray shape: per-block (type, v_cents) count combiner -> multi-key
+    bucketed exchange -> ONE type-bucketed prefix pass (sort + pandas
+    C cumsum/transform across the whole bucket).  cum * 10^6 // total is
+    non-negative integer division — numpy matches DuckDB ``//``."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "v_cents": pa.array(
+                cents(b["value"].to_numpy(zero_copy_only=False))),
+        })
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow",
+                             batch_size=65536)
+    counts = combined_groupby_sum(prepped, ["event_type", "v_cents"], [],
+                                  count_alias="n")
+
+    def cdf(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["event_type", "v_cents"], kind="mergesort")
+        gb = d.groupby("event_type", sort=False)["n"]
+        cum = gb.cumsum().astype(np.int64)
+        tot = gb.transform("sum").astype(np.int64)
+        d["cum_n"] = cum
+        d["cume_ppm"] = (cum * CDF_PPM // tot).astype(np.int64)
+        return d
+
+    return bucketed_group_apply(counts, ["event_type"], cdf)
+
+
+SQL_VALUE_CDF = f"""
+SELECT event_type, v_cents, n, cum_n,
+       CAST(cum_n * {CDF_PPM} // total_n AS BIGINT) AS cume_ppm
+FROM (
+  SELECT event_type, v_cents, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type
+                                  ORDER BY v_cents) AS BIGINT) AS cum_n,
+         CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type) AS BIGINT)
+           AS total_n
+  FROM (SELECT event_type,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_cents
+        FROM events)
+  GROUP BY event_type, v_cents)
+""".strip()
