@@ -1147,7 +1147,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "split_assign", "split_leakage", "value_deciles",
     "trimmed_mean", "rolling_active_users", "event_intervals", "host_cap",
     "interval_coverage", "hamming_neighbors", "host_distance",
-    "supplier_cooccurrence", "value_cdf",
+    "supplier_cooccurrence", "value_cdf", "pareto_orders",
 ]
 
 
@@ -1266,6 +1266,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "excess_suppliers": TL.q_excess_suppliers,
         "min_bal_supplier": TL.q_min_bal_supplier,
         "supplier_cooccurrence": TL.q_supplier_cooccurrence,
+        "pareto_orders": TL.q_pareto_orders,
         "events_moving_sum": EV.q_events_moving_sum,
         "user_event_path": EV.q_user_event_path,
         "user_top_event": EV.q_user_top_event,
@@ -1472,6 +1473,7 @@ WHERE rn <= {HOST_CAP_K}"""),
         "excess_suppliers": TL.SQL_EXCESS_SUPPLIERS,
         "min_bal_supplier": TL.SQL_MIN_BAL_SUPPLIER,
         "supplier_cooccurrence": TL.SQL_SUPPLIER_COOCCURRENCE,
+        "pareto_orders": TL.SQL_PARETO_ORDERS,
         "events_moving_sum": EV.SQL_EVENTS_MOVING_SUM,
         "user_event_path": EV.SQL_USER_EVENT_PATH,
         "user_top_event": EV.SQL_USER_TOP_EVENT,

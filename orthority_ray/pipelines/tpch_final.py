@@ -545,3 +545,80 @@ SELECT s_a, s_b, support,
        row_number() OVER (ORDER BY support DESC, s_a, s_b) AS rank
 FROM pairs ORDER BY support DESC, s_a, s_b LIMIT {COOCCUR_TOPK}
 """.strip()
+
+
+# --- Pareto frontier (2-D skyline): cheapest-earliest distinct points --------
+
+
+def _skyline_2d(df: pd.DataFrame) -> pd.DataFrame:
+    """Exact 2-D skyline (minimize price_cents AND day) over DISTINCT
+    points: sort by (price, day), keep rows whose day is strictly below
+    the running min of all preceding days — the O(n log n) sweep that the
+    window-SQL oracle mirrors clause for clause."""
+    d = df.sort_values(["price_cents", "day"], kind="mergesort")
+    day = d["day"].to_numpy()
+    best = np.empty(day.shape[0], np.int64)
+    if day.shape[0]:
+        best[0] = np.iinfo(np.int64).max  # no predecessor
+        np.minimum.accumulate(day[:-1], out=best[1:])
+    return d[day < best]
+
+
+def q_pareto_orders(sf_dir: str) -> ray.data.Dataset:
+    """The (price, date) Pareto frontier of all orders — skyline /
+    dominance analysis: every DISTINCT (price_cents, day) point no other
+    point beats on both axes, with its order multiplicity.  The classic
+    distributed-skyline shape:
+
+    1. per-block DISTINCT-point combiner (count per (price, day));
+    2. per-block LOCAL skyline — dominated points never leave the block,
+       so the consolidation input is sum-of-local-skylines-sized
+       (expected O(log block) points per block on independent axes;
+       worst case anti-correlated data degrades to the distinct-point
+       count — the documented contract);
+    3. one driver fold: skyline-of-skylines + a multiplicity re-sum
+       (local counts of a surviving point sum exactly; points pruned
+       locally are dominated globally too, so no count is lost from
+       frontier points).
+
+    The survivors-only exchange makes this the cheapest wide step in the
+    registry: only candidate frontier points ever move."""
+    ev = _read(sf_dir, "orders", ["o_totalprice", "o_orderdate"])
+    from .relational import DAY_US
+
+    def local(b: pa.Table) -> pa.Table:
+        price = cents(b["o_totalprice"].to_numpy(zero_copy_only=False))
+        day = (b["o_orderdate"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY_US)
+        pts = pd.DataFrame({"price_cents": price, "day": day}) \
+            .groupby(["price_cents", "day"], as_index=False).size() \
+            .rename(columns={"size": "n_orders"})
+        pts["n_orders"] = pts["n_orders"].astype(np.int64)
+        return pa.Table.from_pandas(_skyline_2d(pts), preserve_index=False)
+
+    locals_ = ev.map_batches(local, batch_format="pyarrow",
+                             batch_size=65536).to_pandas()
+    # driver fold over survivors only: re-sum multiplicities of points
+    # that appear in several blocks, then the final sweep
+    merged = locals_.groupby(["price_cents", "day"], as_index=False) \
+        ["n_orders"].sum()
+    merged["n_orders"] = merged["n_orders"].astype(np.int64)
+    out = _skyline_2d(merged).reset_index(drop=True)
+    return ray.data.from_arrow(pa.Table.from_pandas(out,
+                                                    preserve_index=False))
+
+
+SQL_PARETO_ORDERS = f"""
+WITH c AS (SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                    AS price_cents,
+                  epoch_us(o_orderdate) // 86400000000 AS day
+           FROM orders),
+pts AS (SELECT price_cents, day, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM c GROUP BY 1, 2),
+s AS (SELECT *, MIN(day) OVER (ORDER BY price_cents, day
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS best
+      FROM pts)
+SELECT price_cents, day, n_orders FROM s
+WHERE best IS NULL OR day < best
+""".strip()

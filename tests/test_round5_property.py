@@ -140,3 +140,30 @@ def test_bfs_hops_matches_brute_force(pairs):
         "dst": pa.array(t, pa.int64())})).materialize()
     out = bfs_hops(und).to_pandas()
     assert dict(zip(out["node"], out["d"])) == _brute_bfs(pairs)
+
+
+# --- 2-D skyline sweep vs brute-force dominance ------------------------------
+
+
+def _brute_skyline(pts):
+    out = []
+    for p in pts:
+        dominated = any(
+            q != p and q[0] <= p[0] and q[1] <= p[1] for q in pts)
+        if not dominated:
+            out.append(p)
+    return sorted(out)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=12),
+              st.integers(min_value=0, max_value=12)),
+    min_size=1, max_size=60))
+def test_skyline_2d_matches_brute_force(pts):
+    from orthority_ray.pipelines.tpch_final import _skyline_2d
+
+    distinct = sorted(set(pts))
+    df = pd.DataFrame(distinct, columns=["price_cents", "day"])
+    got = sorted(map(tuple, _skyline_2d(df).to_numpy()))
+    assert got == _brute_skyline(distinct)
