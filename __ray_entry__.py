@@ -292,6 +292,14 @@ def q_host_rank(sf_dir: str):
     return host_rank(sf_dir)
 
 
+def q_id_gaps(sf_dir: str):
+    """Missing-doc-id range audit (stages/audit.id_gaps): range-bucketed
+    islands-and-gaps with driver boundary stitching."""
+    from orthority_ray.stages.audit import id_gaps
+
+    return id_gaps(sf_dir)
+
+
 def q_host_distance(sf_dir: str):
     """BFS hop distance from the min-index syndication host
     (stages/linkrank.host_distance): the graph family's SSSP member —
@@ -1147,7 +1155,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "split_assign", "split_leakage", "value_deciles",
     "trimmed_mean", "rolling_active_users", "event_intervals", "host_cap",
     "interval_coverage", "hamming_neighbors", "host_distance",
-    "supplier_cooccurrence", "value_cdf", "pareto_orders",
+    "supplier_cooccurrence", "value_cdf", "pareto_orders", "id_gaps",
 ]
 
 
@@ -1267,6 +1275,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "min_bal_supplier": TL.q_min_bal_supplier,
         "supplier_cooccurrence": TL.q_supplier_cooccurrence,
         "pareto_orders": TL.q_pareto_orders,
+        "id_gaps": q_id_gaps,
         "events_moving_sum": EV.q_events_moving_sum,
         "user_event_path": EV.q_user_event_path,
         "user_top_event": EV.q_user_top_event,
@@ -1474,6 +1483,7 @@ WHERE rn <= {HOST_CAP_K}"""),
         "min_bal_supplier": TL.SQL_MIN_BAL_SUPPLIER,
         "supplier_cooccurrence": TL.SQL_SUPPLIER_COOCCURRENCE,
         "pareto_orders": TL.SQL_PARETO_ORDERS,
+        "id_gaps": S.with_pages(AUD.SQL_ID_GAPS),
         "events_moving_sum": EV.SQL_EVENTS_MOVING_SUM,
         "user_event_path": EV.SQL_USER_EVENT_PATH,
         "user_top_event": EV.SQL_USER_TOP_EVENT,

@@ -235,3 +235,104 @@ def sql_table_profile(table: str = "lineitem",
         for c in cols
     ]
     return "\nUNION ALL\n".join(parts)
+
+
+# --- id-gap detection: the data-completeness audit ---------------------------
+
+GAP_BUCKET_W = 4096  # id-range width co-located per group
+
+
+def id_gaps(sf_dir: str) -> ray.data.Dataset:
+    """(gap_start, gap_end, gap_len): every maximal contiguous range of
+    MISSING doc ids between the corpus' min and max id — the completeness
+    audit that catches dropped partitions / half-written shards in a
+    resumable ingest.
+
+    Distributed islands-and-gaps with RANGE bucketing (contrast the hash
+    bucketing everywhere else: adjacency is a RANGE property, so the
+    co-location key is ``id // GAP_BUCKET_W``, which puts every in-bucket
+    neighbor pair in one group):
+
+    1. per-block distinct + range-bucket tag;
+    2. one bucketed exchange; inside each bucket a vectorized sorted-diff
+       emits the IN-BUCKET gaps (duplicates collapse here for free —
+       an id determines its bucket);
+    3. per-bucket (min_id, max_id) summaries — bucket-dimension-sized —
+       fold on the driver, which stitches the CROSS-bucket gaps between
+       consecutive non-empty buckets (covers any run of wholly-empty
+       buckets in one range).
+
+    Oracle twin: LEAD over the distinct ids."""
+    import ray.data
+
+    from ..pipelines.relational import combined_groupby_sum
+    from ..sources.pages import read_page_keys
+    from .grouping import bucketed_agg, bucketed_group_apply
+
+    keys = read_page_keys(sf_dir)
+
+    def tag(b: pa.Table) -> pa.Table:
+        ids = np.unique(b["doc_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"id": pa.array(ids),
+                         "rb": pa.array(ids // GAP_BUCKET_W)})
+
+    tagged = keys.map_batches(tag, batch_format="pyarrow",
+                              batch_size=65536)
+
+    def in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby("rb", sort=False):
+            ids = np.unique(grp["id"].to_numpy())
+            nxt = ids[1:]
+            cur = ids[:-1]
+            m = nxt > cur + 1
+            out.append(pd.DataFrame({
+                "gap_start": (cur[m] + 1).astype(np.int64),
+                "gap_end": (nxt[m] - 1).astype(np.int64)}))
+        df = (pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"gap_start": np.array([], np.int64),
+             "gap_end": np.array([], np.int64)}))
+        # arrow blocks so the union with the boundary table is uniform
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    inner = bucketed_group_apply(tagged, ["rb"], in_bucket)
+
+    def summary(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "rb": b["rb"].to_numpy(zero_copy_only=False),
+            "min_id": b["id"].to_numpy(zero_copy_only=False),
+            "max_id": b["id"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("rb", as_index=False).agg(
+            min_id=("min_id", "min"), max_id=("max_id", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sums = bucketed_agg(tagged.map_batches(summary, batch_format="pyarrow",
+                                           batch_size=65536),
+                        ["rb"], {"min_id": "min", "max_id": "max"}) \
+        .to_pandas().sort_values("rb")  # bucket-dimension-sized
+    prev_max = sums["max_id"].to_numpy()[:-1]
+    next_min = sums["min_id"].to_numpy()[1:]
+    m = next_min > prev_max + 1
+    boundary = pa.table({
+        "gap_start": pa.array((prev_max[m] + 1).astype(np.int64)),
+        "gap_end": pa.array((next_min[m] - 1).astype(np.int64))})
+
+    both = inner.union(ray.data.from_arrow(boundary))
+
+    def with_len(b: pa.Table) -> pa.Table:
+        s = b["gap_start"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = b["gap_end"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"gap_start": pa.array(s), "gap_end": pa.array(e),
+                         "gap_len": pa.array(e - s + 1)})
+
+    return both.map_batches(with_len, batch_format="pyarrow")
+
+
+SQL_ID_GAPS = """
+, ids AS (SELECT DISTINCT doc_id AS id FROM pages),
+g AS (SELECT id, LEAD(id) OVER (ORDER BY id) AS nxt FROM ids)
+SELECT id + 1 AS gap_start, nxt - 1 AS gap_end,
+       nxt - id - 1 AS gap_len
+FROM g WHERE nxt > id + 1
+""".strip()

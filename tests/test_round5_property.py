@@ -167,3 +167,43 @@ def test_skyline_2d_matches_brute_force(pts):
     df = pd.DataFrame(distinct, columns=["price_cents", "day"])
     got = sorted(map(tuple, _skyline_2d(df).to_numpy()))
     assert got == _brute_skyline(distinct)
+
+
+# --- id_gaps vs brute force (incl. cross-bucket stitching) -------------------
+
+
+def _brute_gaps(ids):
+    ids = sorted(set(ids))
+    out = []
+    for a, b in zip(ids, ids[1:]):
+        if b > a + 1:
+            out.append((a + 1, b - 1, b - a - 1))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=st.lists(st.integers(min_value=0, max_value=3 * 4096 + 100),
+                     min_size=2, max_size=150))
+def test_id_gaps_matches_brute_force(tmp_path_factory, rows):
+    """Ids drawn across >3 range buckets so the driver boundary stitch
+    (including wholly-empty middle buckets) is exercised."""
+    import pyarrow.parquet as pq
+
+    from orthority_ray.stages.audit import id_gaps
+
+    d = tmp_path_factory.mktemp("gaps")
+    ids = np.array(sorted(set(rows)), np.int64)
+    # write a minimal lineitem whose (orderkey, linenumber) decode back
+    # to exactly these doc ids (doc_id = ok*8 + ln, ln in 1..7)
+    keep = ids[ids % 8 != 0]
+    if keep.size < 2:
+        from hypothesis import assume
+        assume(False)
+    tbl = pa.table({
+        "l_orderkey": pa.array(keep // 8, pa.int64()),
+        "l_linenumber": pa.array(keep % 8, pa.int64()),
+    })
+    pq.write_table(tbl, d / "lineitem.parquet")
+    out = id_gaps(str(d)).to_pandas()
+    got = sorted(map(tuple, out.to_numpy()))
+    assert got == _brute_gaps(keep.tolist())
