@@ -1156,6 +1156,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "trimmed_mean", "rolling_active_users", "event_intervals", "host_cap",
     "interval_coverage", "hamming_neighbors", "host_distance",
     "supplier_cooccurrence", "value_cdf", "pareto_orders", "id_gaps",
+    "time_weighted_value",
 ]
 
 
@@ -1284,6 +1285,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "event_intervals": EV.q_event_intervals,
         "interval_coverage": EV.q_interval_coverage,
         "value_cdf": EV.q_value_cdf,
+        "time_weighted_value": EV.q_time_weighted_value,
         "hamming_neighbors": q_hamming_neighbors,
         "doc_chunks": CH.doc_chunks,
         "bigram_top": CH.bigram_top,
@@ -1492,6 +1494,7 @@ WHERE rn <= {HOST_CAP_K}"""),
         "event_intervals": EV.SQL_EVENT_INTERVALS,
         "interval_coverage": EV.SQL_INTERVAL_COVERAGE,
         "value_cdf": EV.SQL_VALUE_CDF,
+        "time_weighted_value": EV.SQL_TIME_WEIGHTED_VALUE,
         "hamming_neighbors": S.with_pages(_SQL_HAMMING),
         "doc_chunks": CH.SQL_DOC_CHUNKS,
         "bigram_top": CH.SQL_BIGRAM_TOP,
