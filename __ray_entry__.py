@@ -1156,7 +1156,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "trimmed_mean", "rolling_active_users", "event_intervals", "host_cap",
     "interval_coverage", "hamming_neighbors", "host_distance",
     "supplier_cooccurrence", "value_cdf", "pareto_orders", "id_gaps",
-    "time_weighted_value",
+    "time_weighted_value", "top_paths",
 ]
 
 
@@ -1286,6 +1286,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "interval_coverage": EV.q_interval_coverage,
         "value_cdf": EV.q_value_cdf,
         "time_weighted_value": EV.q_time_weighted_value,
+        "top_paths": EV.q_top_paths,
         "hamming_neighbors": q_hamming_neighbors,
         "doc_chunks": CH.doc_chunks,
         "bigram_top": CH.bigram_top,
@@ -1495,6 +1496,7 @@ WHERE rn <= {HOST_CAP_K}"""),
         "interval_coverage": EV.SQL_INTERVAL_COVERAGE,
         "value_cdf": EV.SQL_VALUE_CDF,
         "time_weighted_value": EV.SQL_TIME_WEIGHTED_VALUE,
+        "top_paths": EV.SQL_TOP_PATHS,
         "hamming_neighbors": S.with_pages(_SQL_HAMMING),
         "doc_chunks": CH.SQL_DOC_CHUNKS,
         "bigram_top": CH.SQL_BIGRAM_TOP,

@@ -728,3 +728,43 @@ SELECT user_id,
        CAST(MAX(ts) - MIN(ts) AS BIGINT) AS span_us
 FROM w GROUP BY user_id
 """.strip()
+
+
+# --- path analysis: most common event-type journeys --------------------------
+
+TOP_PATHS_K = 15
+
+
+def q_top_paths(sf_dir: str) -> ray.data.Dataset:
+    """The ``TOP_PATHS_K`` most common first-``PATH_N`` event-type
+    journeys with their user counts — product-analytics path mining,
+    composed from the registry's own primitives: the ordered string
+    aggregate (``q_user_event_path``'s one bucketed exchange) -> a
+    path-dimension count -> global top-k without a global sort.  Ties
+    break lexicographically on the path string on both sides."""
+    from .relational import combined_groupby_sum, global_topk
+
+    paths = q_user_event_path(sf_dir)
+    counts = combined_groupby_sum(paths, ["path"], [],
+                                  count_alias="n_users")
+    return global_topk(counts, ["n_users", "path"], [False, True],
+                       TOP_PATHS_K)
+
+
+SQL_TOP_PATHS = f"""
+WITH p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id)
+           AS path
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS rn
+    FROM events
+  ) WHERE rn <= {PATH_N}
+  GROUP BY user_id
+),
+c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM p GROUP BY path)
+SELECT path, n_users,
+       row_number() OVER (ORDER BY n_users DESC, path) AS rank
+FROM c ORDER BY n_users DESC, path LIMIT {TOP_PATHS_K}
+""".strip()
