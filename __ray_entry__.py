@@ -599,6 +599,15 @@ def q_quality(sf_dir: str):
         .select_columns(["doc_id", "quality"])
 
 
+def q_trending_tokens(sf_dir: str):
+    """Per-crawl-day top tokens (stages/textstats.trending_tokens):
+    block-combined (day, token) counts -> bucketed sum -> distributed
+    grouped top-n."""
+    from orthority_ray.stages.textstats import trending_tokens
+
+    return trending_tokens(read_pages(sf_dir, columns=["doc_id", "text"]))
+
+
 def q_host_cap(sf_dir: str, k: int = HOST_CAP_K):
     """Per-host document cap — the per-domain page limit every web-corpus
     curation pipeline applies before training: keep each host's top ``k``
@@ -1156,7 +1165,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "trimmed_mean", "rolling_active_users", "event_intervals", "host_cap",
     "interval_coverage", "hamming_neighbors", "host_distance",
     "supplier_cooccurrence", "value_cdf", "pareto_orders", "id_gaps",
-    "time_weighted_value", "top_paths",
+    "time_weighted_value", "top_paths", "trending_tokens",
 ]
 
 
@@ -1287,6 +1296,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "value_cdf": EV.q_value_cdf,
         "time_weighted_value": EV.q_time_weighted_value,
         "top_paths": EV.q_top_paths,
+        "trending_tokens": q_trending_tokens,
         "hamming_neighbors": q_hamming_neighbors,
         "doc_chunks": CH.doc_chunks,
         "bigram_top": CH.bigram_top,
@@ -1497,6 +1507,7 @@ WHERE rn <= {HOST_CAP_K}"""),
         "value_cdf": EV.SQL_VALUE_CDF,
         "time_weighted_value": EV.SQL_TIME_WEIGHTED_VALUE,
         "top_paths": EV.SQL_TOP_PATHS,
+        "trending_tokens": S.with_pages(T.SQL_TRENDING_TOKENS),
         "hamming_neighbors": S.with_pages(_SQL_HAMMING),
         "doc_chunks": CH.SQL_DOC_CHUNKS,
         "bigram_top": CH.SQL_BIGRAM_TOP,

@@ -614,3 +614,67 @@ FROM {pages} p
 LEFT JOIN best b ON b.text = p.text
 LEFT JOIN langs l ON l.li = b.li
 """.strip()
+
+
+# --- trending tokens: per-day top tokens (r5) --------------------------------
+
+WARC_BASE_US = 1_735_689_600_000_000  # epoch_us('2025-01-01'), warc_ts base
+TREND_DAY_US = 86_400_000_000
+TREND_K = 3
+
+
+def trending_tokens(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """(day, token, n, rn): each crawl day's ``TREND_K`` most frequent
+    whitespace tokens — the trending/zeitgeist query.  The crawl day is
+    pure doc_id arithmetic (warc_ts = base + doc_id seconds, sql.py
+    PAGES_CTE), so no timestamp column ever ships.
+
+    Ray shape: per-block (day, token) count combiner (Arrow list-flatten
+    tokenize + one pandas groupby — tokens never leave the block
+    uncounted) -> multi-key bucketed sum -> the distributed
+    ``grouped_topn`` selection on day (count DESC, token ASC ties)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..core.texthash import split_tokens_arrow
+    from ..pipelines.relational import combined_groupby_sum
+    from .windows import grouped_topn
+
+    def tok_day_counts(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy(zero_copy_only=False)
+        day = (WARC_BASE_US + doc * 1_000_000) // TREND_DAY_US
+        toks = split_tokens_arrow(b["text"])
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        df = pd.DataFrame({
+            "day": np.repeat(day, lens)[keep.to_numpy(
+                zero_copy_only=False)],
+            "token": flat.filter(keep).to_pandas(),
+        })
+        out = df.groupby(["day", "token"], as_index=False, sort=False) \
+            .size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = pages.map_batches(tok_day_counts, batch_format="pyarrow",
+                              batch_size=16384)
+    counts = combined_groupby_sum(parts, ["day", "token"], ["n"])
+    return grouped_topn(counts, "day", ["n", "token"], [False, True],
+                        TREND_K, ["day", "token", "n"], rank_name="rn")
+
+
+SQL_TRENDING_TOKENS = f"""
+, tok AS (
+  SELECT epoch_us(warc_ts) // {TREND_DAY_US} AS day,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '')) AS token
+  FROM pages),
+c AS (SELECT day, token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok GROUP BY 1, 2)
+SELECT day, token, n, rn FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY day
+                    ORDER BY n DESC, token) AS BIGINT) AS rn
+  FROM c)
+WHERE rn <= {TREND_K}
+""".strip()
