@@ -116,3 +116,19 @@ def test_combined_groupby_sum_multikey_single_group():
     df = pd.DataFrame({"a": [1, 1, 1], "b": [2, 2, 2], "v": [5, 6, 7]})
     got = _cgs(df, ["a", "b"], ["v"], count_alias="n")
     assert got.to_dict("records") == [{"a": 1, "b": 2, "n": 3, "v": 18}]
+
+
+def test_round5_new_queries_registered():
+    """Every round-5 operator must stay in BOTH maps and in the driver
+    priority sample (the r4 failure mode was a registry/oracle drift)."""
+    import __ray_entry__ as E
+
+    new = ["interval_coverage", "hamming_neighbors", "host_distance",
+           "supplier_cooccurrence", "value_cdf", "pareto_orders",
+           "id_gaps", "time_weighted_value", "top_paths",
+           "trending_tokens"]
+    q, o = E.queries(), E.oracle_sql()
+    for name in new:
+        assert name in q, name
+        assert name in o, name
+        assert name in E._DRIVER_UNCHECKED_FIRST, name
