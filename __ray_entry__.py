@@ -292,6 +292,14 @@ def q_host_rank(sf_dir: str):
     return host_rank(sf_dir)
 
 
+def q_skew_report(sf_dir: str):
+    """Join-key skew diagnostic (stages/audit.skew_report): hottest value
+    + integer-ppm share per declared join key."""
+    from orthority_ray.stages.audit import skew_report
+
+    return skew_report(sf_dir)
+
+
 def q_id_gaps(sf_dir: str):
     """Missing-doc-id range audit (stages/audit.id_gaps): range-bucketed
     islands-and-gaps with driver boundary stitching."""
@@ -1165,7 +1173,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "trimmed_mean", "rolling_active_users", "event_intervals", "host_cap",
     "interval_coverage", "hamming_neighbors", "host_distance",
     "supplier_cooccurrence", "value_cdf", "pareto_orders", "id_gaps",
-    "time_weighted_value", "top_paths", "trending_tokens",
+    "time_weighted_value", "top_paths", "trending_tokens", "skew_report",
 ]
 
 
@@ -1286,6 +1294,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "supplier_cooccurrence": TL.q_supplier_cooccurrence,
         "pareto_orders": TL.q_pareto_orders,
         "id_gaps": q_id_gaps,
+        "skew_report": q_skew_report,
         "events_moving_sum": EV.q_events_moving_sum,
         "user_event_path": EV.q_user_event_path,
         "user_top_event": EV.q_user_top_event,
@@ -1497,6 +1506,7 @@ WHERE rn <= {HOST_CAP_K}"""),
         "supplier_cooccurrence": TL.SQL_SUPPLIER_COOCCURRENCE,
         "pareto_orders": TL.SQL_PARETO_ORDERS,
         "id_gaps": S.with_pages(AUD.SQL_ID_GAPS),
+        "skew_report": AUD.sql_skew_report(),
         "events_moving_sum": EV.SQL_EVENTS_MOVING_SUM,
         "user_event_path": EV.SQL_USER_EVENT_PATH,
         "user_top_event": EV.SQL_USER_TOP_EVENT,

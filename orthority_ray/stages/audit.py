@@ -336,3 +336,94 @@ SELECT id + 1 AS gap_start, nxt - 1 AS gap_end,
        nxt - id - 1 AS gap_len
 FROM g WHERE nxt > id + 1
 """.strip()
+
+
+# --- join-key skew report: the shuffle-planning diagnostic -------------------
+
+SKEW_KEYS = [
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_suppkey"),
+    ("lineitem", "l_partkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+]
+
+
+def skew_report(sf_dir: str) -> ray.data.Dataset:
+    """(relation, key_name, hot_key, n_rows, total_rows, share_ppm): for
+    every declared join key, its HOTTEST value and that value's share of
+    the relation in integer parts-per-million — the skew diagnostic a
+    shuffle planner (stages/hashjoin.plan_hash_join) consults, exposed
+    as a first-class audit so a misdistributed key is visible before it
+    melts a reducer.
+
+    Ray shape per key: per-block count combiner -> bucketed sum (key
+    cardinality is ROW-SCALE for fact keys — grouping.bucketed_agg
+    contract) -> per-block partial argmax -> one tiny final fold.  The
+    per-key pipelines stream independently; results union."""
+    import ray.data
+
+    from ..pipelines.relational import combined_groupby_sum
+    from .grouping import bucketed_agg
+
+    outs = []
+    for rel, key in SKEW_KEYS:
+        path = table_path(sf_dir, rel)
+        ds = ray.data.read_parquet(path, columns=[key])
+
+        def count_partial(b: pa.Table, _k=key) -> pa.Table:
+            v = b[_k].to_numpy(zero_copy_only=False).astype(np.int64)
+            u, c = np.unique(v, return_counts=True)
+            return pa.table({"k": pa.array(u),
+                             "n": pa.array(c.astype(np.int64))})
+
+        counts = combined_groupby_sum(
+            ds.map_batches(count_partial, batch_format="pyarrow",
+                           batch_size=65536),
+            ["k"], ["n"], bucketed=True)
+
+        def block_argmax(b: pa.Table) -> pa.Table:
+            k = b["k"].to_numpy(zero_copy_only=False)
+            n = b["n"].to_numpy(zero_copy_only=False)
+            if n.shape[0] == 0:
+                return pa.table({"k": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64()),
+                                 "tot": pa.array([], pa.int64())})
+            # smallest key wins count ties (deterministic on both sides)
+            order = np.lexsort((k, -n))
+            i = order[0]
+            return pa.table({"k": pa.array([k[i]]), "n": pa.array([n[i]]),
+                             "tot": pa.array([int(n.sum())])})
+
+        top = counts.map_batches(block_argmax, batch_format="pyarrow",
+                                 batch_size=None).to_pandas()
+        tot = int(top["tot"].sum())
+        i = top.sort_values(["n", "k"], ascending=[False, True]).index[0]
+        outs.append({
+            "relation": rel, "key_name": key,
+            "hot_key": int(top.loc[i, "k"]),
+            "n_rows": int(top.loc[i, "n"]),
+            "total_rows": tot,
+            "share_ppm": int(top.loc[i, "n"]) * 1_000_000 // tot,
+        })
+    df = pd.DataFrame(outs)
+    for c in ["hot_key", "n_rows", "total_rows", "share_ppm"]:
+        df[c] = df[c].astype(np.int64)
+    return ray.data.from_arrow(pa.Table.from_pandas(df,
+                                                    preserve_index=False))
+
+
+def sql_skew_report() -> str:
+    parts = []
+    for rel, key in SKEW_KEYS:
+        parts.append(f"""
+SELECT '{rel}' AS relation, '{key}' AS key_name,
+       CAST(k AS BIGINT) AS hot_key, n AS n_rows, tot AS total_rows,
+       CAST(n * 1000000 // tot AS BIGINT) AS share_ppm
+FROM (
+  SELECT {key} AS k, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS tot,
+         row_number() OVER (ORDER BY COUNT(*) DESC, {key}) AS rn
+  FROM {rel} GROUP BY {key}
+) WHERE rn = 1""".strip())
+    return "\nUNION ALL\n".join(parts)
