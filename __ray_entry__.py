@@ -1174,6 +1174,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "interval_coverage", "hamming_neighbors", "host_distance",
     "supplier_cooccurrence", "value_cdf", "pareto_orders", "id_gaps",
     "time_weighted_value", "top_paths", "trending_tokens", "skew_report",
+    "conversion_latency",
 ]
 
 
@@ -1306,6 +1307,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "time_weighted_value": EV.q_time_weighted_value,
         "top_paths": EV.q_top_paths,
         "trending_tokens": q_trending_tokens,
+        "conversion_latency": EV.q_conversion_latency,
         "hamming_neighbors": q_hamming_neighbors,
         "doc_chunks": CH.doc_chunks,
         "bigram_top": CH.bigram_top,
@@ -1518,6 +1520,7 @@ WHERE rn <= {HOST_CAP_K}"""),
         "time_weighted_value": EV.SQL_TIME_WEIGHTED_VALUE,
         "top_paths": EV.SQL_TOP_PATHS,
         "trending_tokens": S.with_pages(T.SQL_TRENDING_TOKENS),
+        "conversion_latency": EV.sql_conversion_latency(),
         "hamming_neighbors": S.with_pages(_SQL_HAMMING),
         "doc_chunks": CH.SQL_DOC_CHUNKS,
         "bigram_top": CH.SQL_BIGRAM_TOP,

@@ -768,3 +768,76 @@ SELECT path, n_users,
        row_number() OVER (ORDER BY n_users DESC, path) AS rank
 FROM c ORDER BY n_users DESC, path LIMIT {TOP_PATHS_K}
 """.strip()
+
+
+# --- funnel timing: view -> purchase conversion latency ----------------------
+
+CONV_FROM = "view"
+CONV_TO = "purchase"
+CONV_QS = (0.5, 0.9)
+
+
+def q_conversion_latency(sf_dir: str) -> ray.data.Dataset:
+    """Exact funnel-timing distribution: for every user whose first
+    ``CONV_TO`` event is at or after their first ``CONV_FROM`` event, the
+    delta in microseconds — reported as (q_pm, value) exact discrete
+    quantiles (median, p90) of those deltas.  The "how long does
+    conversion take" query, with no float on the wire.
+
+    Ray shape: one user-bucketed pass computes each user's two first-ts
+    argmins and the delta vectorized across the bucket; the delta column
+    (user-dimension-sized, but the pipeline is row-scale-safe) feeds the
+    distributed-histogram exact-quantile pass
+    (quantiles.exact_quantiles_int)."""
+    from ..stages.quantiles import exact_quantiles_int
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array([CONV_FROM, CONV_TO]))
+        t = b.filter(keep)
+        return pa.table({"user_id": t["user_id"],
+                         "ts_us": t["ts"].cast(pa.int64()),
+                         "event_type": t["event_type"]})
+
+    def deltas(g: pd.DataFrame) -> pa.Table:
+        firsts = g.groupby(["user_id", "event_type"], sort=False,
+                           as_index=False)["ts_us"].min()
+        w = firsts.pivot(index="user_id", columns="event_type",
+                         values="ts_us")
+        if CONV_FROM not in w.columns or CONV_TO not in w.columns:
+            return pa.table({"delta_us": pa.array([], pa.int64())})
+        m = w[CONV_TO].notna() & w[CONV_FROM].notna() \
+            & (w[CONV_TO] >= w[CONV_FROM])
+        d = (w.loc[m, CONV_TO] - w.loc[m, CONV_FROM]).astype(np.int64)
+        return pa.table({"delta_us": pa.array(d.to_numpy())})
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow",
+                             batch_size=65536)
+    dl = bucketed_group_apply(prepped, ["user_id"], deltas)
+    out = exact_quantiles_int(dl, "delta_us", CONV_QS)
+    return ray.data.from_arrow(pa.Table.from_pandas(out,
+                                                    preserve_index=False))
+
+
+SQL_CONVERSION_LATENCY = f"""
+WITH f AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = '{CONV_FROM}'
+                  THEN epoch_us(ts) END) AS t_from,
+         MIN(CASE WHEN event_type = '{CONV_TO}'
+                  THEN epoch_us(ts) END) AS t_to
+  FROM events GROUP BY user_id),
+d AS (SELECT t_to - t_from AS delta_us FROM f
+      WHERE t_from IS NOT NULL AND t_to IS NOT NULL AND t_to >= t_from)
+{{Q}}
+""".strip()
+
+
+def sql_conversion_latency() -> str:
+    from ..stages.quantiles import sql_exact_quantiles
+
+    return SQL_CONVERSION_LATENCY.replace(
+        "{Q}", sql_exact_quantiles("delta_us", "d", CONV_QS))
