@@ -1174,7 +1174,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "interval_coverage", "hamming_neighbors", "host_distance",
     "supplier_cooccurrence", "value_cdf", "pareto_orders", "id_gaps",
     "time_weighted_value", "top_paths", "trending_tokens", "skew_report",
-    "conversion_latency",
+    "conversion_latency", "value_trend",
 ]
 
 
@@ -1308,6 +1308,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "top_paths": EV.q_top_paths,
         "trending_tokens": q_trending_tokens,
         "conversion_latency": EV.q_conversion_latency,
+        "value_trend": EV.q_value_trend,
         "hamming_neighbors": q_hamming_neighbors,
         "doc_chunks": CH.doc_chunks,
         "bigram_top": CH.bigram_top,
@@ -1521,6 +1522,7 @@ WHERE rn <= {HOST_CAP_K}"""),
         "top_paths": EV.SQL_TOP_PATHS,
         "trending_tokens": S.with_pages(T.SQL_TRENDING_TOKENS),
         "conversion_latency": EV.sql_conversion_latency(),
+        "value_trend": EV.SQL_VALUE_TREND,
         "hamming_neighbors": S.with_pages(_SQL_HAMMING),
         "doc_chunks": CH.SQL_DOC_CHUNKS,
         "bigram_top": CH.SQL_BIGRAM_TOP,

@@ -841,3 +841,111 @@ def sql_conversion_latency() -> str:
 
     return SQL_CONVERSION_LATENCY.replace(
         "{Q}", sql_exact_quantiles("delta_us", "d", CONV_QS))
+
+
+# --- grouped OLS sufficient statistics (exact integers) ----------------------
+
+
+def q_value_trend(sf_dir: str) -> ray.data.Dataset:
+    """Per event_type: the EXACT integer sufficient statistics of the
+    OLS value-vs-time trend — ``slope = num / den`` with
+    ``num = n*Sxy - Sx*Sy`` and ``den = n*Sxx - Sx^2`` over
+    x = whole MINUTES since the TYPE's first event, y = value cents —
+    the drift/trend detector, shipped as exact ints so no float ever
+    crosses the wire (consumers divide).  Minutes keep n*Sxy inside
+    int64 at test scales (whole seconds overflowed at sf0.1: n ~ 2e4,
+    Sxy ~ 5e14 -> n*Sxy ~ 1e19 > 2^63); the driver-fold products run in
+    Python ints (arbitrary precision) and RAISE if a final statistic
+    exceeds int64 rather than wrap — at that point the caller shards the
+    regression by time window.
+
+    Ray shape: the per-type min-ts pass and the moment pass both fold
+    block-combined partials (type-dimension-sized exchanges); the final
+    num/den arithmetic runs on the 5-row type table, in Python ints."""
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "v_cents": pa.array(
+                cents(b["value"].to_numpy(zero_copy_only=False))),
+        })
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow",
+                             batch_size=65536).materialize()
+
+    def min_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"event_type": b["event_type"].to_pandas(),
+                           "t0": b["ts_us"].to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(
+            df.groupby("event_type", as_index=False)["t0"].min(),
+            preserve_index=False)
+
+    from ..stages.grouping import bucketed_agg
+
+    t0s = bucketed_agg(prepped.map_batches(min_partial,
+                                           batch_format="pyarrow",
+                                           batch_size=65536),
+                       ["event_type"], {"t0": "min"}).to_pandas()
+    t0_map = dict(zip(t0s["event_type"], t0s["t0"]))
+    import ray as _ray
+
+    from ..sources.pages import cached_get
+    t0_ref = _ray.put(t0_map)
+
+    def moments(b: pa.Table) -> pa.Table:
+        m = cached_get(t0_ref)
+        codes, cats = pd.factorize(b["event_type"].to_pandas())
+        t0 = np.array([m[c] for c in cats], np.int64)
+        x = (b["ts_us"].to_numpy(zero_copy_only=False)
+             - t0[codes]) // 60_000_000
+        y = b["v_cents"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": pd.Categorical.from_codes(
+            codes, cats).astype(str),
+            "n": np.int64(1), "sx": x, "sy": y,
+            "sxx": x * x, "sxy": x * y})
+        return pa.Table.from_pandas(
+            df.groupby("event_type", as_index=False).sum(),
+            preserve_index=False)
+
+    parts = prepped.map_batches(moments, batch_format="pyarrow",
+                                batch_size=65536)
+    agg = combined_groupby_sum(parts, ["event_type"],
+                               ["n", "sx", "sy", "sxx", "sxy"]) \
+        .to_pandas()  # type-dimension-sized
+    num = [int(r.n) * int(r.sxy) - int(r.sx) * int(r.sy)
+           for r in agg.itertuples()]
+    den = [int(r.n) * int(r.sxx) - int(r.sx) ** 2
+           for r in agg.itertuples()]
+    lim = 2 ** 63 - 1
+    bad = [v for v in num + den if abs(v) > lim]
+    if bad:
+        raise OverflowError(
+            f"value_trend statistic exceeds int64 ({bad[:2]}...); shard "
+            "the regression by time window before folding")
+    out = pd.DataFrame({"event_type": agg["event_type"],
+                        "n": agg["n"].astype(np.int64),
+                        "trend_num": np.array(num, np.int64),
+                        "trend_den": np.array(den, np.int64)})
+    return ray.data.from_arrow(pa.Table.from_pandas(out,
+                                                    preserve_index=False))
+
+
+SQL_VALUE_TREND = """
+WITH c AS (
+  SELECT event_type,
+         (epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY event_type))
+           // 60000000 AS x,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+  FROM events),
+m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM c GROUP BY event_type)
+SELECT event_type, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS trend_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS trend_den
+FROM m
+""".strip()
