@@ -1174,7 +1174,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "interval_coverage", "hamming_neighbors", "host_distance",
     "supplier_cooccurrence", "value_cdf", "pareto_orders", "id_gaps",
     "time_weighted_value", "top_paths", "trending_tokens", "skew_report",
-    "conversion_latency", "value_trend",
+    "conversion_latency", "value_trend", "events_rolling_median",
 ]
 
 
@@ -1309,6 +1309,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "trending_tokens": q_trending_tokens,
         "conversion_latency": EV.q_conversion_latency,
         "value_trend": EV.q_value_trend,
+        "events_rolling_median": EV.q_events_rolling_median,
         "hamming_neighbors": q_hamming_neighbors,
         "doc_chunks": CH.doc_chunks,
         "bigram_top": CH.bigram_top,
@@ -1523,6 +1524,7 @@ WHERE rn <= {HOST_CAP_K}"""),
         "trending_tokens": S.with_pages(T.SQL_TRENDING_TOKENS),
         "conversion_latency": EV.sql_conversion_latency(),
         "value_trend": EV.SQL_VALUE_TREND,
+        "events_rolling_median": EV.SQL_EVENTS_ROLLING_MEDIAN,
         "hamming_neighbors": S.with_pages(_SQL_HAMMING),
         "doc_chunks": CH.SQL_DOC_CHUNKS,
         "bigram_top": CH.SQL_BIGRAM_TOP,

@@ -949,3 +949,32 @@ SELECT event_type, n,
        CAST(n * sxx - sx * sx AS BIGINT) AS trend_den
 FROM m
 """.strip()
+
+
+# --- rolling median: the windowed-quantile member of the windows family ------
+
+ROLL_MED_W = 5
+
+
+def q_events_rolling_median(sf_dir: str) -> ray.data.Dataset:
+    """Per event: the exact rolling MEDIAN of the user's last
+    ``ROLL_MED_W`` event values (robust smoothing; the windowed-quantile
+    complement of events_moving_sum's windowed sum).  Built on
+    :func:`stages.windows.grouped_rolling_quantile` — one co-partitioning
+    exchange, whole-bucket sentinel-padded sliding windows."""
+    from ..stages.windows import grouped_rolling_quantile
+
+    return grouped_rolling_quantile(
+        _events_cents(sf_dir), "user_id", ["ts_us", "event_id"],
+        "v_cents", ["event_id"], ROLL_MED_W, q=0.5,
+        roll_name="roll_med")
+
+
+SQL_EVENTS_ROLLING_MEDIAN = f"""
+SELECT event_id,
+       quantile_disc(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 0.5)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {ROLL_MED_W - 1} PRECEDING AND CURRENT ROW)
+         AS roll_med
+FROM events
+""".strip()

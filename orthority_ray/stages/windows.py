@@ -313,3 +313,60 @@ def global_rank(ds: ray.data.Dataset, val_col: str, id_col: str,
         return out
 
     return tagged.groupby("__rbucket").map_groups(rank_bucket, batch_format="pandas")
+
+
+def grouped_rolling_quantile(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: list[str],
+    value: str,
+    out_cols: list[str],
+    window: int,
+    q: float = 0.5,
+    roll_name: str = "roll_med",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-key rolling DISCRETE quantile of ``value`` over the trailing
+    ``window`` rows (``quantile_disc(...) OVER (... ROWS window-1
+    PRECEDING)`` semantics, partial windows at each partition's head
+    included) — the windowed-quantile primitive behind rolling medians /
+    robust smoothing, which Ray Data has no native analog for.
+
+    Fully vectorized across every key in the bucket: one sort, then the
+    whole bucket's windows are materialized at once via a sentinel-padded
+    ``sliding_window_view`` — (window-1) int64-max sentinels precede each
+    key segment, so a head window's missing slots sort AFTER its real
+    values and the property-tested ``disc_index_vec(m, q)`` (m = valid
+    count) picks exactly DuckDB's element.  Memory is O(bucket_rows x
+    window); keep ``window`` small (it is a ROWS frame, not RANGE)."""
+    from .quantiles import disc_index_vec
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        d = _sorted_by(g, key, order_cols)
+        k = d[key].to_numpy()
+        v = d[value].to_numpy().astype(np.int64)
+        n = v.shape[0]
+        if n == 0:
+            out = d[out_cols].copy()
+            out[roll_name] = np.array([], np.int64)
+            return out
+        new = _segment_starts(k)
+        starts = np.flatnonzero(new)
+        seg_id = np.cumsum(new) - 1
+        pos = np.arange(n, dtype=np.int64) - starts[seg_id]
+        W = window
+        BIG = np.iinfo(np.int64).max
+        padded = np.full(n + starts.shape[0] * (W - 1), BIG, np.int64)
+        ppos = np.arange(n, dtype=np.int64) + (seg_id + 1) * (W - 1)
+        padded[ppos] = v
+        rows = sliding_window_view(padded, W)[ppos - W + 1]
+        rows_sorted = np.sort(rows, axis=1)
+        m = np.minimum(pos + 1, W)
+        med = rows_sorted[np.arange(n), disc_index_vec(m, q)]
+        out = d[out_cols].copy()
+        out[roll_name] = med.astype(np.int64)
+        return out
+
+    return bucketed_group_apply(ds, [key], fn, n_buckets=n_buckets)

@@ -207,3 +207,38 @@ def test_id_gaps_matches_brute_force(tmp_path_factory, rows):
     out = id_gaps(str(d)).to_pandas()
     got = sorted(map(tuple, out.to_numpy()))
     assert got == _brute_gaps(keep.tolist())
+
+
+# --- grouped_rolling_quantile vs brute force ---------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),
+              st.integers(min_value=-100, max_value=100)),
+    min_size=1, max_size=80),
+    w=st.integers(min_value=1, max_value=6),
+    q=st.sampled_from([0.25, 0.5, 0.9]))
+def test_grouped_rolling_quantile_matches_brute_force(rows, w, q):
+    import math
+
+    from orthority_ray.stages.windows import grouped_rolling_quantile
+
+    df = pd.DataFrame({
+        "k": np.array([k for k, _ in rows], np.int64),
+        "o": np.arange(len(rows), dtype=np.int64),
+        "v": np.array([v for _, v in rows], np.int64),
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(3)
+    out = grouped_rolling_quantile(ds, "k", ["o"], "v", ["o"], w, q=q,
+                                   roll_name="r").to_pandas()
+    got = dict(zip(out["o"], out["r"]))
+    want = {}
+    for kk in set(df["k"]):
+        sub = df[df["k"] == kk].sort_values("o")
+        vals = sub["v"].tolist()
+        for i, o in enumerate(sub["o"]):
+            win = sorted(vals[max(0, i - w + 1):i + 1])
+            want[o] = win[max(math.ceil(len(win) * q) - 1, 0)]
+    assert got == want

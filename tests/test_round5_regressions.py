@@ -126,7 +126,8 @@ def test_round5_new_queries_registered():
     new = ["interval_coverage", "hamming_neighbors", "host_distance",
            "supplier_cooccurrence", "value_cdf", "pareto_orders",
            "id_gaps", "time_weighted_value", "top_paths",
-           "trending_tokens"]
+           "trending_tokens", "skew_report", "conversion_latency",
+           "value_trend", "events_rolling_median"]
     q, o = E.queries(), E.oracle_sql()
     for name in new:
         assert name in q, name
