@@ -1175,6 +1175,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "supplier_cooccurrence", "value_cdf", "pareto_orders", "id_gaps",
     "time_weighted_value", "top_paths", "trending_tokens", "skew_report",
     "conversion_latency", "value_trend", "events_rolling_median",
+    "user_streaks",
 ]
 
 
@@ -1310,6 +1311,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "conversion_latency": EV.q_conversion_latency,
         "value_trend": EV.q_value_trend,
         "events_rolling_median": EV.q_events_rolling_median,
+        "user_streaks": EV.q_user_streaks,
         "hamming_neighbors": q_hamming_neighbors,
         "doc_chunks": CH.doc_chunks,
         "bigram_top": CH.bigram_top,
@@ -1525,6 +1527,7 @@ WHERE rn <= {HOST_CAP_K}"""),
         "conversion_latency": EV.sql_conversion_latency(),
         "value_trend": EV.SQL_VALUE_TREND,
         "events_rolling_median": EV.SQL_EVENTS_ROLLING_MEDIAN,
+        "user_streaks": EV.SQL_USER_STREAKS,
         "hamming_neighbors": S.with_pages(_SQL_HAMMING),
         "doc_chunks": CH.SQL_DOC_CHUNKS,
         "bigram_top": CH.SQL_BIGRAM_TOP,

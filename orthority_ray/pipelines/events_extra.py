@@ -978,3 +978,66 @@ SELECT event_id,
          AS roll_med
 FROM events
 """.strip()
+
+
+# --- activity streaks: longest consecutive-day run per user ------------------
+
+
+def q_user_streaks(sf_dir: str) -> ray.data.Dataset:
+    """Per user: (longest_streak, n_active_days) — the longest run of
+    CONSECUTIVE active days and the total distinct active days, the
+    engagement-streak metric (daily-quest / retention dashboards): the
+    islands side of gaps-and-islands over the integer day line
+    (id_gaps is the gaps side over the id line).
+
+    Ray shape: per-block distinct (user, day) combiner -> ONE
+    user-bucketed exchange; inside the bucket runs are found vectorized
+    for ALL users at once (sort, then a run breaks where the user
+    changes or day steps by more than 1; run lengths via boundary
+    differencing; per-user max/count via pandas C groupby)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "day": t // DAY_US}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates().sort_values(["user_id", "day"],
+                                            kind="mergesort")
+        u = d["user_id"].to_numpy()
+        day = d["day"].to_numpy()
+        n = len(d)
+        brk = np.empty(n, bool)
+        brk[0] = True
+        brk[1:] = (u[1:] != u[:-1]) | (day[1:] != day[:-1] + 1)
+        run_id = np.cumsum(brk) - 1
+        run_len = np.bincount(run_id)
+        run_user = u[np.flatnonzero(brk)]
+        rd = pd.DataFrame({"user_id": run_user, "len": run_len})
+        out = rd.groupby("user_id", as_index=False, sort=False).agg(
+            longest_streak=("len", "max"), n_active_days=("len", "sum"))
+        out["longest_streak"] = out["longest_streak"].astype(np.int64)
+        out["n_active_days"] = out["n_active_days"].astype(np.int64)
+        return out
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow",
+                             batch_size=65536)
+    return bucketed_group_apply(prepped, ["user_id"], streaks)
+
+
+SQL_USER_STREAKS = f"""
+WITH du AS (SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day
+            FROM events),
+g AS (SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS BIGINT) AS grp
+      FROM du),
+s AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+      FROM g GROUP BY 1, 2)
+SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(SUM(len) AS BIGINT) AS n_active_days
+FROM s GROUP BY user_id
+""".strip()
