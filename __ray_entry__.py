@@ -1175,7 +1175,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "supplier_cooccurrence", "value_cdf", "pareto_orders", "id_gaps",
     "time_weighted_value", "top_paths", "trending_tokens", "skew_report",
     "conversion_latency", "value_trend", "events_rolling_median",
-    "user_streaks",
+    "user_streaks", "interarrival_quantiles",
 ]
 
 
@@ -1312,6 +1312,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "value_trend": EV.q_value_trend,
         "events_rolling_median": EV.q_events_rolling_median,
         "user_streaks": EV.q_user_streaks,
+        "interarrival_quantiles": EV.q_interarrival_quantiles,
         "hamming_neighbors": q_hamming_neighbors,
         "doc_chunks": CH.doc_chunks,
         "bigram_top": CH.bigram_top,
@@ -1528,6 +1529,7 @@ WHERE rn <= {HOST_CAP_K}"""),
         "value_trend": EV.SQL_VALUE_TREND,
         "events_rolling_median": EV.SQL_EVENTS_ROLLING_MEDIAN,
         "user_streaks": EV.SQL_USER_STREAKS,
+        "interarrival_quantiles": EV.sql_interarrival_quantiles(),
         "hamming_neighbors": S.with_pages(_SQL_HAMMING),
         "doc_chunks": CH.SQL_DOC_CHUNKS,
         "bigram_top": CH.SQL_BIGRAM_TOP,

@@ -1041,3 +1041,57 @@ SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
        CAST(SUM(len) AS BIGINT) AS n_active_days
 FROM s GROUP BY user_id
 """.strip()
+
+
+# --- inter-arrival gap distribution ------------------------------------------
+
+IA_QS = (0.5, 0.9, 0.99)
+
+
+def q_interarrival_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact (q_pm, value) quantiles — median, p90, p99 — of the
+    same-user inter-event gap in microseconds: the burstiness /
+    traffic-shape distribution (capacity planning, bot detection).
+    Composes the lag primitive (one user-bucketed exchange,
+    grouped_lag_delta over ts with each partition's first row dropped)
+    with the distributed-histogram exact-quantile pass."""
+    from ..stages.quantiles import exact_quantiles_int
+    from ..stages.windows import grouped_lag_delta
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"],
+                         "ts_us": b["ts"].cast(pa.int64())})
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow",
+                             batch_size=65536)
+    lagged = grouped_lag_delta(prepped, "user_id",
+                               ["ts_us", "event_id"], "ts_us",
+                               ["event_id"], delta_name="gap_us",
+                               fill=-1)
+
+    def keep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.greater_equal(b["gap_us"], 0)) \
+            .select(["gap_us"])
+
+    gaps = lagged.map_batches(keep, batch_format="pyarrow",
+                              batch_size=65536)
+    out = exact_quantiles_int(gaps, "gap_us", IA_QS)
+    return ray.data.from_arrow(pa.Table.from_pandas(out,
+                                                    preserve_index=False))
+
+
+def sql_interarrival_quantiles() -> str:
+    from ..stages.quantiles import sql_exact_quantiles
+
+    return f"""
+WITH c AS (SELECT user_id, epoch_us(ts) AS ts, event_id FROM events),
+d AS (SELECT ts - LAG(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS gap_us
+      FROM c),
+g AS (SELECT gap_us FROM d WHERE gap_us IS NOT NULL)
+{sql_exact_quantiles("gap_us", "g", IA_QS)}
+""".strip()

@@ -127,7 +127,8 @@ def test_round5_new_queries_registered():
            "supplier_cooccurrence", "value_cdf", "pareto_orders",
            "id_gaps", "time_weighted_value", "top_paths",
            "trending_tokens", "skew_report", "conversion_latency",
-           "value_trend", "events_rolling_median", "user_streaks"]
+           "value_trend", "events_rolling_median", "user_streaks",
+           "interarrival_quantiles"]
     q, o = E.queries(), E.oracle_sql()
     for name in new:
         assert name in q, name
