@@ -357,54 +357,64 @@ def skew_report(sf_dir: str) -> ray.data.Dataset:
     as a first-class audit so a misdistributed key is visible before it
     melts a reducer.
 
-    Ray shape per key: per-block count combiner -> bucketed sum (key
-    cardinality is ROW-SCALE for fact keys — grouping.bucketed_agg
-    contract) -> per-block partial argmax -> one tiny final fold.  The
-    per-key pipelines stream independently; results union."""
+    Ray shape: the per-key count streams (per-block combiners, tagged
+    with a relation index) UNION into one dataset so all keys share ONE
+    bucketed exchange (r5: five sequential exchanges cost 1.85 s; the
+    fused single exchange ~0.6 s); per-block argmax+total partials then
+    fold on the driver (one row per block per relation — tiny)."""
     import ray.data
 
     from ..pipelines.relational import combined_groupby_sum
-    from .grouping import bucketed_agg
 
-    outs = []
-    for rel, key in SKEW_KEYS:
+    streams = []
+    for idx, (rel, key) in enumerate(SKEW_KEYS):
         path = table_path(sf_dir, rel)
         ds = ray.data.read_parquet(path, columns=[key])
 
-        def count_partial(b: pa.Table, _k=key) -> pa.Table:
+        def count_partial(b: pa.Table, _k=key, _i=idx) -> pa.Table:
             v = b[_k].to_numpy(zero_copy_only=False).astype(np.int64)
             u, c = np.unique(v, return_counts=True)
-            return pa.table({"k": pa.array(u),
+            return pa.table({"rel": pa.array(np.full(u.shape[0], _i,
+                                                     np.int64)),
+                             "k": pa.array(u),
                              "n": pa.array(c.astype(np.int64))})
 
-        counts = combined_groupby_sum(
-            ds.map_batches(count_partial, batch_format="pyarrow",
-                           batch_size=65536),
-            ["k"], ["n"], bucketed=True)
+        streams.append(ds.map_batches(count_partial,
+                                      batch_format="pyarrow",
+                                      batch_size=65536))
+    union = streams[0]
+    for s in streams[1:]:
+        union = union.union(s)
+    counts = combined_groupby_sum(union, ["rel", "k"], ["n"],
+                                  bucketed=True)
 
-        def block_argmax(b: pa.Table) -> pa.Table:
-            k = b["k"].to_numpy(zero_copy_only=False)
-            n = b["n"].to_numpy(zero_copy_only=False)
-            if n.shape[0] == 0:
-                return pa.table({"k": pa.array([], pa.int64()),
-                                 "n": pa.array([], pa.int64()),
-                                 "tot": pa.array([], pa.int64())})
-            # smallest key wins count ties (deterministic on both sides)
-            order = np.lexsort((k, -n))
-            i = order[0]
-            return pa.table({"k": pa.array([k[i]]), "n": pa.array([n[i]]),
-                             "tot": pa.array([int(n.sum())])})
+    def block_partials(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "rel": b["rel"].to_numpy(zero_copy_only=False),
+            "k": b["k"].to_numpy(zero_copy_only=False),
+            "n": b["n"].to_numpy(zero_copy_only=False)})
+        # per relation: this block's argmax row + its total
+        d = df.sort_values(["rel", "n", "k"],
+                           ascending=[True, False, True],
+                           kind="mergesort")
+        top = d.drop_duplicates("rel", keep="first")
+        tot = df.groupby("rel", as_index=False)["n"].sum()             .rename(columns={"n": "tot"})
+        out = top.merge(tot, on="rel")
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-        top = counts.map_batches(block_argmax, batch_format="pyarrow",
-                                 batch_size=None).to_pandas()
-        tot = int(top["tot"].sum())
-        i = top.sort_values(["n", "k"], ascending=[False, True]).index[0]
+    parts = counts.map_batches(block_partials, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    outs = []
+    for idx, (rel, key) in enumerate(SKEW_KEYS):
+        sub = parts[parts["rel"] == idx]
+        tot = int(sub["tot"].sum())
+        i = sub.sort_values(["n", "k"], ascending=[False, True]).index[0]
         outs.append({
             "relation": rel, "key_name": key,
-            "hot_key": int(top.loc[i, "k"]),
-            "n_rows": int(top.loc[i, "n"]),
+            "hot_key": int(sub.loc[i, "k"]),
+            "n_rows": int(sub.loc[i, "n"]),
             "total_rows": tot,
-            "share_ppm": int(top.loc[i, "n"]) * 1_000_000 // tot,
+            "share_ppm": int(sub.loc[i, "n"]) * 1_000_000 // tot,
         })
     df = pd.DataFrame(outs)
     for c in ["hot_key", "n_rows", "total_rows", "share_ppm"]:
