@@ -1175,7 +1175,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "supplier_cooccurrence", "value_cdf", "pareto_orders", "id_gaps",
     "time_weighted_value", "top_paths", "trending_tokens", "skew_report",
     "conversion_latency", "value_trend", "events_rolling_median",
-    "user_streaks", "interarrival_quantiles",
+    "user_streaks", "interarrival_quantiles", "cooccurrence_lift",
 ]
 
 
@@ -1294,6 +1294,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "excess_suppliers": TL.q_excess_suppliers,
         "min_bal_supplier": TL.q_min_bal_supplier,
         "supplier_cooccurrence": TL.q_supplier_cooccurrence,
+        "cooccurrence_lift": TL.q_cooccurrence_lift,
         "pareto_orders": TL.q_pareto_orders,
         "id_gaps": q_id_gaps,
         "skew_report": q_skew_report,
@@ -1511,6 +1512,7 @@ WHERE rn <= {HOST_CAP_K}"""),
         "excess_suppliers": TL.SQL_EXCESS_SUPPLIERS,
         "min_bal_supplier": TL.SQL_MIN_BAL_SUPPLIER,
         "supplier_cooccurrence": TL.SQL_SUPPLIER_COOCCURRENCE,
+        "cooccurrence_lift": TL.SQL_COOCCURRENCE_LIFT,
         "pareto_orders": TL.SQL_PARETO_ORDERS,
         "id_gaps": S.with_pages(AUD.SQL_ID_GAPS),
         "skew_report": AUD.sql_skew_report(),

@@ -622,3 +622,119 @@ s AS (SELECT *, MIN(day) OVER (ORDER BY price_cents, day
 SELECT price_cents, day, n_orders FROM s
 WHERE best IS NULL OR day < best
 """.strip()
+
+
+# --- association-rule lift over supplier co-occurrence -----------------------
+
+LIFT_TOPK = 20
+LIFT_SCALE = 1_000_000
+LIFT_MIN_SUPPORT = 3  # pairs below this are noise (and keep output stable)
+
+
+def q_cooccurrence_lift(sf_dir: str) -> ray.data.Dataset:
+    """Top-``LIFT_TOPK`` supplier pairs by association LIFT, exact in
+    integer ppm: ``lift = P(ab) / (P(a)P(b)) = support_ab * n_orders /
+    (support_a * support_b)``, floored to ppm so both sides rank on the
+    identical integer — the rule-mining metric layer over
+    supplier_cooccurrence's raw support (pairs above
+    ``LIFT_MIN_SUPPORT`` only).
+
+    Ray shape: the pair counts reuse the bucketed ``grouped_pairs``
+    exchange; per-supplier supports are supplier-dimension-sized and
+    broadcast once via ``ray.put`` into the vectorized lift stamping;
+    the final selection is the shared global top-k.  Products stay
+    inside int64: support_ab <= n_orders ~ 1.5e6 at sf1, n_orders *
+    support_ab * SCALE needs the py-int driver guard only past ~1e12
+    orders (documented in value_trend's pattern)."""
+    import ray as _ray
+
+    from ..sources.pages import cached_get
+    from ..stages.grouping import bucketed_group_apply, grouped_pairs
+    from .relational import combined_groupby_sum, global_topk
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "ok": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "s": b["l_suppkey"].to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    prepped = li.map_batches(prep, batch_format="pyarrow",
+                             batch_size=65536).materialize()
+
+    # supplier-dimension support + the order count (both tiny)
+    def s_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"s": b["s"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("s", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # prepped is block-distinct only; (ok, s) may repeat across blocks.
+    # count distinct orders per supplier exactly: one (s, ok)-bucketed
+    # distinct, then a supplier fold (both bounded)
+    pair_distinct = combined_groupby_sum(prepped, ["s", "ok"], [],
+                                         count_alias="__c",
+                                         bucketed=True) \
+        .select_columns(["s", "ok"])
+    supports = combined_groupby_sum(
+        pair_distinct.map_batches(s_partial, batch_format="pyarrow",
+                                  batch_size=65536),
+        ["s"], ["n"]).to_pandas()
+    n_orders = int(combined_groupby_sum(
+        prepped.select_columns(["ok"]), ["ok"], [], count_alias="__c",
+        bucketed=True).count())
+    sup_ref = _ray.put(dict(zip(supports["s"], supports["n"])))
+
+    def pairs_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return grouped_pairs(g, ["ok"], "s", "s_a", "s_b")
+
+    pairs = bucketed_group_apply(prepped, ["ok"], pairs_fn)
+    counts = combined_groupby_sum(pairs, ["s_a", "s_b"], [],
+                                  count_alias="support")
+
+    def stamp(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = b.filter(pc.greater_equal(b["support"],
+                                      LIFT_MIN_SUPPORT))
+        sup = cached_get(sup_ref)
+        a = t["s_a"].to_numpy(zero_copy_only=False)
+        bb = t["s_b"].to_numpy(zero_copy_only=False)
+        ab = t["support"].to_numpy(zero_copy_only=False)
+        ca, cats_a = pd.factorize(pd.Series(a))
+        na = np.array([sup[x] for x in cats_a], np.int64)[ca]
+        cb, cats_b = pd.factorize(pd.Series(bb))
+        nb = np.array([sup[x] for x in cats_b], np.int64)[cb]
+        lift_ppm = ab * np.int64(n_orders) * np.int64(LIFT_SCALE) \
+            // (na * nb)
+        return pa.table({"s_a": t["s_a"], "s_b": t["s_b"],
+                         "support": t["support"],
+                         "lift_ppm": pa.array(lift_ppm.astype(np.int64))})
+
+    stamped = counts.map_batches(stamp, batch_format="pyarrow",
+                                 batch_size=65536)
+    return global_topk(stamped, ["lift_ppm", "s_a", "s_b"],
+                       [False, True, True], LIFT_TOPK)
+
+
+SQL_COOCCURRENCE_LIFT = f"""
+WITH ds AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+no AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM ds),
+sup AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM ds GROUP BY s),
+pairs AS (SELECT a.s AS s_a, b.s AS s_b,
+                 CAST(COUNT(*) AS BIGINT) AS support
+          FROM ds a JOIN ds b ON a.ok = b.ok AND a.s < b.s
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= {LIFT_MIN_SUPPORT}),
+l AS (SELECT p.s_a, p.s_b, p.support,
+             CAST(p.support * no.n * {LIFT_SCALE}
+                  // (sa.n * sb.n) AS BIGINT) AS lift_ppm
+      FROM pairs p, no
+      JOIN sup sa ON sa.s = p.s_a
+      JOIN sup sb ON sb.s = p.s_b)
+SELECT s_a, s_b, support, lift_ppm,
+       row_number() OVER (ORDER BY lift_ppm DESC, s_a, s_b) AS rank
+FROM l ORDER BY lift_ppm DESC, s_a, s_b LIMIT {LIFT_TOPK}
+""".strip()

@@ -128,7 +128,7 @@ def test_round5_new_queries_registered():
            "id_gaps", "time_weighted_value", "top_paths",
            "trending_tokens", "skew_report", "conversion_latency",
            "value_trend", "events_rolling_median", "user_streaks",
-           "interarrival_quantiles"]
+           "interarrival_quantiles", "cooccurrence_lift"]
     q, o = E.queries(), E.oracle_sql()
     for name in new:
         assert name in q, name
