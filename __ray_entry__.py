@@ -1176,6 +1176,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "time_weighted_value", "top_paths", "trending_tokens", "skew_report",
     "conversion_latency", "value_trend", "events_rolling_median",
     "user_streaks", "interarrival_quantiles", "cooccurrence_lift",
+    "power_users",
 ]
 
 
@@ -1314,6 +1315,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "events_rolling_median": EV.q_events_rolling_median,
         "user_streaks": EV.q_user_streaks,
         "interarrival_quantiles": EV.q_interarrival_quantiles,
+        "power_users": EV.q_power_users,
         "hamming_neighbors": q_hamming_neighbors,
         "doc_chunks": CH.doc_chunks,
         "bigram_top": CH.bigram_top,
@@ -1532,6 +1534,7 @@ WHERE rn <= {HOST_CAP_K}"""),
         "events_rolling_median": EV.SQL_EVENTS_ROLLING_MEDIAN,
         "user_streaks": EV.SQL_USER_STREAKS,
         "interarrival_quantiles": EV.sql_interarrival_quantiles(),
+        "power_users": EV.SQL_POWER_USERS,
         "hamming_neighbors": S.with_pages(_SQL_HAMMING),
         "doc_chunks": CH.SQL_DOC_CHUNKS,
         "bigram_top": CH.SQL_BIGRAM_TOP,

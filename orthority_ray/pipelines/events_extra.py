@@ -1095,3 +1095,53 @@ d AS (SELECT ts - LAG(ts) OVER (PARTITION BY user_id
 g AS (SELECT gap_us FROM d WHERE gap_us IS NOT NULL)
 {sql_exact_quantiles("gap_us", "g", IA_QS)}
 """.strip()
+
+
+# --- distinct-of-distinct: engagement-breadth histogram ----------------------
+
+
+def q_power_users(sf_dir: str) -> ray.data.Dataset:
+    """(n_types, n_user_weeks): across every (user, calendar week) cell,
+    how many cells touch exactly 1, 2, ... distinct event types — the
+    engagement-breadth histogram (a COUNT of a grouped COUNT(DISTINCT),
+    the distinct-of-distinct shape; weekly so the distribution is
+    non-degenerate).  Per-block distinct (user, week, type) combiner ->
+    one user-bucketed exchange -> per-(user, week) type counts inside
+    the bucket -> a tiny histogram fold.  Week bucketing shares
+    events_weekly's integer Monday-epoch math."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = us // DAY_US
+        week = (days + WEEK_SHIFT_DAYS) // 7
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "week": week,
+            "event_type": b["event_type"].to_pandas(),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates()
+        c = d.groupby(["user_id", "week"], sort=False).size()
+        h = c.value_counts()
+        out = pd.DataFrame({"n_types": h.index.astype(np.int64),
+                            "n_user_weeks": h.to_numpy().astype(np.int64)})
+        return out
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow",
+                             batch_size=65536)
+    partials = bucketed_group_apply(prepped, ["user_id"], per_user)
+    return combined_groupby_sum(partials, ["n_types"], ["n_user_weeks"])
+
+
+SQL_POWER_USERS = f"""
+WITH c AS (SELECT user_id,
+                  (epoch_us(ts) // {DAY_US} + {WEEK_SHIFT_DAYS}) // 7
+                    AS week,
+                  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+           FROM events GROUP BY user_id, week)
+SELECT n_types, CAST(COUNT(*) AS BIGINT) AS n_user_weeks
+FROM c GROUP BY n_types
+""".strip()
