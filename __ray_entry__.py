@@ -308,6 +308,19 @@ def q_id_gaps(sf_dir: str):
     return id_gaps(sf_dir)
 
 
+def q_label_embedding_sums(sf_dir: str):
+    """Per-label exact integer embedding centroid sums (stages/ann.py:
+    label_embedding_sums) — the LIST-column aggregate."""
+    from orthority_ray.core.config import table_path
+    import ray.data
+
+    from orthority_ray.stages.ann import label_embedding_sums
+
+    embs = ray.data.read_parquet(table_path(sf_dir, "embeddings"),
+                                 columns=["embedding", "label"])
+    return label_embedding_sums(embs)
+
+
 def q_host_distance(sf_dir: str):
     """BFS hop distance from the min-index syndication host
     (stages/linkrank.host_distance): the graph family's SSSP member —
@@ -1176,7 +1189,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "time_weighted_value", "top_paths", "trending_tokens", "skew_report",
     "conversion_latency", "value_trend", "events_rolling_median",
     "user_streaks", "interarrival_quantiles", "cooccurrence_lift",
-    "power_users",
+    "power_users", "label_embedding_sums",
 ]
 
 
@@ -1316,6 +1329,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "user_streaks": EV.q_user_streaks,
         "interarrival_quantiles": EV.q_interarrival_quantiles,
         "power_users": EV.q_power_users,
+        "label_embedding_sums": q_label_embedding_sums,
         "hamming_neighbors": q_hamming_neighbors,
         "doc_chunks": CH.doc_chunks,
         "bigram_top": CH.bigram_top,
@@ -1535,6 +1549,7 @@ WHERE rn <= {HOST_CAP_K}"""),
         "user_streaks": EV.SQL_USER_STREAKS,
         "interarrival_quantiles": EV.sql_interarrival_quantiles(),
         "power_users": EV.SQL_POWER_USERS,
+        "label_embedding_sums": ANN.SQL_LABEL_EMBEDDING_SUMS,
         "hamming_neighbors": S.with_pages(_SQL_HAMMING),
         "doc_chunks": CH.SQL_DOC_CHUNKS,
         "bigram_top": CH.SQL_BIGRAM_TOP,

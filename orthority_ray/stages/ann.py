@@ -1008,3 +1008,65 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim_key FROM (
   FROM sim
 ) WHERE rank <= {k}
 """.strip()
+
+
+# --- per-label embedding centroid sums (exact int; r5) -----------------------
+
+EMB_Q_SCALE = 1_000_000
+
+
+def label_embedding_sums(embs: ray.data.Dataset) -> ray.data.Dataset:
+    """(label, dim, sum_q): per class label and vector dimension, the
+    exact integer sum of micro-quantized embedding components — the
+    centroid numerator every per-class prototype / nearest-class-mean
+    classifier needs, as a LIST-column aggregate (the engine's vector
+    columns flow through the same combined-fold machinery as scalars;
+    consumers divide by the label count for the mean).
+
+    Quantization is ``floor(float64(x) * 1e6 + 0.5)`` — the float32
+    component is widened to float64 BEFORE scaling on both sides, so
+    numpy and DuckDB floor the identical double.  Per-block partial:
+    one zero-copy reshape of the fixed-width list buffer + one
+    (label)-segmented matrix sum -> (labels x dims)-sized rows; the
+    exchange is dimension-sized."""
+    import pandas as pd
+
+    from ..pipelines.relational import combined_groupby_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = len(col)
+        dim = flat.shape[0] // n if n else 0
+        q = np.floor(flat * EMB_Q_SCALE + 0.5).astype(np.int64) \
+            .reshape(n, dim)
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        ls = lab[order]
+        qs = q[order]
+        starts = np.concatenate([[0], np.flatnonzero(ls[1:] != ls[:-1]) + 1])
+        sums = np.add.reduceat(qs, starts, axis=0)
+        labels = np.repeat(ls[starts], dim)
+        dims = np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                       starts.shape[0])
+        return pa.table({"label": pa.array(labels),
+                         "dim": pa.array(dims),
+                         "sum_q": pa.array(sums.ravel())})
+
+    parts = embs.map_batches(partial, batch_format="pyarrow",
+                             batch_size=4096)
+    return combined_groupby_sum(parts, ["label", "dim"], ["sum_q"])
+
+
+SQL_LABEL_EMBEDDING_SUMS = f"""
+WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
+                  CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                             * {EMB_Q_SCALE}.0 + 0.5) AS BIGINT) AS q
+           FROM embeddings)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       CAST(SUM(q) AS BIGINT) AS sum_q
+FROM e GROUP BY 1, 2
+""".strip()

@@ -128,7 +128,8 @@ def test_round5_new_queries_registered():
            "id_gaps", "time_weighted_value", "top_paths",
            "trending_tokens", "skew_report", "conversion_latency",
            "value_trend", "events_rolling_median", "user_streaks",
-           "interarrival_quantiles", "cooccurrence_lift"]
+           "interarrival_quantiles", "cooccurrence_lift",
+           "power_users", "label_embedding_sums"]
     q, o = E.queries(), E.oracle_sql()
     for name in new:
         assert name in q, name
