@@ -1040,7 +1040,11 @@ def label_embedding_sums(embs: ray.data.Dataset) -> ray.data.Dataset:
         flat = col.flatten().to_numpy(zero_copy_only=False) \
             .astype(np.float64)
         n = len(col)
-        dim = flat.shape[0] // n if n else 0
+        if n == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "sum_q": pa.array([], pa.int64())})
+        dim = flat.shape[0] // n
         q = np.floor(flat * EMB_Q_SCALE + 0.5).astype(np.int64) \
             .reshape(n, dim)
         lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
