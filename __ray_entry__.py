@@ -308,6 +308,21 @@ def q_id_gaps(sf_dir: str):
     return id_gaps(sf_dir)
 
 
+def q_ncm_confusion(sf_dir: str):
+    """Nearest-class-mean confusion matrix over embeddings
+    (stages/ann.ncm_confusion) — exact integer scores, one int64 matmul
+    per block against the broadcast centroid matrix."""
+    from orthority_ray.core.config import table_path
+    import ray.data
+
+    from orthority_ray.stages.ann import ncm_confusion
+
+    embs = ray.data.read_parquet(
+        table_path(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding", "label"])
+    return ncm_confusion(embs)
+
+
 def q_label_embedding_sums(sf_dir: str):
     """Per-label exact integer embedding centroid sums (stages/ann.py:
     label_embedding_sums) — the LIST-column aggregate."""
@@ -1189,7 +1204,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "time_weighted_value", "top_paths", "trending_tokens", "skew_report",
     "conversion_latency", "value_trend", "events_rolling_median",
     "user_streaks", "interarrival_quantiles", "cooccurrence_lift",
-    "power_users", "label_embedding_sums",
+    "power_users", "label_embedding_sums", "ncm_confusion",
 ]
 
 
@@ -1330,6 +1345,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "interarrival_quantiles": EV.q_interarrival_quantiles,
         "power_users": EV.q_power_users,
         "label_embedding_sums": q_label_embedding_sums,
+        "ncm_confusion": q_ncm_confusion,
         "hamming_neighbors": q_hamming_neighbors,
         "doc_chunks": CH.doc_chunks,
         "bigram_top": CH.bigram_top,
@@ -1550,6 +1566,7 @@ WHERE rn <= {HOST_CAP_K}"""),
         "interarrival_quantiles": EV.sql_interarrival_quantiles(),
         "power_users": EV.SQL_POWER_USERS,
         "label_embedding_sums": ANN.SQL_LABEL_EMBEDDING_SUMS,
+        "ncm_confusion": ANN.SQL_NCM_CONFUSION,
         "hamming_neighbors": S.with_pages(_SQL_HAMMING),
         "doc_chunks": CH.SQL_DOC_CHUNKS,
         "bigram_top": CH.SQL_BIGRAM_TOP,

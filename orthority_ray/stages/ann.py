@@ -1074,3 +1074,106 @@ SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
        CAST(SUM(q) AS BIGINT) AS sum_q
 FROM e GROUP BY 1, 2
 """.strip()
+
+
+# --- nearest-class-mean classification + exact confusion matrix --------------
+
+
+def ncm_confusion(embs: ray.data.Dataset) -> ray.data.Dataset:
+    """(true_label, pred_label, n): the confusion matrix of a
+    nearest-class-MEAN classifier over the embedding table, exact in
+    integers end to end — the ML-eval primitive (prototype classifiers,
+    sanity-checking an embedding space) with no float on the wire:
+    vectors and centroid sums share label_embedding_sums' micro-
+    quantization, each class score is ``dot(q_vec, centroid_sum) //
+    n_label`` (identical floor on both sides), argmax ties break to the
+    smaller label.
+
+    Ray shape: centroid sums + label counts are (labels x dims)-sized —
+    folded once, broadcast via ``ray.put``; each block classifies with
+    ONE int64 matmul against the 10x64 centroid matrix and emits
+    (true, pred) count partials; the confusion exchange is
+    label^2-sized."""
+    import pandas as pd
+    import ray as _ray
+
+    from ..pipelines.relational import combined_groupby_sum
+    from ..sources.pages import cached_get
+
+    sums = label_embedding_sums(embs).to_pandas()
+    labels = np.sort(sums["label"].unique())
+    dims = np.sort(sums["dim"].unique())
+    C = sums.pivot(index="label", columns="dim", values="sum_q") \
+        .loc[labels, dims].to_numpy().astype(np.int64)
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(lab, return_counts=True)
+        return pa.table({"label": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    counts = combined_groupby_sum(
+        embs.map_batches(cnt_partial, batch_format="pyarrow",
+                         batch_size=65536),
+        ["label"], ["n"]).to_pandas()
+    n_vec = counts.set_index("label").loc[labels, "n"] \
+        .to_numpy().astype(np.int64)
+    ref = _ray.put((labels.astype(np.int64), C, n_vec))
+
+    def classify(b: pa.Table) -> pa.Table:
+        labs, Cm, nl = cached_get(ref)
+        col = b["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        if n == 0:
+            return pa.table({"true_label": pa.array([], pa.int64()),
+                             "pred_label": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        dim = flat.shape[0] // n
+        Q = np.floor(flat * EMB_Q_SCALE + 0.5).astype(np.int64) \
+            .reshape(n, dim)
+        dots = Q @ Cm.T                      # (n, labels) int64
+        score = dots // nl[None, :]
+        pred = labs[np.argmax(score, axis=1)]  # first max = smallest label
+        true = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"true_label": true, "pred_label": pred})
+        g = df.groupby(["true_label", "pred_label"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = embs.map_batches(classify, batch_format="pyarrow",
+                             batch_size=4096)
+    return combined_groupby_sum(parts, ["true_label", "pred_label"],
+                                ["n"])
+
+
+SQL_NCM_CONFUSION = f"""
+WITH e AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+                  CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                             * {EMB_Q_SCALE}.0 + 0.5) AS BIGINT) AS q
+           FROM embeddings),
+cent AS (SELECT label AS clabel, dim, CAST(SUM(q) AS BIGINT) AS s
+         FROM e GROUP BY 1, 2),
+cnt AS (SELECT label AS clabel, CAST(COUNT(*) AS BIGINT) AS n
+        FROM embeddings GROUP BY 1),
+dots AS (SELECT e.vec_id, e.label AS true_label, c.clabel,
+                CAST(SUM(e.q * c.s) AS BIGINT) AS dot
+         FROM e JOIN cent c ON c.dim = e.dim
+         GROUP BY 1, 2, 3),
+scored AS (SELECT vec_id, true_label, clabel,
+                  CAST(dot // n AS BIGINT) AS score
+           FROM dots JOIN cnt USING (clabel)),
+pred AS (SELECT vec_id, true_label, clabel AS pred_label,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY score DESC, clabel) AS rn
+         FROM scored)
+SELECT CAST(true_label AS BIGINT) AS true_label,
+       CAST(pred_label AS BIGINT) AS pred_label,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM pred WHERE rn = 1
+GROUP BY 1, 2
+""".strip()
