@@ -635,6 +635,15 @@ def q_quality(sf_dir: str):
         .select_columns(["doc_id", "quality"])
 
 
+def q_rising_tokens(sf_dir: str):
+    """Week-over-week fastest-growing tokens (stages/textstats.
+    rising_tokens): exact integer growth ppm, token-bucketed lag pass,
+    distributed grouped top-n per week."""
+    from orthority_ray.stages.textstats import rising_tokens
+
+    return rising_tokens(read_pages(sf_dir, columns=["doc_id", "text"]))
+
+
 def q_trending_tokens(sf_dir: str):
     """Per-crawl-day top tokens (stages/textstats.trending_tokens):
     block-combined (day, token) counts -> bucketed sum -> distributed
@@ -1204,7 +1213,7 @@ _DRIVER_UNCHECKED_FIRST = [
     "time_weighted_value", "top_paths", "trending_tokens", "skew_report",
     "conversion_latency", "value_trend", "events_rolling_median",
     "user_streaks", "interarrival_quantiles", "cooccurrence_lift",
-    "power_users", "label_embedding_sums", "ncm_confusion",
+    "power_users", "label_embedding_sums", "ncm_confusion", "rising_tokens",
 ]
 
 
@@ -1338,6 +1347,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "time_weighted_value": EV.q_time_weighted_value,
         "top_paths": EV.q_top_paths,
         "trending_tokens": q_trending_tokens,
+        "rising_tokens": q_rising_tokens,
         "conversion_latency": EV.q_conversion_latency,
         "value_trend": EV.q_value_trend,
         "events_rolling_median": EV.q_events_rolling_median,
@@ -1559,6 +1569,7 @@ WHERE rn <= {HOST_CAP_K}"""),
         "time_weighted_value": EV.SQL_TIME_WEIGHTED_VALUE,
         "top_paths": EV.SQL_TOP_PATHS,
         "trending_tokens": S.with_pages(T.SQL_TRENDING_TOKENS),
+        "rising_tokens": S.with_pages(T.SQL_RISING_TOKENS),
         "conversion_latency": EV.sql_conversion_latency(),
         "value_trend": EV.SQL_VALUE_TREND,
         "events_rolling_median": EV.SQL_EVENTS_ROLLING_MEDIAN,

@@ -678,3 +678,103 @@ SELECT day, token, n, rn FROM (
   FROM c)
 WHERE rn <= {TREND_K}
 """.strip()
+
+
+# --- rising tokens: week-over-week growth ranking ----------------------------
+
+RISE_WEEK_US = 7 * TREND_DAY_US
+RISE_MIN_PREV = 10   # prior-week floor: keeps growth ratios stable
+RISE_TOPK = 10
+
+
+def rising_tokens(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """(week, token, n, prev_n, growth_ppm, rank): the ``RISE_TOPK``
+    fastest-growing tokens per crawl week — growth is the exact integer
+    ``n * 10^6 // prev_n`` against the SAME token's previous-week count
+    (tokens with ``prev_n >= RISE_MIN_PREV`` only, so a 1->2 blip never
+    outranks a real mover).  The week index is doc_id arithmetic like
+    trending_tokens.
+
+    Ray shape: per-block (week, token) count combiner -> multi-key
+    bucketed sum -> ONE token-bucketed lag pass (consecutive-week join
+    is a per-token sorted shift, vectorized across the bucket) ->
+    map-side growth stamping -> distributed grouped top-n on week."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..core.texthash import split_tokens_arrow
+    from ..pipelines.relational import combined_groupby_sum
+    from .grouping import bucketed_group_apply
+    from .windows import grouped_topn
+
+    def tok_week_counts(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy(zero_copy_only=False)
+        week = (WARC_BASE_US + doc * 1_000_000) // RISE_WEEK_US
+        toks = split_tokens_arrow(b["text"])
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        df = pd.DataFrame({
+            "week": np.repeat(week, lens)[keep.to_numpy(
+                zero_copy_only=False)],
+            "token": flat.filter(keep).to_pandas(),
+        })
+        out = df.groupby(["week", "token"], as_index=False, sort=False) \
+            .size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = pages.map_batches(tok_week_counts, batch_format="pyarrow",
+                              batch_size=16384)
+    counts = combined_groupby_sum(parts, ["week", "token"], ["n"])
+
+    def lag_pass(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["token", "week"], kind="mergesort")
+        tok = d["token"].to_numpy()
+        wk = d["week"].to_numpy()
+        n = d["n"].to_numpy()
+        prev = np.empty_like(n)
+        prev[0] = -1
+        prev[1:] = n[:-1]
+        same = np.empty(len(d), bool)
+        same[0] = False
+        # previous row is last week's count ONLY for the same token and
+        # a consecutive week
+        same[1:] = (tok[1:] == tok[:-1]) & (wk[1:] == wk[:-1] + 1)
+        m = same & (prev >= RISE_MIN_PREV)
+        out = pd.DataFrame({"week": wk[m], "token": tok[m],
+                            "n": n[m], "prev_n": prev[m]})
+        out["growth_ppm"] = (out["n"] * 1_000_000 //
+                             out["prev_n"]).astype(np.int64)
+        return out
+
+    lagged = bucketed_group_apply(counts, ["token"], lag_pass)
+    return grouped_topn(lagged, "week", ["growth_ppm", "token"],
+                        [False, True], RISE_TOPK,
+                        ["week", "token", "n", "prev_n", "growth_ppm"],
+                        rank_name="rank")
+
+
+SQL_RISING_TOKENS = f"""
+, tok AS (
+  SELECT epoch_us(warc_ts) // {RISE_WEEK_US} AS week,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '')) AS token
+  FROM pages),
+c AS (SELECT week, token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok GROUP BY 1, 2),
+lagd AS (SELECT week, token, n,
+                LAG(n) OVER (PARTITION BY token ORDER BY week) AS prev_n,
+                LAG(week) OVER (PARTITION BY token ORDER BY week)
+                  AS prev_week
+         FROM c),
+g AS (SELECT week, token, n, prev_n,
+             CAST(n * 1000000 // prev_n AS BIGINT) AS growth_ppm
+      FROM lagd
+      WHERE prev_week = week - 1 AND prev_n >= {RISE_MIN_PREV})
+SELECT week, token, n, prev_n, growth_ppm, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY week
+                    ORDER BY growth_ppm DESC, token) AS BIGINT) AS rank
+  FROM g)
+WHERE rank <= {RISE_TOPK}
+""".strip()

@@ -129,7 +129,8 @@ def test_round5_new_queries_registered():
            "trending_tokens", "skew_report", "conversion_latency",
            "value_trend", "events_rolling_median", "user_streaks",
            "interarrival_quantiles", "cooccurrence_lift",
-           "power_users", "label_embedding_sums", "ncm_confusion"]
+           "power_users", "label_embedding_sums", "ncm_confusion",
+           "rising_tokens"]
     q, o = E.queries(), E.oracle_sql()
     for name in new:
         assert name in q, name
