@@ -638,10 +638,28 @@ def q_quality(sf_dir: str):
 def q_rising_tokens(sf_dir: str):
     """Week-over-week fastest-growing tokens (stages/textstats.
     rising_tokens): exact integer growth ppm, token-bucketed lag pass,
-    distributed grouped top-n per week."""
+    distributed grouped top-n per week.  Returns a typed DataFrame (the
+    result is week-dimension x top-k bounded) so a corpus spanning < 2
+    weeks yields an EMPTY frame with the oracle's schema instead of a
+    schemaless empty Dataset."""
+    import numpy as np
+    import pandas as pd
+
     from orthority_ray.stages.textstats import rising_tokens
 
-    return rising_tokens(read_pages(sf_dir, columns=["doc_id", "text"]))
+    out = rising_tokens(
+        read_pages(sf_dir, columns=["doc_id", "text"])).to_pandas()
+    cols = ["week", "token", "n", "prev_n", "growth_ppm", "rank"]
+    if out.empty:
+        return pd.DataFrame({
+            "week": pd.Series(dtype=np.int64),
+            "token": pd.Series(dtype=object),
+            "n": pd.Series(dtype=np.int64),
+            "prev_n": pd.Series(dtype=np.int64),
+            "growth_ppm": pd.Series(dtype=np.int64),
+            "rank": pd.Series(dtype=np.int64),
+        })
+    return out[cols]
 
 
 def q_trending_tokens(sf_dir: str):
